@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators re-expressing the reference's recurring
+  * pandas/SQL patterns as composable, shuffle-aware Spark transformations.
+  *
+  * Each operator cites the reference behavior it mirrors (file:line under
+  * /root/reference). All of them are pure `DataFrame => DataFrame` logic —
+  * no collects, no driver-side loops — so plans stay distributed and
+  * Catalyst-optimizable at any scale.
+  */
+object Relational {
+
+  /** Keep exactly one row per key, by explicit priority order — the
+    * reference's sort-then-drop_duplicates idiom
+    * (`dvf/explore/task_functions.py:391-412`,
+    * `schema/utils/consolidation.py:1027-1041`). One shuffle on `keys`.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-group top-K by explicit order (`dgv/monitoring/tops` top-50 lists).
+    * Emits a `rank` column. Single shuffle on the partition keys; no global
+    * sort, so it scales with the number of groups, not rows.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Semi-join on group cardinality == 1: the reference's "monobien" filter
+    * (`dvf/explore/task_functions.py:507-511`) — keep rows whose key appears
+    * exactly once in `df`. Partial aggregation makes the count map-side
+    * combinable; the semi-join avoids materializing the counted columns.
+    */
+  def keepKeysWithCount(df: DataFrame, key: String, n: Long): DataFrame = {
+    val once = df.groupBy(key).count().filter(col("count") === n).select(key)
+    df.join(once, Seq(key), "left_semi")
+  }
+
+  /** Left join + presence flag — the reference's anti-flag idiom
+    * (`insee/deces/task_functions.py:179-186`): flag rows of `df` whose key
+    * exists in `flags`, without dropping any rows.
+    */
+  def antiFlagJoin(df: DataFrame, flags: DataFrame, keys: Seq[String], flagName: String): DataFrame = {
+    val marked = flags.select(keys.map(col): _*).distinct().withColumn("__hit", lit(true))
+    df.join(marked, keys, "left")
+      .withColumn(flagName, coalesce(col("__hit"), lit(false))).drop("__hit")
+  }
+
+  /** Conditional-count pivot (`dgv/metrics/task_functions.py:226-262`): one
+    * output column `prefix_<segment>` counting rows of each segment per
+    * group. Expressed as sum(when(...)) so the whole thing is one partial-
+    * aggregable shuffle instead of a pivot's extra distinct pass.
+    */
+  def conditionalCountPivot(df: DataFrame, keys: Seq[String], segCol: String,
+                            segments: Seq[String], prefix: String): DataFrame = {
+    val aggs = segments.map(s =>
+      sum(when(col(segCol) === s, 1L).otherwise(0L)).as(s"${prefix}_$s"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** CDC row-set diff (`meteo/pg_processing/task_functions.py:448-535`):
+    * multiplicity-aware additions/deletions between two snapshots. The
+    * reference's 90 lines of manual prefix batching collapse to exceptAll,
+    * which shuffles each side once on the full row hash.
+    */
+  def cdcDiff(newDf: DataFrame, oldDf: DataFrame): (DataFrame, DataFrame) =
+    (newDf.exceptAll(oldDf), oldDf.exceptAll(newDf))
+
+  /** Sessionization (`dvf/geoloc/task_functions.py:257-268`): assign a
+    * per-key run id that increments whenever the gap to the previous row
+    * (by `tsCol`, a monotonically comparable numeric) exceeds `gap`.
+    * One shuffle on `key`; the windows are per-key, never global.
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String, tieBreak: String,
+                 gap: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieBreak))
+    val newSession = when(
+      col(tsCol) - lag(col(tsCol), 1).over(w) > gap, 1L
+    ).otherwise(when(lag(col(tsCol), 1).over(w).isNull, 1L).otherwise(0L))
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** As-of (temporal) join, the Spark-native replacement for the reference's
+    * range-batched parcel join with retries
+    * (`dvf/geoloc/task_functions.py:272-306`). For every left row, attach
+    * the latest right row with `right.ts <= left.ts` for the same key.
+    *
+    * Implementation: union the two sides tagged, then a single per-key
+    * window carries the last right value forward (`last(..., ignoreNulls)`).
+    * Cost: ONE shuffle on `key` — no range-join explosion, no per-interval
+    * loop; scales linearly in rows per key, which is what survives 100 TB.
+    * Right rows sort before left rows at equal timestamps, making the
+    * match inclusive (>=).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(col(key) +: col(tsCol) +:
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__side", lit(0))
+    // Right rows get __side=0 so they sort before left rows at equal ts,
+    // making the match inclusive (left.ts >= right.ts).
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned) { case (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }.withColumn("asof_ts",
+      last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .drop("__side" +: payloadCols.map("__p_" + _): _*)
+  }
+
+  /** Multi-scale aggregation (`dvf/explore/task_functions.py:452-543`): the
+    * same metrics at several geographic grains at once. Spark-first shape:
+    * one ROLLUP (grouping sets) pass — a single shuffle producing every
+    * grain, instead of the reference's one-loop-per-level.
+    */
+  def rollupAgg(df: DataFrame, levels: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.rollup(levels.map(col): _*).agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One declared query: a Spark implementation plus (optionally) the
+  * equivalent ANSI SQL the driver replays in DuckDB as the oracle. */
+final case class Q(name: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+/** Shared helpers keeping Spark results bit-identical to the DuckDB oracle.
+  *
+  * Money aggregates go through DECIMAL(18,2): summing doubles is order-
+  * dependent (Spark's partial aggregation adds in partition order, DuckDB
+  * single-threaded), while decimal sums are exact and associative on both
+  * engines. The final cast back to DOUBLE is deterministic because the
+  * decimal value is exact.
+  */
+object QH {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a 2-decimal monetary double. */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean of a 2-decimal monetary double (exact sum / count). */
+  def moneyAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1))
+
+  /** DuckDB-side twin of [[moneySum]]. */
+  def sqlMoneySum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB-side twin of [[moneyAvg]]. */
+  def sqlMoneyAvg(x: String): String =
+    s"(CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))"
+
+  /** CTE exposing events with the same derived ts columns Spark sees.
+    * Spark reads the file's nanosecond timestamps as raw nanos; DuckDB reads
+    * them at microsecond precision — so all shared timestamp arithmetic is
+    * standardized on epoch MICROseconds (exact integers on both engines). */
+  val evCte: String =
+    "WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us_long, " +
+      "ts::TIMESTAMP AS ts_us, user_id, event_type, value, props FROM events)"
+}

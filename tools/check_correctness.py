@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name> parquet (written by graft.Verify), replays the
+matching SQL from oracle_sql.json in DuckDB over the sf_dir parquet tables,
+and compares: row count, column names (sorted), and values (rows sorted,
+exact match after canonicalization). This is a strict local stand-in for
+CORRECTNESS_r{N}.json — if it passes here, the driver's hash compare should
+pass too.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return ("\x00null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        # exact repr: we demand bit-identical floats (driver hashes values)
+        return ("f", repr(v))
+    if isinstance(v, (list, tuple)):
+        return ("l",) + tuple(canon(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return ("f", repr(float(v)))
+    except Exception:
+        pass
+    return (type(v).__name__, str(v))
+
+
+def rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    only = set(sys.argv[3:])
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_path = out_dir / name
+        if not spark_path.exists():
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_fail += 1
+            continue
+        try:
+            st = pq.read_table(spark_path)
+            s_cols = list(st.column_names)
+            s_rows = [tuple(r[c] for c in s_cols) for r in st.to_pylist()]
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark parquet: {e}")
+            n_fail += 1
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duckdb={len(d_rows)}")
+            ok = False
+        else:
+            sc = rows_canon(s_cols, s_rows)
+            dc = rows_canon(d_cols, d_rows)
+            if sc != dc:
+                diffs = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b][:3]
+                print(f"FAIL {name}: value mismatch at sorted-row idx {diffs}")
+                for i in diffs[:2]:
+                    print(f"  spark : {sc[i]}")
+                    print(f"  duckdb: {dc[i]}")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
