@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{FunctionQueries, Q, RelationalQueries}
+import graft.queries.{FunctionQueries, LlmQueries, Q, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every declared query, each paired with its DuckDB oracle. */
   private def catalog: Seq[Q] =
-    RelationalQueries.all ++ FunctionQueries.all
+    RelationalQueries.all ++ FunctionQueries.all ++ LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DVF-style multi-scale monthly stats: lineitem×orders×customer×nation×

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata structs, and per-batch "decode /
+  * feature-extract" runs as mapPartitions over the binary column — the
+  * Scala-side equivalent of the mapInPandas batch shape (iterator of
+  * batches in, iterator of batches out; one decoder init per partition).
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * container): [[decodeStub]] produces deterministic pseudo-features from
+  * the bytes. The Spark-side plumbing — schema, batch iteration,
+  * partitioning, output encoder — is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_bytes", IntegerType))))))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("brightness", DoubleType)))
+
+  /** STUB decoder: where a real pipeline would call an image codec, this
+    * derives deterministic fake dimensions/brightness from the payload
+    * bytes. Replace the body with the real codec at deployment. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length
+    val w = 64 + (if (n > 0) (bytes(0) & 0x7f) else 0)
+    val h = 64 + (if (n > 1) (bytes(1) & 0x7f) else 0)
+    val brightness =
+      if (n == 0) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n / 255.0
+    (w, h, brightness)
+  }
+
+  /** Batched decode over the media frame: one decoder context per
+    * partition (the expensive init a real codec needs), rows streamed
+    * through it lazily — never materialized per-partition. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select("media_id", "media", "meta.format", "meta.n_bytes")
+      .mapPartitions { rows =>
+        // real pipeline: val codec = Codec.init() — once per partition
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val (w, h, br) = decodeStub(bytes)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
+            r.getAs[Int]("n_bytes"), w, h, br)
+        }
+      }(enc)
+  }
+
+  /** Wrap any (id, text) frame into the multimodal schema for testing:
+    * payload = utf-8 bytes, metadata stamped from the payload. */
+  def fromText(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("media"),
+      struct(lit("text/plain").as("format"),
+        length(col(textCol).cast("binary")).as("n_bytes")).as("meta"))
+}

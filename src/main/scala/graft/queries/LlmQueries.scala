@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, DetHash, Similarity, TextOps}
+import QH._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * exact + near-dup dedup (MinHash-LSH, SimHash), blocked n-gram Jaccard,
+  * similarity search (brute-force + hyperplane-LSH), text analysis, and
+  * multimodal binary-column metadata.
+  *
+  * Every approximate component uses the md5-derived deterministic hash
+  * family from [[DetHash]]; the oracle SQL below is GENERATED from the same
+  * seeds, so DuckDB replays the exact pipeline (no all-pairs anywhere: the
+  * only shuffle keys are content hashes, LSH band hashes, and bucket ids).
+  */
+object LlmQueries {
+
+  // ——— DuckDB fragment generators (twins of TextOps/Similarity exprs) ———
+
+  private val P = DetHash.P
+  private def dMd5Long(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+  private def dShingles(toks: String, w: Int): String = {
+    val terms = (0 until w).map(o => s"$toks[i + $o]").mkString(" || ' ' || ")
+    s"""(CASE WHEN len($toks) < $w THEN []::VARCHAR[]
+       | ELSE list_distinct(list_transform(range(1, len($toks) - ${w - 1} + 1), i -> $terms))
+       | END)""".stripMargin
+  }
+  private def dTokenHashes(sh: String) = s"list_transform($sh, t -> ${dMd5Long("t")})"
+  private def dMinhash(hs: String, k: Int): String =
+    DetHash.minhashSeeds(k).map { case (a, b) =>
+      s"list_aggregate(list_transform($hs, h -> ($a * (h % $P) + $b) % $P), 'min')"
+    }.mkString("[", ", ", "]")
+  private def dJaccard(s1: String, s2: String) =
+    s"(CAST(len(list_intersect($s1, $s2)) AS DOUBLE) / CAST(len(list_distinct(list_concat($s1, $s2))) AS DOUBLE))"
+  private def dCos(a: String, b: String, dim: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+  private def dBucket(v: String, nPlanes: Int, dim: Int): String =
+    DetHash.planes(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
+      val dotTerms = plane.zipWithIndex.collect {
+        case (w, j) if w != 0.0 => s"$v[${j + 1}] * ($w)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dotTerms) > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val Dim = 64
+
+  val all: Seq[Q] = Seq(
+
+    // ——— Deduplication ————————————————————————————————————————————————
+
+    // Exact dedup: planted exact copies (every 7th doc), content-hash
+    // groupBy, min-id retention. One shuffle on md5(text).
+    Q("d1_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.exactDedup(aug, "doc_id", "text")
+          .orderBy("kept_id")
+      },
+      Some("""SELECT MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+              FROM (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+              GROUP BY md5(text) ORDER BY kept_id""")),
+
+    // MinHash-LSH near-dup pairs: planted near-copies (every 10th doc with
+    // the last two words dropped), shingle -> MinHash(16) -> 8 bands of 2
+    // -> band-hash equi-join -> exact-Jaccard verify on candidates only.
+    Q("d2_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks")))
+        Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8, threshold = 0.5)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val sh = dShingles("toks", 3)
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |aug AS (SELECT doc_id, toks FROM docs
+           |        UNION ALL
+           |        SELECT doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+           |        FROM docs WHERE doc_id % 10 = 0),
+           |sh AS (SELECT doc_id, $sh AS shingles FROM aug),
+           |sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+           |sig AS (SELECT doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
+           |bands AS (SELECT doc_id, j AS band_idx,
+           |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
+           |              x -> CAST(x AS VARCHAR)), '|')) AS bh
+           |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+           |         WHERE a.doc_id < b.doc_id)
+           |SELECT id1, id2, ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
+           |FROM cand JOIN sh2 x ON cand.id1 = x.doc_id JOIN sh2 y ON cand.id2 = y.doc_id
+           |WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.5
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
+    // Per-document SimHash signatures (hamming-0 bucketing is then a plain
+    // groupBy on the signature).
+    Q("d3_simhash",
+      (s, d) => Dedup.simhashSignatures(
+          Tables.documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "doc_id", "toks")
+        .orderBy("doc_id"),
+      Some {
+        val hs = dTokenHashes("toks")
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(0, 16), b ->
+           |    CASE WHEN list_sum(list_transform($hs, h ->
+           |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |         THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash16
+           |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Blocked exact n-gram Jaccard: pairs only within the same `source`
+    // (the blocking key), sampled to every 5th doc — the scalable pattern is
+    // the block join, never an unkeyed cartesian.
+    Q("d4_ngram_jaccard",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(col("source"), col("doc_id"), TextOps.shinglesExpr("toks", 2).as("grams"))
+        val a = base.select(col("source"), col("doc_id").as("id1"), col("grams").as("g1"))
+        val b = base.select(col("source"), col("doc_id").as("id2"), col("grams").as("g2"))
+        a.join(b, Seq("source")).filter(col("id1") < col("id2"))
+          .select(col("source"), col("id1"), col("id2"),
+            round(TextOps.jaccard(col("g1"), col("g2")), 6).as("jac"))
+          .orderBy("source", "id1", "id2")
+      },
+      Some {
+        val sh = dShingles("toks", 2)
+        s"""WITH base AS (SELECT source, doc_id, $sh AS grams
+           |              FROM (SELECT source, doc_id, string_split(text, ' ') AS toks
+           |                    FROM documents WHERE doc_id % 5 = 0))
+           |SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2,
+           |  ROUND(${dJaccard("a.grams", "b.grams")}, 6) AS jac
+           |FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+           |ORDER BY 1, 2, 3""".stripMargin
+      }),
+
+    // ——— Similarity search ————————————————————————————————————————————
+
+    // Brute-force cosine top-3 for 20 query vectors: broadcast queries,
+    // one linear pass over the corpus — the exact baseline.
+    Q("s1_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.bruteForceTopK(q, c, 3).orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |          FROM embeddings),
+               |q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 20),
+               |s AS (SELECT qid, vec_id AS cid, ${dCos("qvec", "v", Dim)} AS sim
+               |      FROM e CROSS JOIN q WHERE vec_id <> qid),
+               |r AS (SELECT qid, cid, sim,
+               |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |      FROM s)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // Hyperplane-LSH bucket assignment: the scale path's shuffle key.
+    Q("s2_lsh_buckets",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("bucket", Similarity.lshBucketExpr("v", 6, Dim))
+        .select("vec_id", "bucket").orderBy("vec_id"),
+      Some(s"""SELECT vec_id, ${dBucket("v", 6, Dim)} AS bucket
+               |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |      FROM embeddings)
+               |ORDER BY vec_id""".stripMargin)),
+
+    // LSH-bucketed approximate top-1: candidates share the query's bucket.
+    Q("s3_lsh_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.lshTopK(q, c, 1, nPlanes = 6, dim = Dim).orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |          FROM embeddings),
+               |b AS (SELECT vec_id, v, ${dBucket("v", 6, Dim)} AS bucket FROM e),
+               |q AS (SELECT vec_id AS qid, v AS qvec, bucket FROM b WHERE vec_id < 20),
+               |s AS (SELECT qid, vec_id AS cid, ${dCos("qvec", "v", Dim)} AS sim
+               |      FROM b JOIN q USING (bucket) WHERE vec_id <> qid),
+               |r AS (SELECT qid, cid, sim,
+               |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |      FROM s)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+               |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin)),
+
+    // ——— Text analysis ————————————————————————————————————————————————
+
+    // Stopword-overlap language id (n-gram heuristic family): score each
+    // language's marker set against the distinct token set, argmax with a
+    // fixed tie order; confusion counts against the labeled lang.
+    Q("t1_lang_id",
+      (s, d) => {
+        val dt = expr("array_distinct(split(text, ' '))")
+        val sEn = expr("size(array_intersect(array_distinct(split(text, ' ')), array('the', 'a', 'or')))")
+        val sFr = expr("size(array_intersect(array_distinct(split(text, ' ')), array('table', 'filter', 'part')))")
+        val sEs = expr("size(array_intersect(array_distinct(split(text, ' ')), array('data', 'sort', 'value')))")
+        Tables.documents(s, d)
+          .withColumn("pred",
+            when(sEn >= sFr && sEn >= sEs, "en").when(sFr >= sEs, "fr").otherwise("es"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "pred")
+      },
+      Some("""SELECT lang, pred, COUNT(*) AS cnt FROM (
+                SELECT lang,
+                  CASE WHEN s_en >= s_fr AND s_en >= s_es THEN 'en'
+                       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred
+                FROM (SELECT lang,
+                        len(list_intersect(list_distinct(string_split(text, ' ')),
+                          ['the', 'a', 'or'])) AS s_en,
+                        len(list_intersect(list_distinct(string_split(text, ' ')),
+                          ['table', 'filter', 'part'])) AS s_fr,
+                        len(list_intersect(list_distinct(string_split(text, ' ')),
+                          ['data', 'sort', 'value'])) AS s_es
+                      FROM documents))
+              GROUP BY lang, pred ORDER BY lang, pred""")),
+
+    // Quality scoring: length/word-length/stopword-ratio features combined
+    // into a deterministic score.
+    Q("t2_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("avg_word_len",
+          round((length(col("text")) - (col("n_words") - 1)) / col("n_words").cast("double"), 4))
+        .withColumn("stop_ratio",
+          round(expr("size(filter(toks, t -> t IN ('the', 'a', 'or')))") /
+            col("n_words").cast("double"), 4))
+        .withColumn("score",
+          round(least(col("n_words") / lit(100.0), lit(1.0)) * (lit(1.0) - col("stop_ratio")), 6))
+        .select("doc_id", "n_words", "avg_word_len", "stop_ratio", "score")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                ROUND((n_chars2 - (n_words - 1)) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
+                ROUND(n_stop / CAST(n_words AS DOUBLE), 4) AS stop_ratio,
+                ROUND(LEAST(n_words / 100.0, 1.0) * (1.0 - ROUND(n_stop / CAST(n_words AS DOUBLE), 4)), 6)
+                  AS score
+              FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_words, length(text) AS n_chars2,
+                      len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'or'))) AS n_stop
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // Token counting: whitespace tokens, regex (BPE-ish alnum runs) tokens,
+    // distinct tokens.
+    Q("t3_token_counts",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          expr("size(filter(split(text, '[^a-z0-9]+'), x -> x != ''))").as("n_re"),
+          expr("size(array_distinct(split(text, ' ')))").as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+                CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'), x -> x != ''))
+                  AS INTEGER) AS n_re,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+              FROM documents ORDER BY doc_id""")),
+
+    // Content-defined fingerprint (md5 over the sorted distinct token set).
+    Q("t4_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .withColumn("shard", substring(col("fp"), 1, 2))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+                substr(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 2) AS shard
+              FROM documents ORDER BY doc_id""")),
+
+    // ——— Multimodal ———————————————————————————————————————————————————
+
+    // Binary-column metadata path: payload as `binary`, typed byte-level
+    // features (the decode stub itself is exercised in the ScalaTest suite;
+    // this query verifies the binary column plumbing end-to-end).
+    Q("m1_binary_metadata",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .select(col("doc_id"), length(col("media")).as("n_bytes"),
+          hex(expr("substring(media, 1, 4)")).as("head_hex"),
+          sha2(col("media"), 256).as("payload_sha"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                hex(encode(substring(text, 1, 4))) AS head_hex,
+                sha256(text) AS payload_sha
+              FROM documents ORDER BY doc_id"""))
+  )
+}
