@@ -39,28 +39,46 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
   }
 
-  /** Deterministic random-hyperplane bucket id (nPlanes sign bits).
-    * The planes are driver-derived md5 literals (DetHash.planes), inlined
-    * into the expression — per-row cost is nPlanes dot products, no hashing. */
-  def lshBucketExpr(vecCol: String, nPlanes: Int, dim: Int): org.apache.spark.sql.Column = {
-    val bits = DetHash.planes(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
-      val dot = plane.zipWithIndex.collect {
-        case (w, j) if w != 0.0 => s"element_at($vecCol, ${j + 1}) * ($w)"
-      }.mkString(" + ")
-      s"if(($dot) > 0.0d, ${1L << p}L, 0L)"
+  /** Deterministic random-hyperplane bucket id (nPlanes sign bits) for one
+    * LSH table. The planes are driver-derived md5 literals (DetHash.planes),
+    * inlined into the expression — per-row cost is nPlanes dot products, no
+    * hashing. `table` offsets into the global plane family so each table
+    * gets independent planes. */
+  def lshBucketExpr(vecCol: String, nPlanes: Int, dim: Int,
+                    table: Int = 0): org.apache.spark.sql.Column = {
+    val all = DetHash.planes((table + 1) * nPlanes, dim)
+    val bits = all.slice(table * nPlanes, (table + 1) * nPlanes).zipWithIndex.map {
+      case (plane, p) =>
+        val dot = plane.zipWithIndex.collect {
+          case (w, j) if w != 0.0 => s"element_at($vecCol, ${j + 1}) * ($w)"
+        }.mkString(" + ")
+        s"if(($dot) > 0.0d, ${1L << p}L, 0L)"
     }
     expr(bits.mkString("(", " + ", ")"))
   }
 
-  /** LSH-bucketed approximate top-k: queries only compare against corpus
-    * vectors in the same hyperplane bucket. Recall is tunable via nPlanes
-    * (fewer planes = bigger buckets = higher recall, more work). */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucketExpr("qvec", nPlanes, dim))
-    val cb = corpus.withColumn("bucket", lshBucketExpr("cvec", nPlanes, dim))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+  /** All nTables bucket ids as one array column (one pass over the vector). */
+  def lshBucketsExpr(vecCol: String, nPlanes: Int, dim: Int,
+                     nTables: Int): org.apache.spark.sql.Column =
+    array((0 until nTables).map(t => lshBucketExpr(vecCol, nPlanes, dim, t)): _*)
+
+  /** Multi-table LSH approximate top-k (OR-amplification): a candidate is
+    * any corpus vector sharing the query's bucket in AT LEAST ONE of the
+    * nTables hash tables — recall 1-(1-p^nPlanes)^nTables for per-plane
+    * agreement p. The shuffle key is (table, bucket); per-pair dedup happens
+    * before scoring so each candidate is scored once. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
+              dim: Int, nTables: Int = 8): DataFrame = {
+    def explodeTables(df: DataFrame, vecCol: String) =
+      df.withColumn("__bs", lshBucketsExpr(vecCol, nPlanes, dim, nTables))
+        .select(df.columns.map(col) :+
+          posexplode(col("__bs")).as(Seq("tbl", "bucket")): _*)
+    val qb = explodeTables(queries, "qvec")
+    val cb = explodeTables(corpus, "cvec")
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", expr(cosSql("qvec", "cvec")))
+      .select("qid", "qvec", "cid", "cvec").dropDuplicates("qid", "cid")
+    val scored = cand.withColumn("sim", expr(cosSql("qvec", "cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))

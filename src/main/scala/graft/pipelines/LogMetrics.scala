@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** The reference's site-metrics pipeline (SURVEY §3.2, §7.2) re-expressed
+  * Spark-first: HAProxy-style raw log lines → regex classification
+  * (first-match-wins pattern table, `dgv/metrics/task_functions.py:89-122`)
+  * → conditional-count pivot per (date, slug) (`:226-262`) → catalog join
+  * with the dedup rule (`:196-217`) → full-outer metrics view + monthly
+  * rollup (`dgv/metrics/sql/create_tables.sql:129-230`).
+  *
+  * Everything is a projection/aggregation over a line-per-row DataFrame:
+  * the reference's 300 MB manual batching and 20k-line buffer flushes are
+  * replaced by Spark partitioned scans; the only shuffles are the pivot
+  * aggregation and the (broadcast) catalog join.
+  */
+object LogMetrics {
+
+  /** Ordered pattern table: first match wins, so more specific patterns
+    * (resource downloads) precede their dataset-page prefixes. Group 1 of
+    * each regex captures the slug. */
+  case class LogPattern(entityType: String, segment: String, regex: String)
+
+  val defaultPatterns: Seq[LogPattern] = Seq(
+    LogPattern("resources", "fr", """GET /fr/datasets/r/([\w-]+)"""),
+    LogPattern("resources", "direct", """GET /datasets/r/([\w-]+)"""),
+    LogPattern("datasets", "api", """GET /api/[12]/datasets/([\w-]+)/"""),
+    LogPattern("datasets", "fr", """GET /fr/datasets/([\w-]+)"""),
+    LogPattern("datasets", "direct", """GET /datasets/([\w-]+)"""),
+    LogPattern("organizations", "fr", """GET /fr/organizations/([\w-]+)"""),
+    LogPattern("organizations", "direct", """GET /organizations/([\w-]+)"""))
+
+  /** Classify raw lines into (date, entity_type, slug, segment) hits.
+    * Only 2xx/3xx lines count (`dgv/tabular_metrics/task_functions.py:129`);
+    * unmatched lines drop out. All of it is one codegen'd projection. */
+  def parse(lines: DataFrame, patterns: Seq[LogPattern] = defaultPatterns): DataFrame = {
+    val firstMatch: Column = coalesce(patterns.map { p =>
+      val slug = regexp_extract(col("value"), p.regex, 1)
+      when(slug =!= "", struct(lit(p.entityType).as("entity_type"),
+        slug.as("slug"), lit(p.segment).as("segment")))
+    }: _*)
+    lines
+      .withColumn("date", regexp_extract(col("value"), "^(\\d{4}-\\d{2}-\\d{2})", 1))
+      .withColumn("status",
+        regexp_extract(col("value"), " (\\d{3}) \\+", 1).cast("int"))
+      .filter(col("status").between(200, 399))
+      .withColumn("hit", firstMatch)
+      .filter(col("hit").isNotNull && col("date") =!= "")
+      .select(col("date"), col("hit.entity_type"), col("hit.slug"), col("hit.segment"))
+  }
+
+  /** Conditional-count pivot: one row per (date, entity_type, slug) with a
+    * visit counter per segment plus the total (A5 shape — a single
+    * partial-aggregable shuffle). */
+  def aggregate(hits: DataFrame, segments: Seq[String]): DataFrame = {
+    val aggs = segments.map(s =>
+      sum(when(col("segment") === s, 1L).otherwise(0L)).as(s"nb_visit_$s")) :+
+      count(lit(1)).as("nb_visit_total")
+    hits.groupBy("date", "entity_type", "slug").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Slug→id resolution against the catalog, with the reference's dedup
+    * rule: prefer unarchived, then most recent (W3). The catalog is a dim
+    * table — broadcast. */
+  def joinCatalog(agg: DataFrame, catalog: DataFrame): DataFrame = {
+    val deduped = Relational.dedupKeepFirst(catalog, Seq("slug"),
+      Seq(asc("archived"), desc("created")))
+    agg.join(broadcast(deduped.select("slug", "id")), Seq("slug"), "left")
+  }
+
+  /** Monthly rollup of daily metrics (A8: daily → monthly sums). */
+  def monthlyRollup(daily: DataFrame, counters: Seq[String]): DataFrame = {
+    val aggs = counters.map(c => sum(col(c)).as(c))
+    daily.groupBy(substring(col("date"), 1, 7).as("month"), col("entity_type"), col("slug"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -40,13 +40,14 @@ object LlmQueries {
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
-  private def dBucket(v: String, nPlanes: Int, dim: Int): String =
-    DetHash.planes(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
-      val dotTerms = plane.zipWithIndex.collect {
-        case (w, j) if w != 0.0 => s"$v[${j + 1}] * ($w)"
-      }.mkString(" + ")
-      s"(CASE WHEN ($dotTerms) > 0.0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+  private def dBucket(v: String, nPlanes: Int, dim: Int, table: Int = 0): String =
+    DetHash.planes((table + 1) * nPlanes, dim)
+      .slice(table * nPlanes, (table + 1) * nPlanes).zipWithIndex.map { case (plane, p) =>
+        val dotTerms = plane.zipWithIndex.collect {
+          case (w, j) if w != 0.0 => s"$v[${j + 1}] * ($w)"
+        }.mkString(" + ")
+        s"(CASE WHEN ($dotTerms) > 0.0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
 
   private val Dim = 64
 
@@ -186,26 +187,37 @@ object LlmQueries {
                |      FROM embeddings)
                |ORDER BY vec_id""".stripMargin)),
 
-    // LSH-bucketed approximate top-1: candidates share the query's bucket.
+    // Multi-table LSH approximate top-1 (OR-amplified): a candidate shares
+    // the query's bucket in >=1 of 4 tables; each candidate scored once.
     Q("s3_lsh_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
         val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
-        Similarity.lshTopK(q, c, 1, nPlanes = 6, dim = Dim).orderBy("qid", "rank")
+        Similarity.lshTopK(q, c, 1, nPlanes = 4, dim = Dim, nTables = 4)
+          .orderBy("qid", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               |          FROM embeddings),
-               |b AS (SELECT vec_id, v, ${dBucket("v", 6, Dim)} AS bucket FROM e),
-               |q AS (SELECT vec_id AS qid, v AS qvec, bucket FROM b WHERE vec_id < 20),
-               |s AS (SELECT qid, vec_id AS cid, ${dCos("qvec", "v", Dim)} AS sim
-               |      FROM b JOIN q USING (bucket) WHERE vec_id <> qid),
-               |r AS (SELECT qid, cid, sim,
-               |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-               |      FROM s)
-               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
-               |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin)),
+      Some {
+        val buckets = (0 until 4).map(t => dBucket("v", 4, Dim, t)).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |          FROM embeddings),
+           |b AS (SELECT vec_id, v, $buckets AS bs FROM e),
+           |x AS (SELECT vec_id, v, ti, bs[ti] AS bucket
+           |      FROM b, (SELECT unnest(range(1, 5)) AS ti)),
+           |q AS (SELECT vec_id AS qid, v AS qvec, ti, bucket FROM x WHERE vec_id < 20),
+           |cand AS (SELECT DISTINCT q.qid, x.vec_id AS cid FROM x
+           |         JOIN q ON x.ti = q.ti AND x.bucket = q.bucket
+           |         WHERE x.vec_id <> q.qid),
+           |s AS (SELECT qid, cid, ${dCos("qe.v", "ce.v", Dim)} AS sim
+           |      FROM cand JOIN e qe ON cand.qid = qe.vec_id
+           |                JOIN e ce ON cand.cid = ce.vec_id),
+           |r AS (SELECT qid, cid, sim,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           |      FROM s)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+           |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
+      }),
 
     // ——— Text analysis ————————————————————————————————————————————————
 

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY §2.1 S14–S20): CSV/parquet writers plus the
+  * reference's idempotence patterns (dynamic partition overwrite, upsert as
+  * read-merge-write). All writers keep the DataFrame partitioned — no
+  * coalesce(1) in the engine path.
+  */
+object Writers {
+
+  /** S14/S15: CSV sink with header control and optional gzip
+    * (`utils/conversions.py:39-62`). */
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          gzip: Boolean = false, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).option("header", header.toString)
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** S16: zstd parquet sink (`utils/conversions.py:8-36`). */
+  def parquetZstd(df: DataFrame, path: String,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S20/St3: delete-date-then-reload (`dgv/metrics/task.py:199-221`) as
+    * dynamic partition overwrite — only the partitions present in `df` are
+    * replaced; the rest of the table is untouched. Idempotent day re-runs. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** S19/St5: upsert sink as read-merge-write
+    * (`dgv/tabular_metrics/task_functions.py:145-172`: INSERT ... ON
+    * CONFLICT DO UPDATE SET count = old + new). Full outer join on the key,
+    * summed counters, write to a fresh dir then swap — the caller owns the
+    * atomic-rename step. Returns the merged frame. */
+  def upsertCounts(existing: DataFrame, delta: DataFrame,
+                   keys: Seq[String], countCol: String): DataFrame = {
+    val e = existing.withColumnRenamed(countCol, "__old")
+    val n = delta.withColumnRenamed(countCol, "__new")
+    e.join(n, keys, "full")
+      .withColumn(countCol, coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+      .drop("__old", "__new")
+  }
+
+  /** St2: processed-file registry (`dgv/tabular_metrics/task_functions.py:
+    * 177-229`): filter a batch of candidate file names down to the
+    * never-seen ones, given the registry table. */
+  def newFilesOnly(candidates: DataFrame, registry: DataFrame,
+                   fileCol: String): DataFrame =
+    candidates.join(registry.select(fileCol).distinct(), Seq(fileCol), "left_anti")
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  test("exactDedup collapses planted exact copies onto the min id") {
+    val texts = Tables.documents(spark, sf()).select("doc_id", "text")
+    val aug = texts.unionByName(texts.filter($"doc_id" < 50)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val out = Dedup.exactDedup(aug, "doc_id", "text")
+    assert(out.count() == 500)                       // copies collapsed
+    assert(out.filter($"n_copies" === 2).count() == 50)
+    assert(out.agg(max("kept_id")).head().getLong(0) < 10000) // min retained
+  }
+
+  test("minhashLshPairs finds every planted near-duplicate (recall 1.0 here)") {
+    val planted = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks"))
+    val pairs = Dedup.minhashLshPairs(docs.unionByName(planted), "doc_id", "toks",
+      k = 16, bands = 8, threshold = 0.5)
+    val found = pairs.filter($"id2" === $"id1" + 10000).count()
+    assert(found == 50, s"expected all 50 planted near-dups, found $found")
+    // and high precision: verified Jaccard is genuinely >= threshold
+    assert(pairs.filter($"jac" < 0.5).count() == 0)
+  }
+
+  test("simhash signatures are equal for identical docs and close for near-dups") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "toks")
+    val dup = Dedup.simhashSignatures(
+      docs.select(($"doc_id" + 10000).as("doc_id"), $"toks"), "doc_id", "toks")
+    val joined = sigs.join(dup, sigs("doc_id") === dup("doc_id") - 10000)
+      .select(sigs("simhash16") === dup("simhash16")).as[Boolean].collect()
+    assert(joined.forall(identity))
+  }
+
+  test("bruteForceTopK neighbors are symmetric-sane and exclude self") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qvec"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val top = Similarity.bruteForceTopK(q, c, 3)
+    assert(top.count() == 30)
+    assert(top.filter($"qid" === $"cid").count() == 0)
+    assert(top.filter($"sim" > 1.0001 || $"sim" < -1.0001).count() == 0)
+  }
+
+  test("lshTopK achieves reasonable recall@1 vs brute force") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"v".as("qvec"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val exact = Similarity.bruteForceTopK(q, c, 1)
+      .select($"qid", $"cid".as("exact_cid"))
+    val approx = Similarity.lshTopK(q, c, 1, nPlanes = 3, dim = 64, nTables = 8)
+      .select($"qid", $"cid".as("approx_cid"))
+    val hits = exact.join(approx, Seq("qid"))
+      .filter($"exact_cid" === $"approx_cid").count()
+    // 8 OR-amplified tables of 3 planes: P(miss) = (1-p^3)^8 per neighbor
+    assert(hits >= 25, s"recall@1 too low: $hits/50")
+  }
+
+  test("jaccard is exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextOps.jaccard($"x", $"y")).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepFirst keeps exactly the top-priority row per key") {
+    val df = Seq(
+      ("a", 2, "keep"), ("a", 5, "drop"), ("b", 1, "keep"), ("b", 9, "drop"), ("c", 7, "keep")
+    ).toDF("k", "prio", "tag")
+    val out = Relational.dedupKeepFirst(df, Seq("k"), Seq(asc("prio")))
+      .select("k", "tag").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "keep", "b" -> "keep", "c" -> "keep"))
+  }
+
+  test("sessionize splits runs on gaps > threshold") {
+    // user u: ts 0, 10, 1000, 1005, 5000 with gap 100 → sessions {0,10}, {1000,1005}, {5000}
+    val df = Seq(("u", 0L, 1L), ("u", 10L, 2L), ("u", 1000L, 3L), ("u", 1005L, 4L),
+      ("u", 5000L, 5L), ("v", 0L, 6L)).toDF("user", "ts", "id")
+    val out = Relational.sessionize(df, "user", "ts", "id", gap = 100L)
+    val sessions = out.filter($"user" === "u").groupBy("session_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    assert(out.filter($"user" === "v").select("session_id").as[Long].head() == 1L)
+  }
+
+  test("asOfJoin attaches the latest right row at or before each left ts") {
+    val left = Seq((1, 5L, "p5"), (1, 15L, "p15"), (1, 2L, "p2"), (2, 9L, "q9"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, 3L, "r3"), (1, 10L, "r10"), (2, 20L, "r20"))
+      .toDF("k", "ts", "payload")
+    val out = Relational.asOfJoin(left, right, "k", "ts", Seq("payload"))
+      .select($"tag", $"asof_payload", $"asof_ts").as[(String, Option[String], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("p2") == ((None, None)))           // nothing at or before ts=2
+    assert(out("p5") == ((Some("r3"), Some(3L))))
+    assert(out("p15") == ((Some("r10"), Some(10L))))
+    assert(out("q9") == ((None, None)))           // right row is later (20 > 9)
+  }
+
+  test("asOfJoin match is inclusive at equal timestamps") {
+    val left = Seq((1, 10L, "p")).toDF("k", "ts", "tag")
+    val right = Seq((1, 10L, "r")).toDF("k", "ts", "payload")
+    val out = Relational.asOfJoin(left, right, "k", "ts", Seq("payload"))
+    assert(out.select("asof_payload").as[String].head() == "r")
+  }
+
+  test("cdcDiff returns multiplicity-aware additions and deletions") {
+    val old = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("k", "v")
+    val neu = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("k", "v")
+    val (added, removed) = Relational.cdcDiff(neu, old)
+    assert(added.as[(String, Int)].collect().toSet == Set(("z", 3)))
+    assert(removed.as[(String, Int)].collect().toSeq == Seq(("x", 1))) // one copy survives
+  }
+
+  test("keepKeysWithCount keeps only keys with the exact cardinality") {
+    val df = Seq(("a", 1), ("b", 1), ("b", 2), ("c", 1)).toDF("k", "v")
+    val out = Relational.keepKeysWithCount(df, "k", 1L).select("k").as[String].collect().toSet
+    assert(out == Set("a", "c"))
+  }
+
+  test("conditionalCountPivot counts per segment") {
+    val df = Seq(("d1", "fr"), ("d1", "fr"), ("d1", "api"), ("d2", "api"))
+      .toDF("id", "seg")
+    val out = Relational.conditionalCountPivot(df, Seq("id"), "seg", Seq("fr", "api"), "nb")
+      .orderBy("id").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("d1", 2L, 1L), ("d2", 0L, 1L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.pipelines
+
+import graft.SparkSpec
+
+/** Golden-fixture test of the metrics spine (SURVEY §7.2), mirroring the
+  * reference's `dgv/metrics/test/task_functions_test.py:27-106` shape:
+  * raw lines → parse → pivot-aggregate → catalog join → monthly rollup. */
+class LogMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lines = Seq(
+    // dataset page hits (fr segment) — two on day 1, one on day 2
+    """2024-03-01T00:16:57+02:00 slb lb: 1.2.3.4 200 +100 "GET /fr/datasets/air-quality HTTP/1.1"""",
+    """2024-03-01T08:00:00+02:00 slb lb: 1.2.3.4 200 +100 "GET /fr/datasets/air-quality HTTP/1.1"""",
+    """2024-03-02T01:00:00+02:00 slb lb: 1.2.3.4 302 +100 "GET /fr/datasets/air-quality HTTP/1.1"""",
+    // resource download — must classify as resources, not datasets (pattern order)
+    """2024-03-01T02:00:00+02:00 slb lb: 1.2.3.4 200 +100 "GET /fr/datasets/r/abc-123 HTTP/1.1"""",
+    // api segment
+    """2024-03-01T03:00:00+02:00 slb lb: 1.2.3.4 200 +100 "GET /api/2/datasets/water-data/ HTTP/1.1"""",
+    // organization page
+    """2024-03-01T04:00:00+02:00 slb lb: 1.2.3.4 200 +100 "GET /organizations/insee HTTP/1.1"""",
+    // 404 — dropped by the status band filter
+    """2024-03-01T05:00:00+02:00 slb lb: 1.2.3.4 404 +100 "GET /fr/datasets/air-quality HTTP/1.1"""",
+    // unclassifiable — dropped
+    """2024-03-01T06:00:00+02:00 slb lb: 1.2.3.4 200 +100 "GET /static/style.css HTTP/1.1"""")
+
+  private val catalog = Seq(
+    ("air-quality", "d-1", false, "2024-01-01"),
+    ("air-quality", "d-1-old", true, "2023-01-01"),   // archived duplicate → dropped
+    ("water-data", "d-2", false, "2024-01-05"),
+    ("insee", "o-1", false, "2024-01-02")
+  ).toDF("slug", "id", "archived", "created")
+
+  test("parse → aggregate → catalog join matches the golden expectation") {
+    val hits = LogMetrics.parse(lines.toDF("value"))
+    assert(hits.count() == 6) // 404 and static dropped
+
+    val agg = LogMetrics.aggregate(hits, Seq("fr", "direct", "api"))
+    val byKey = agg.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byKey(("2024-03-01", "datasets", "air-quality")) == ((2L, 0L, 0L, 2L)))
+    assert(byKey(("2024-03-02", "datasets", "air-quality")) == ((1L, 0L, 0L, 1L)))
+    assert(byKey(("2024-03-01", "resources", "abc-123")) == ((1L, 0L, 0L, 1L)))
+    assert(byKey(("2024-03-01", "datasets", "water-data")) == ((0L, 0L, 1L, 1L)))
+    assert(byKey(("2024-03-01", "organizations", "insee")) == ((0L, 1L, 0L, 1L)))
+
+    val joined = LogMetrics.joinCatalog(agg, catalog)
+    val ids = joined.select("slug", "id").as[(String, String)].collect().toMap
+    assert(ids("air-quality") == "d-1") // unarchived wins the dedup rule
+    assert(ids("water-data") == "d-2")
+    assert(ids.get("abc-123").orNull == null) // not in catalog → left join null
+
+    val monthly = LogMetrics.monthlyRollup(joined, Seq("nb_visit_fr", "nb_visit_total"))
+    val m = monthly.filter($"slug" === "air-quality")
+      .select("month", "nb_visit_fr", "nb_visit_total")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(m == Seq(("2024-03", 3L, 3L)))
+  }
+}
