@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct.{cosine, dot}
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Two paths:
@@ -18,22 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns, as a SQL snippet.
-    * Left-fold accumulation matches DuckDB's list_sum order, so values are
-    * bit-identical across engines. */
-  def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0.0d, (acc, v) -> acc + v)"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
-
-  /** Exact top-k cosine neighbors for each query vector.
+  /** Exact top-k cosine neighbors for each query vector. Scoring uses the
+    * native codegen'd [[graft.functions.DotProduct]] (left-fold accumulation
+    * matching DuckDB's list_sum order — bit-identical across engines).
     * @param queries (qid, qvec: array<double>) — small, broadcast
     * @param corpus  (cid, cvec: array<double>) — streamed once */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", expr(cosSql("qvec", "cvec")))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
@@ -47,14 +42,12 @@ object Similarity {
   def lshBucketExpr(vecCol: String, nPlanes: Int, dim: Int,
                     table: Int = 0): org.apache.spark.sql.Column = {
     val all = DetHash.planes((table + 1) * nPlanes, dim)
-    val bits = all.slice(table * nPlanes, (table + 1) * nPlanes).zipWithIndex.map {
+    // Literal plane arrays + the native DotProduct expression per plane:
+    // identical FP result to an ascending-index fold, tight codegen'd loop.
+    all.slice(table * nPlanes, (table + 1) * nPlanes).zipWithIndex.map {
       case (plane, p) =>
-        val dot = plane.zipWithIndex.collect {
-          case (w, j) if w != 0.0 => s"element_at($vecCol, ${j + 1}) * ($w)"
-        }.mkString(" + ")
-        s"if(($dot) > 0.0d, ${1L << p}L, 0L)"
-    }
-    expr(bits.mkString("(", " + ", ")"))
+        when(dot(col(vecCol), typedLit(plane)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** All nTables bucket ids as one array column (one pass over the vector). */
@@ -78,7 +71,7 @@ object Similarity {
     val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qvec", "cid", "cvec").dropDuplicates("qid", "cid")
-    val scored = cand.withColumn("sim", expr(cosSql("qvec", "cvec")))
+    val scored = cand.withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))

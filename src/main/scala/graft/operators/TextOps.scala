@@ -8,9 +8,17 @@ import org.apache.spark.sql.functions._
   * signatures, LSH band hashes, SimHash, fingerprints.
   *
   * Everything here is a pure column expression over arrays — per-row, no
-  * shuffle, stays inside whole-stage codegen via Spark's higher-order
-  * functions. The hash primitive is md5-based (not Spark's murmur3) so the
+  * shuffle. The hash primitive is md5-based (not Spark's murmur3) so the
   * DuckDB oracle can replay every pipeline bit-for-bit.
+  *
+  * CRITICAL evaluation-cost note: Catalyst's CollapseProject inlines
+  * `withColumn` chains, so an expression that references its input column
+  * N times re-evaluates the ENTIRE upstream expression N times (observed:
+  * `split()` re-executed inside every shingle's concat_ws — exponential in
+  * pipeline depth, a multi-minute hang at 5k docs). Multi-stage pipelines
+  * below therefore bind each stage exactly once as a lambda variable via
+  * [[letSql]]: `transform(array(E), v -> body)` evaluates E once and lets
+  * the body reference `v` freely.
   */
 object TextOps {
 
@@ -22,44 +30,68 @@ object TextOps {
   def md5LongSql(x: String): String =
     s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
 
-  /** w-word shingles (default 3) of a token-array column named `colName`.
-    * Distinct-ified, since MinHash operates on the shingle SET. Empty when
-    * the document has fewer than w tokens (Spark's `sequence(1, 0)` would
-    * otherwise DESCEND — a cross-engine trap). */
-  def shinglesExpr(colName: String, w: Int = 3): Column = expr(
-    s"""if(size($colName) < $w, array(),
-       |  array_distinct(transform(sequence(1, size($colName) - ${w - 1}),
-       |    i -> ${(0 until w).map(o => s"element_at($colName, i + $o)").mkString("concat_ws(' ', ", ", ", ")")})))""".stripMargin)
+  /** SQL let-binding: evaluate `bound` once, reference it as `v` in `body`.
+    * Implemented as a single-element transform — works interpreted and
+    * codegen'd, and survives CollapseProject without duplication. */
+  def letSql(bound: String, v: String)(body: String => String): String =
+    s"element_at(transform(array($bound), $v -> ${body(v)}), 1)"
 
-  /** One 60-bit md5 hash per element of a string-array column — computed
-    * once, then reused by every MinHash seed and every SimHash bit. */
-  def tokenHashesExpr(colName: String): Column =
-    expr(s"transform($colName, t -> ${md5LongSql("t")})")
-
-  /** MinHash signature over pre-hashed tokens: sig_i = min((a_i*h + b_i) mod P).
-    * Seeds are driver-derived literals (DetHash), so per-row cost is k*n
-    * multiply-adds — no md5 in the inner loop. Pure per-row map work. */
-  def minhashExpr(hashesCol: String, k: Int): Column = {
-    val mins = DetHash.minhashSeeds(k).map { case (a, b) =>
-      s"array_min(transform($hashesCol, h -> ($a * (h % ${DetHash.P}) + $b) % ${DetHash.P}))"
-    }
-    expr(mins.mkString("array(", ", ", ")"))
+  /** SQL: w-word shingles of token-array expr `toks` (distinct set; empty
+    * when the doc has < w tokens — Spark's sequence(1,0) would DESCEND). */
+  def shinglesSql(toks: String, w: Int): String = {
+    val cat = (0 until w).map(o => s"element_at($toks, i + $o)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    s"if(size($toks) < $w, array(), array_distinct(transform(sequence(1, size($toks) - ${w - 1}), i -> $cat)))"
   }
 
-  /** LSH band hashes: b bands of r signature rows each. Two documents whose
-    * shingle-set Jaccard is j collide in >=1 band with prob 1-(1-j^r)^b. */
-  def bandsExpr(sigCol: String, b: Int, r: Int): Column = expr(
-    s"""transform(sequence(0, ${b - 1}),
-       |  j -> md5(array_join(transform(slice($sigCol, j * $r + 1, $r),
-       |    x -> cast(x as string)), '|')))""".stripMargin)
+  /** SQL: one md5 hash per element of string-array expr `arr`. */
+  def tokenHashesSql(arr: String): String =
+    s"transform($arr, t -> ${md5LongSql("t")})"
 
-  /** 16-bit SimHash over pre-hashed tokens: bit b is the sign of the sum of
-    * +-1 votes from each token hash's bit b. */
-  def simhash16Expr(hashesCol: String): Column = expr(
-    s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc +
-       |  if(aggregate($hashesCol, 0L,
-       |       (w, h) -> w + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
-       |     shiftleft(1L, b), 0L))""".stripMargin)
+  /** SQL: MinHash signature over pre-hashed array expr `hs` — k affine
+    * hashes with driver-derived literal seeds (DetHash); per-row cost is
+    * k*n multiply-adds, no md5 in the inner loop. */
+  def minhashSql(hs: String, k: Int): String =
+    DetHash.minhashSeeds(k).map { case (a, b) =>
+      s"array_min(transform($hs, h -> ($a * (h % ${DetHash.P}) + $b) % ${DetHash.P}))"
+    }.mkString("array(", ", ", ")")
+
+  /** SQL: LSH band hashes — b bands of r signature rows of array expr `sg`.
+    * Collision prob for Jaccard j: 1-(1-j^r)^b. */
+  def bandsSql(sg: String, b: Int, r: Int): String =
+    s"""transform(sequence(0, ${b - 1}),
+       |  j -> md5(array_join(transform(slice($sg, j * $r + 1, $r),
+       |    x -> cast(x as string)), '|')))""".stripMargin
+
+  /** The full shingle → MinHash → band pipeline as ONE let-bound expression
+    * over a token-array column: struct(shingles, bands), null when the doc
+    * is too short to shingle. Each stage evaluates exactly once per row. */
+  def minhashBandsExpr(toksCol: String, w: Int, k: Int, b: Int, r: Int): Column = expr(
+    letSql(toksCol, "tv") { tv =>
+      letSql(shinglesSql(tv, w), "sh") { sh =>
+        s"""if(size($sh) = 0, null, named_struct(
+           |  'shingles', $sh,
+           |  'bands', ${letSql(tokenHashesSql(sh), "hs") { hs =>
+                letSql(minhashSql(hs, k), "sg") { sg => bandsSql(sg, b, r) } }}))""".stripMargin
+      }
+    })
+
+  /** 16-bit SimHash of a token-array column as one let-bound expression:
+    * bit b is the sign of the sum of +-1 votes from each token hash's bit b.
+    * Token hashes are computed once, not once per bit. */
+  def simhash16Expr(toksCol: String): Column = expr(
+    letSql(toksCol, "tv") {
+      tv => letSql(tokenHashesSql(tv), "hs") { hs =>
+        s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc +
+           |  if(aggregate($hs, 0L,
+           |       (w, h) -> w + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+           |     shiftleft(1L, b), 0L))""".stripMargin
+      }
+    })
+
+  /** w-word shingles of a token-array column (Column form of shinglesSql). */
+  def shinglesExpr(colName: String, w: Int = 3): Column =
+    expr(letSql(colName, "tv")(tv => shinglesSql(tv, w)))
 
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
     * token set (the reference's checksum idiom, `utils/filesystem.py:106-114`,

@@ -43,10 +43,9 @@ object LlmQueries {
   private def dBucket(v: String, nPlanes: Int, dim: Int, table: Int = 0): String =
     DetHash.planes((table + 1) * nPlanes, dim)
       .slice(table * nPlanes, (table + 1) * nPlanes).zipWithIndex.map { case (plane, p) =>
-        val dotTerms = plane.zipWithIndex.collect {
-          case (w, j) if w != 0.0 => s"$v[${j + 1}] * ($w)"
-        }.mkString(" + ")
-        s"(CASE WHEN ($dotTerms) > 0.0 THEN ${1L << p} ELSE 0 END)"
+        val lit = plane.mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+           |   j -> $v[j] * ($lit)[j])) > 0.0 THEN ${1L << p} ELSE 0 END)""".stripMargin
       }.mkString("(", " + ", ")")
 
   private val Dim = 64
