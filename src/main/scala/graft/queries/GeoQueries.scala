@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Hilbert, NormAdresse, PolygonContains}
+import QH._
+
+/** Geospatial + address-normalization inventory (J13, F23, F9): custom
+  * Catalyst expressions (point-in-polygon, Hilbert index) exercised as
+  * oracle-checked queries. The DuckDB twins are generated from the same
+  * literals/rule tables, iterating edges in the same order for bit parity.
+  */
+object GeoQueries {
+
+  /** Test pentagon (x: 0–330 value axis, y: 0–100 user axis). */
+  private val Poly = Seq((50.0, 10.0), (300.0, 5.0), (320.0, 80.0), (150.0, 95.0), (20.0, 60.0))
+
+  private def dPointInPoly(x: String, y: String): String = {
+    val px = Poly.map(_._1).mkString("[", ", ", "]")
+    val py = Poly.map(_._2).mkString("[", ", ", "]")
+    val n = Poly.size
+    s"""(len(list_filter(range(1, ${n + 1}), i ->
+       |  (($py[i] > $y) <> ($py[(i % $n) + 1] > $y)) AND
+       |  ($x < ($px[(i % $n) + 1] - $px[i]) * ($y - $py[i])
+       |        / ($py[(i % $n) + 1] - $py[i]) + $px[i]))) % 2 = 1)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // J13: point-in-polygon spatial membership as a per-row projection —
+    // the polygon is driver-known, so no join materializes.
+    Q("j13_point_in_polygon",
+      (s, d) => Tables.events(s, d)
+        .withColumn("inside", PolygonContains.pointInPolygon(
+          col("value"), (col("user_id") % 100).cast("double"), Poly))
+        .groupBy("event_type", "inside").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "inside"),
+      Some(s"""SELECT event_type, ${dPointInPoly("value", "CAST(user_id % 100 AS DOUBLE)")} AS inside,
+               |  COUNT(*) AS cnt
+               |FROM events GROUP BY 1, 2 ORDER BY event_type, inside""".stripMargin)),
+
+    // F23: Hilbert cell index over a 4x4 grid (order 2). The oracle CASE
+    // table is generated from the same Hilbert.index function, so any
+    // engine disagreement in the curve itself would surface as a mismatch.
+    Q("f23_hilbert_cells",
+      (s, d) => {
+        val cx = floor(col("value") / 330.0 * 4).cast("long")
+        val cy = (col("user_id") % 4).cast("long")
+        Tables.events(s, d)
+          .withColumn("d", Hilbert.hilbert(least(cx, lit(3L)), cy, 2))
+          .groupBy("d").agg(count(lit(1)).as("cnt"))
+          .orderBy("d")
+      },
+      Some {
+        val cases = (for { x <- 0 to 3; y <- 0 to 3 }
+          yield s"WHEN cx = $x AND cy = $y THEN ${Hilbert.index(2, x, y)}").mkString(" ")
+        s"""SELECT (CASE $cases END) AS d, COUNT(*) AS cnt
+           |FROM (SELECT LEAST(CAST(FLOOR(value / 330.0 * 4) AS BIGINT), 3) AS cx,
+           |        CAST(user_id % 4 AS BIGINT) AS cy FROM events)
+           |GROUP BY 1 ORDER BY d""".stripMargin
+      }),
+
+    // F9: normadresse-style abbreviation over synthetic French addresses.
+    Q("f9_normadresse",
+      (s, d) => {
+        val way = when(col("c_custkey") % 4 === 0, "RUE")
+          .when(col("c_custkey") % 4 === 1, "AVENUE")
+          .when(col("c_custkey") % 4 === 2, "BOULEVARD").otherwise("PLACE")
+        val addr = concat(col("c_custkey").cast("string"), lit(" "), way,
+          lit(" DE LA RÉPUBLIQUE"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), addr.as("addr"),
+            NormAdresse.normadresse(addr).as("norm"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val addrSql = "CAST(c_custkey AS VARCHAR) || ' ' || " +
+          "(CASE c_custkey % 4 WHEN 0 THEN 'RUE' WHEN 1 THEN 'AVENUE' " +
+          "WHEN 2 THEN 'BOULEVARD' ELSE 'PLACE' END) || ' DE LA RÉPUBLIQUE'"
+        s"""SELECT c_custkey, $addrSql AS addr, ${NormAdresse.oracleSql(addrSql)} AS norm
+           |FROM customer ORDER BY c_custkey""".stripMargin
+      })
+  )
+}
