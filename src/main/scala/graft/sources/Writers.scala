@@ -59,4 +59,16 @@ object Writers {
   def newFilesOnly(candidates: DataFrame, registry: DataFrame,
                    fileCol: String): DataFrame =
     candidates.join(registry.select(fileCol).distinct(), Seq(fileCol), "left_anti")
+
+  /** St6: source-recency watermark (`meteo/pg_processing/task_functions.py:
+    * 263-276`, `insee/deces/task_functions.py:32-37`): keep only sources
+    * whose modification stamp is strictly newer than the last-ingested
+    * stamp recorded per key; unseen keys pass through. */
+  def freshSourcesOnly(sources: DataFrame, state: DataFrame,
+                       keyCol: String, tsCol: String): DataFrame = {
+    val last = state.groupBy(keyCol).agg(max(col(tsCol)).as("__last_ts"))
+    sources.join(last, Seq(keyCol), "left")
+      .filter(col("__last_ts").isNull || col(tsCol) > col("__last_ts"))
+      .drop("__last_ts")
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Physical-plan audits: the scale properties the engine is designed around
+  * must be visible in the executed plans, not just intended.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "(?<!Reused)Exchange".r.findAllIn(plan(df)).length
+
+  test("date filter pushes down to the parquet scan (W4 early-stop)") {
+    val df = Tables.lineitem(spark, sf()).filter(col("l_shipdate") >= lit("2001-01-01"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"no pushed date filter in:\n$p")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection in:\n$p")
+  }
+
+  test("dimension joins broadcast (J1)") {
+    val df = Tables.customer(spark, sf())
+      .join(broadcast(Tables.nation(spark, sf())), col("c_nationkey") === col("n_nationkey"))
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("conditional-count pivot is a single shuffle (A5)") {
+    val ev = Tables.events(spark, sf())
+    val agg = Relational.conditionalCountPivot(ev, Seq("user_id"), "event_type",
+      Seq("click", "view"), "nb")
+    assert(countExchanges(agg) == 1, plan(agg))
+  }
+
+  test("as-of join is a single shuffle (J12)") {
+    val ev = Tables.events(spark, sf())
+    val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts_us_long")
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us_long"), col("event_id").as("sig_id"))
+    val j = Relational.asOfJoin(p, s, "user_id", "ts_us_long", Seq("sig_id"))
+    assert(countExchanges(j) == 1, plan(j))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project spine") {
+    val df = Tables.lineitem(spark, sf())
+      .filter(col("l_quantity") > 10)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen stage n
+    val p = plan(df)
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
+  }
+}
