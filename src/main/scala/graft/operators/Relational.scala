@@ -119,6 +119,20 @@ object Relational {
       .drop("__side" +: payloadCols.map("__p_" + _): _*)
   }
 
+  /** CDC apply with the reference's full-replace policy
+    * (`meteo/pg_processing/task_functions.py:559-575`): compute the
+    * (added, removed) diff; if the deletion count exceeds `threshold`,
+    * replace the whole period with the new snapshot, otherwise apply the
+    * incremental diff. Returns (result, fullReplace). The count is one
+    * cheap aggregation over the (already shuffled) diff.
+    */
+  def applyCdcPolicy(newDf: DataFrame, oldDf: DataFrame,
+                     threshold: Long): (DataFrame, Boolean) = {
+    val (added, removed) = cdcDiff(newDf, oldDf)
+    if (removed.count() > threshold) (newDf, true)
+    else (oldDf.exceptAll(removed).unionByName(added), false)
+  }
+
   /** Multi-scale aggregation (`dvf/explore/task_functions.py:452-543`): the
     * same metrics at several geographic grains at once. Spark-first shape:
     * one ROLLUP (grouping sets) pass — a single shuffle producing every

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Distribution
 import QH._
 
 /** Remaining SURVEY §2 aggregation/window/sort inventory (A2/A6/A9–A12/
@@ -162,6 +163,20 @@ object ExtraQueries {
     Q("o3_limit_head",
       (s, d) => Tables.customer(s, d)
         .select("c_custkey", "c_name").orderBy("c_custkey").limit(20),
-      Some("""SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20"""))
+      Some("""SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20""")),
+
+    // F18+F19 combined: the full distribution stage (quantiles on distinct
+    // values, bin rounding with collision repair, histogram over the
+    // repaired non-uniform bins, support threshold). The repair fold is not
+    // expressible in DuckDB 1.0 SQL (no list_reduce), so this entry takes
+    // the driver's rows-only check; edge/bin invariants are asserted in
+    // DistributionHierarchySpec.
+    Q("f18b_distribution_repair",
+      (s, d) => Distribution.priceDistribution(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_extendedprice",
+          nBins = 10, step = 100.0, minSupport = 100L)
+        .withColumn("edges", expr("array_join(edges, ',')"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }
