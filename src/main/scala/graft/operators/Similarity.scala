@@ -55,6 +55,62 @@ object Similarity {
                      nTables: Int): org.apache.spark.sql.Column =
     array((0 until nTables).map(t => lshBucketExpr(vecCol, nPlanes, dim, t)): _*)
 
+  /** IVF-style approximate top-k: corpus vectors are assigned to their
+    * nearest centroid cell (coarse quantization, one broadcast pass);
+    * queries probe only the nProbe nearest cells. The search join is keyed
+    * on the cell id — at scale the corpus shuffles once on cell and each
+    * query touches nProbe/nCells of the data. Centroids here are caller-
+    * supplied (deterministic seeds in tests; production would k-means).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    def nearestCells(df: DataFrame, vecCol: String, idCol: String, n: Int) = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("__csim", cosine(col(vecCol), col("centvec")))
+      val w = Window.partitionBy(idCol).orderBy(desc("__csim"), asc("cent_id"))
+      scored.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= n)
+        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    }
+    val cAssign = nearestCells(corpus, "cvec", "cid", 1)
+    val qProbe = nearestCells(queries, "qvec", "qid", nProbe)
+    val scored = cAssign.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate removal: multi-table LSH candidate
+    * pairs, cosine-verified at `threshold`, then drop the larger id of
+    * every verified pair (min-id retention). No all-pairs comparison.
+    */
+  def cosineDedupRemoved(vectors: DataFrame, threshold: Double,
+                         nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    val q = vectors.select(col("vid").as("qid"), col("v").as("qvec"))
+    val c = vectors.select(col("vid").as("cid"), col("v").as("cvec"))
+    lshTopKCandidates(q, c, nPlanes, dim, nTables)
+      .filter(col("qid") < col("cid"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .filter(col("sim") >= threshold)
+      .select(col("cid").as("removed_id")).distinct()
+  }
+
+  /** Shared candidate generation for the multi-table LSH paths. */
+  private[operators] def lshTopKCandidates(queries: DataFrame, corpus: DataFrame,
+      nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    def explodeTables(df: DataFrame, vecCol: String) =
+      df.withColumn("__bs", lshBucketsExpr(vecCol, nPlanes, dim, nTables))
+        .select(df.columns.map(col) :+
+          posexplode(col("__bs")).as(Seq("tbl", "bucket")): _*)
+    val qb = explodeTables(queries, "qvec")
+    val cb = explodeTables(corpus, "cvec")
+    cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qvec", "cid", "cvec").dropDuplicates("qid", "cid")
+  }
+
   /** Multi-table LSH approximate top-k (OR-amplification): a candidate is
     * any corpus vector sharing the query's bucket in AT LEAST ONE of the
     * nTables hash tables — recall 1-(1-p^nPlanes)^nTables for per-plane
@@ -62,15 +118,7 @@ object Similarity {
     * before scoring so each candidate is scored once. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
               dim: Int, nTables: Int = 8): DataFrame = {
-    def explodeTables(df: DataFrame, vecCol: String) =
-      df.withColumn("__bs", lshBucketsExpr(vecCol, nPlanes, dim, nTables))
-        .select(df.columns.map(col) :+
-          posexplode(col("__bs")).as(Seq("tbl", "bucket")): _*)
-    val qb = explodeTables(queries, "qvec")
-    val cb = explodeTables(corpus, "cvec")
-    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "qvec", "cid", "cvec").dropDuplicates("qid", "cid")
+    val cand = lshTopKCandidates(queries, corpus, nPlanes, dim, nTables)
     val scored = cand.withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

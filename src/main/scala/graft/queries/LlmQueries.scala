@@ -218,6 +218,76 @@ object LlmQueries {
            |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
       }),
 
+    // Embedding-cosine near-dup dedup: planted near-copies (v + 0.05 per
+    // dim, cos ~0.93 vs <0.55 for random pairs), multi-table LSH candidate
+    // pairs, cosine-verified, larger id removed. No all-pairs scan.
+    Q("d5_embedding_dedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("vid"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val aug = e.unionByName(e.filter(col("vid") % 10 === 0)
+          .select((col("vid") + 100000).as("vid"),
+            expr("transform(v, x -> x + 0.05d)").as("v")))
+        Similarity.cosineDedupRemoved(aug, threshold = 0.85, nPlanes = 4,
+          dim = Dim, nTables = 4).orderBy("removed_id")
+      },
+      Some {
+        val buckets = (0 until 4).map(t => dBucket("v", 4, Dim, t)).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |          FROM embeddings),
+           |aug AS (SELECT vid, v FROM e
+           |        UNION ALL
+           |        SELECT vid + 100000, list_transform(v, x -> x + 0.05) FROM e
+           |        WHERE vid % 10 = 0),
+           |b AS (SELECT vid, v, $buckets AS bs FROM aug),
+           |x AS (SELECT vid, v, ti, bs[ti] AS bucket
+           |      FROM b, (SELECT unnest(range(1, 5)) AS ti)),
+           |pairs AS (SELECT DISTINCT a.vid AS id1, b.vid AS id2
+           |          FROM x a JOIN x b ON a.ti = b.ti AND a.bucket = b.bucket
+           |          WHERE a.vid < b.vid)
+           |SELECT DISTINCT id2 AS removed_id
+           |FROM pairs JOIN aug p ON pairs.id1 = p.vid JOIN aug q ON pairs.id2 = q.vid
+           |WHERE ${dCos("p.v", "q.v", Dim)} >= 0.85
+           |ORDER BY removed_id""".stripMargin
+      }),
+
+    // IVF-style ANN: nearest-centroid cells (deterministic seed centroids),
+    // queries probe their 2 nearest cells only.
+    Q("s4_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("centvec"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.ivfTopK(q, c, centroids, k = 3, nProbe = 2).orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |          FROM embeddings),
+               |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+               |ca AS (SELECT cid, cvec, cell FROM (
+               |        SELECT e.vec_id AS cid, e.v AS cvec, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vec_id
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM e CROSS JOIN cent) WHERE rn = 1),
+               |qp AS (SELECT qid, qvec, cell FROM (
+               |        SELECT e.vec_id AS qid, e.v AS qvec, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vec_id
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM e CROSS JOIN cent
+               |        WHERE e.vec_id >= 100 AND e.vec_id < 120) WHERE rn <= 2),
+               |cand AS (SELECT DISTINCT qid, qvec, cid, cvec
+               |         FROM ca JOIN qp USING (cell) WHERE qid <> cid),
+               |sc AS (SELECT qid, cid, ${dCos("qvec", "cvec", Dim)} AS sim FROM cand),
+               |r AS (SELECT qid, cid, sim,
+               |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |      FROM sc)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
     // ——— Text analysis ————————————————————————————————————————————————
 
     // Stopword-overlap language id (n-gram heuristic family): score each

@@ -67,6 +67,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 25, s"recall@1 too low: $hits/50")
   }
 
+  test("cosineDedupRemoved removes nearly all planted near-copies, no originals") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("vid"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val aug = e.unionByName(e.filter($"vid" % 10 === 0)
+      .select(($"vid" + 100000).as("vid"), expr("transform(v, x -> x + 0.05d)").as("v")))
+    val removed = Similarity.cosineDedupRemoved(aug, threshold = 0.85,
+      nPlanes = 4, dim = 64, nTables = 4).as[Long].collect().toSet
+    assert(removed.forall(_ >= 100000), s"an original was removed: $removed")
+    assert(removed.size >= 45, s"recall too low: ${removed.size}/50 planted dups found")
+  }
+
+  test("ivfTopK returns k probed-cell neighbors per query with valid sims") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val centroids = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("centvec"))
+    val q = e.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select($"vec_id".as("qid"), $"v".as("qvec"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val out = Similarity.ivfTopK(q, c, centroids, k = 3, nProbe = 2)
+    assert(out.count() == 30)
+    assert(out.filter($"qid" === $"cid").count() == 0)
+    assert(out.groupBy("qid").count().filter($"count" =!= 3).count() == 0)
+  }
+
   test("jaccard is exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(TextOps.jaccard($"x", $"y")).as[Double].head()
