@@ -54,7 +54,6 @@ object Distribution {
       .groupBy((keyCols.map(col) :+ col("edges")): _*)
       .pivot("bucket", (1 to nBins).map(_.toString))
       .agg(count(lit(1)))
-    val histCols = (1 to nBins).map(i => coalesce(col(s"$i"), lit(0L)).as(s"bin_$i"))
     counts.join(support, keyCols)
       .select((keyCols.map(col) :+ col("n") :+
         when(col("n") >= minSupport, col("edges")).as("edges")) ++

@@ -22,17 +22,22 @@ object Hierarchy {
   def transitiveClosure(edges: DataFrame, childCol: String, parentCol: String,
                         maxRounds: Int = 20): DataFrame = {
     var closure = edges.select(col(childCol).as("node"), col(parentCol).as("ancestor"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       // path doubling: join closure with itself (ancestor -> its ancestors)
+      val prevCount = closure.count()
+      // checkpoint BEFORE counting so each round's join/distinct runs once
+      // (the count is then served from the checkpointed blocks) and the
+      // lineage never grows.
       val next = closure.as("a")
         .join(closure.as("b"), col("a.ancestor") === col("b.node"))
         .select(col("a.node").as("node"), col("b.ancestor").as("ancestor"))
         .union(closure).distinct()
-      converged = next.count() == closure.count()
-      closure = next.localCheckpoint(true) // truncate the exploding lineage
+        .localCheckpoint(true)
+      converged = next.count() == prevCount
+      closure = next
       round += 1
     }
     closure

@@ -107,9 +107,12 @@ object Relational {
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)
       .withColumn("__side", lit(0))
     // Right rows get __side=0 so they sort before left rows at equal ts,
-    // making the match inclusive (left.ts >= right.ts).
+    // making the match inclusive (left.ts >= right.ts). Payload columns are
+    // appended to the ordering so ties between right rows at the same
+    // (key, ts) resolve deterministically.
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol) +: col("__side") +: payloadCols.map(c => col(s"__p_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payloadCols.foldLeft(unioned) { case (d, c) =>
       d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))

@@ -90,23 +90,29 @@ object Similarity {
                          nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
     val q = vectors.select(col("vid").as("qid"), col("v").as("qvec"))
     val c = vectors.select(col("vid").as("cid"), col("v").as("cvec"))
-    lshTopKCandidates(q, c, nPlanes, dim, nTables)
+    // Self-dedup: BOTH sides are the full corpus, so the bucket equi-join
+    // must be a shuffle join — broadcasting would ship the whole dataset.
+    lshTopKCandidates(q, c, nPlanes, dim, nTables, broadcastQueries = false)
       .filter(col("qid") < col("cid"))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
       .filter(col("sim") >= threshold)
       .select(col("cid").as("removed_id")).distinct()
   }
 
-  /** Shared candidate generation for the multi-table LSH paths. */
+  /** Shared candidate generation for the multi-table LSH paths. The query
+    * side is broadcast only when it is genuinely small (search); self-join
+    * dedup passes broadcastQueries = false and shuffles on (tbl, bucket). */
   private[operators] def lshTopKCandidates(queries: DataFrame, corpus: DataFrame,
-      nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+      nPlanes: Int, dim: Int, nTables: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     def explodeTables(df: DataFrame, vecCol: String) =
       df.withColumn("__bs", lshBucketsExpr(vecCol, nPlanes, dim, nTables))
         .select(df.columns.map(col) :+
           posexplode(col("__bs")).as(Seq("tbl", "bucket")): _*)
-    val qb = explodeTables(queries, "qvec")
+    val qb0 = explodeTables(queries, "qvec")
+    val qb = if (broadcastQueries) broadcast(qb0) else qb0
     val cb = explodeTables(corpus, "cvec")
-    cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qvec", "cid", "cvec").dropDuplicates("qid", "cid")
   }

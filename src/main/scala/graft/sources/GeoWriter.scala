@@ -22,6 +22,10 @@ object GeoWriter {
     * and a `bbox` struct per row. */
   def withHilbert(df: DataFrame, lonCol: String, latCol: String, order: Int): DataFrame = {
     val ext = df.agg(min(lonCol), max(lonCol), min(latCol), max(latCol)).head()
+    if (ext.isNullAt(0)) // empty or all-null coordinates: degenerate extent
+      return df.withColumn("hilbert", lit(0L))
+        .withColumn("bbox", struct(col(lonCol).as("xmin"), col(lonCol).as("xmax"),
+          col(latCol).as("ymin"), col(latCol).as("ymax")))
     val (minx, maxx, miny, maxy) =
       (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
     val n = (1L << order) - 1
@@ -35,14 +39,19 @@ object GeoWriter {
   }
 
   /** Write `df` Hilbert-clustered: spatial range partitioning + in-file
-    * ordering + zstd + bounded row groups (reference uses 20k rows). */
+    * ordering + zstd + bounded row groups. Parquet bounds row groups by
+    * BYTES (`parquet.block.size`), so the tile granularity knob is
+    * `blockBytes`; the page row limit additionally tightens page-level
+    * stats (the reference's 20k-row groups, `utils/conversions.py:123-129`). */
   def hilbertClustered(df: DataFrame, lonCol: String, latCol: String,
-                       path: String, order: Int = 10, rowGroupRows: Int = 20000): Unit =
+                       path: String, order: Int = 10, pageRows: Int = 20000,
+                       blockBytes: Long = 8L * 1024 * 1024): Unit =
     withHilbert(df, lonCol, latCol, order)
       .repartitionByRange(col("hilbert"))
       .sortWithinPartitions("hilbert")
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
-      .option("parquet.page.row.count.limit", rowGroupRows.toString)
+      .option("parquet.block.size", blockBytes.toString)
+      .option("parquet.page.row.count.limit", pageRows.toString)
       .parquet(path)
 }

@@ -21,7 +21,8 @@ object Xml {
         .as("elem"))
     val cols = fields.map {
       case (name, spec) if spec.startsWith("@") =>
-        regexp_extract(col("elem"), s"""${spec.drop(1)}="([^"]*)"""", 1).as(name)
+        // \s boundary so e.g. @id cannot match the tail of uuid="..."
+        regexp_extract(col("elem"), s"""\\s${spec.drop(1)}="([^"]*)"""", 1).as(name)
       case (name, tag) =>
         regexp_extract(col("elem"), s"<$tag>([^<]*)</$tag>", 1).as(name)
     }

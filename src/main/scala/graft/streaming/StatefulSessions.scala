@@ -36,25 +36,29 @@ object StatefulSessions {
         Iterator(Session(userId, new Timestamp(s.startUs / 1000),
           s.count, (s.lastUs - s.startUs) / 1e6))
       } else {
-        val batch = rows.toSeq
-        val tsUs = batch.map(_.ts.getTime * 1000L)
-        val (bMin, bMax) = (tsUs.min, tsUs.max)
         // A timeout only fires on watermark advance, which happens AFTER new
-        // data is merged — so a gap larger than gapMs arriving in-data must
-        // close the previous session here, not wait for the timer.
-        val (closed, next) = state.getOption match {
-          case Some(s) if bMin / 1000 > s.lastUs / 1000 + gapMs =>
-            (Iterator(Session(userId, new Timestamp(s.startUs / 1000), s.count,
-              (s.lastUs - s.startUs) / 1e6)),
-              SessionState(batch.size, bMin, bMax))
-          case Some(s) =>
-            (Iterator.empty, SessionState(s.count + batch.size,
-              math.min(s.startUs, bMin), math.max(s.lastUs, bMax)))
-          case None => (Iterator.empty, SessionState(batch.size, bMin, bMax))
+        // data is merged — so gaps must close sessions here too, and a
+        // single micro-batch (e.g. an AvailableNow backlog drain) can carry
+        // MULTIPLE sessions: walk the batch in event-time order, splitting
+        // on every gap, emitting all but the still-open tail session.
+        val tsUs = rows.map(_.ts.getTime * 1000L).toSeq.sorted
+        val start = state.getOption.toSeq
+        val (closed, open) = tsUs.foldLeft((Vector.empty[Session], start.headOption)) {
+          case ((done, cur), t) => cur match {
+            case Some(s) if t / 1000 > s.lastUs / 1000 + gapMs =>
+              (done :+ Session(userId, new Timestamp(s.startUs / 1000), s.count,
+                (s.lastUs - s.startUs) / 1e6),
+                Some(SessionState(1, t, t)))
+            case Some(s) =>
+              (done, Some(SessionState(s.count + 1,
+                math.min(s.startUs, t), math.max(s.lastUs, t))))
+            case None => (done, Some(SessionState(1, t, t)))
+          }
         }
-        state.update(next)
-        state.setTimeoutTimestamp(next.lastUs / 1000 + gapMs)
-        closed
+        val tail = open.get
+        state.update(tail)
+        state.setTimeoutTimestamp(tail.lastUs / 1000 + gapMs)
+        closed.iterator
       }
     }
 

@@ -28,6 +28,15 @@ class XmlFreshSpec extends SparkSpec {
     assert(out == Set(("s1", "75001", "1.85", "Paris"), ("s2", "13001", "1.79", "Marseille")))
   }
 
+  test("attribute extraction does not match suffixes of longer attribute names") {
+    val dir = Files.createTempDirectory("graft-xml2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.xml"),
+      """<r><item uuid="u-long" id="short"/></r>""")
+    val out = Xml.read(spark, dir, "item", Seq(("id", "@id"), ("uuid", "@uuid")))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("short", "u-long")))
+  }
+
   test("freshness watermark keeps only newer-than-last-ingest sources") {
     val sources = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("src", "modified")
     val state = Seq(("a", 100L), ("b", 150L)).toDF("src", "modified")

@@ -45,4 +45,27 @@ class StatefulSessionsSpec extends SparkSpec {
       assert(!closed.exists(_._1 == 3L), s"got $closed")
     } finally q.stop()
   }
+
+  test("a single micro-batch containing multiple sessions splits on in-batch gaps") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = StatefulSessions.sessionize(input.toDS(), gapMs = 5 * 60 * 1000,
+      watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch (a backlog drain): two sessions for user 9, hours apart
+      input.addData(Ev(9, ts("2024-01-01 10:00:00")), Ev(9, ts("2024-01-01 10:01:00")),
+        Ev(9, ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      input.addData(Ev(8, ts("2024-01-01 20:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val closed = spark.table("sess2")
+        .select("user_id", "session_start", "n_events", "duration_s")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(closed == Set(
+        (9L, ts("2024-01-01 10:00:00"), 2L, 60.0),
+        (9L, ts("2024-01-01 16:00:00"), 1L, 0.0)), s"got $closed")
+    } finally q.stop()
+  }
 }
