@@ -1,0 +1,62 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Distribution, Relational}
+
+/** The reference's flagship analytical pipeline — DVF real-estate stats
+  * (`dvf/explore/task_functions.py:416-827`, SURVEY §3.1) — as one lazy
+  * Spark plan over a generic sales frame:
+  *
+  *  1. exact-duplicate removal (the raw files carry 4–8% dups, `:466`)
+  *  2. keep single-item transactions ("monobien" semi-join, `:507-511`)
+  *  3. unit price with divide-by-zero/inf cleanup (`:519-527`)
+  *  4. MULTI-SCALE stats: the reference loops one aggregation per
+  *     geographic level; here the frame is melted to (echelle, code_geo)
+  *     with `stack`, so ALL levels aggregate in ONE shuffle
+  *  5. count/avg/exact-median per (echelle, code_geo, month, type), pivoted
+  *     wide per type (`:543-616`)
+  *  6. price distributions with support threshold (`:831-1124`) via
+  *     [[Distribution]]
+  *
+  * Input columns: saleId, levels (name -> geo-code column), month, type,
+  * price, qty.
+  */
+object DvfStats {
+
+  /** Stages 1–3: dedup, monobien, unit price. */
+  def prepare(sales: DataFrame, saleIdCol: String, priceCol: String,
+              qtyCol: String): DataFrame = {
+    val deduped = sales.dropDuplicates()
+    val mono = Relational.keepKeysWithCount(deduped, saleIdCol, 1L)
+    mono.withColumn("unit_price",
+      when(col(qtyCol) =!= 0.0, col(priceCol) / col(qtyCol)))
+      .filter(col("unit_price").isNotNull)
+  }
+
+  /** Stages 4–5: melt geography levels then aggregate every scale in one
+    * pass; wide per-type columns. */
+  def multiScaleStats(prepared: DataFrame, levels: Seq[(String, String)],
+                      monthCol: String, typeCol: String,
+                      types: Seq[String]): DataFrame = {
+    val stackExpr = levels.map { case (name, c) => s"'$name', $c" }.mkString(", ")
+    val melted = prepared.selectExpr(
+      s"stack(${levels.size}, $stackExpr) as (echelle, code_geo)",
+      s"$monthCol as month", s"$typeCol as type", "unit_price")
+    val stats = melted.groupBy("echelle", "code_geo", "month", "type")
+      .agg(count(lit(1)).as("nb"), round(avg("unit_price"), 2).as("moy"),
+        round(median(col("unit_price")), 2).as("med"))
+    stats.groupBy("echelle", "code_geo", "month")
+      .pivot("type", types)
+      .agg(first("nb").as("nb_ventes"), first("moy").as("prix_moyen"),
+        first("med").as("prix_median"))
+  }
+
+  /** Stage 6: per-(finest level, type) price distributions. */
+  def distributions(prepared: DataFrame, geoCol: String, typeCol: String,
+                    minSupport: Long = 100L): DataFrame =
+    Distribution.priceDistribution(
+      prepared.select(col(geoCol), col(typeCol), col("unit_price")),
+      Seq(geoCol, typeCol), "unit_price", minSupport = minSupport)
+}
