@@ -11,5 +11,15 @@ object GraftFunctions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "unaccent", exprs => Unaccent(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    // hilbert_index(x, y, order) — order must be an integer literal
+    registry.createOrReplaceTempFunction(
+      "hilbert_index", exprs => HilbertIndex(exprs(0), exprs(1),
+        exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index order must be an integer literal, got $other")
+        }), "scala_udf")
   }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks as first-class operators — the reference's inline
+  * runtime assertions (SURVEY §5.4: key uniqueness
+  * `dvf/explore/task_functions.py:280,710,735`, row-count conservation
+  * `dvf/geoloc/task_functions.py:319`, shape asserts
+  * `sante/finess/task_functions.py:92`). Each check is ONE aggregation —
+  * no collect of data rows — and throws [[CheckFailed]] with a counted
+  * diagnosis.
+  */
+object Checks {
+
+  final case class CheckFailed(msg: String) extends RuntimeException(msg)
+
+  /** Key uniqueness: count(distinct keys) == count(*). */
+  def assertUnique(df: DataFrame, cols: Seq[String], what: String = "frame"): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(cols.head, cols.tail: _*).as("d")).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    if (n != d) throw CheckFailed(
+      s"$what: key ${cols.mkString("(", ",", ")")} not unique — $n rows, $d distinct")
+  }
+
+  /** Row-count conservation across a transformation (joins must not drop or
+    * duplicate, `dvf/geoloc/task_functions.py:319`). */
+  def assertSameCount(before: DataFrame, after: DataFrame, what: String = "transform"): Unit = {
+    val (b, a) = (before.count(), after.count())
+    if (b != a) throw CheckFailed(s"$what: row count changed $b -> $a")
+  }
+
+  /** No nulls in the given columns. */
+  def assertNoNulls(df: DataFrame, cols: Seq[String], what: String = "frame"): Unit = {
+    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = cols.zipWithIndex.collect { case (c, i) if r.getLong(i) > 0 => s"$c=${r.getLong(i)}" }
+    if (bad.nonEmpty) throw CheckFailed(s"$what: null values in ${bad.mkString(", ")}")
+  }
+
+  /** All values of a column inside [lo, hi]. */
+  def assertInRange(df: DataFrame, c: String, lo: Double, hi: Double,
+                    what: String = "frame"): Unit = {
+    val n = df.filter(col(c) < lo || col(c) > hi).count()
+    if (n > 0) throw CheckFailed(s"$what: $n rows of $c outside [$lo, $hi]")
+  }
+}

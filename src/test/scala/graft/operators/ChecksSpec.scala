@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.GraftFunctions
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assertUnique passes on a key and fails with a counted diagnosis") {
+    Checks.assertUnique(Tables.orders(spark, sf()), Seq("o_orderkey"), "orders")
+    val e = intercept[Checks.CheckFailed] {
+      Checks.assertUnique(Tables.lineitem(spark, sf()), Seq("l_orderkey"), "lineitem")
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("assertSameCount, assertNoNulls, assertInRange") {
+    val o = Tables.orders(spark, sf())
+    Checks.assertSameCount(o, o.select("o_orderkey"))
+    intercept[Checks.CheckFailed] { Checks.assertSameCount(o, o.limit(3)) }
+    Checks.assertNoNulls(o, Seq("o_orderkey", "o_custkey"))
+    intercept[Checks.CheckFailed] {
+      Checks.assertNoNulls(Seq((1, Option.empty[String])).toDF("a", "b"), Seq("b"))
+    }
+    Checks.assertInRange(o, "o_totalprice", 0.0, 1e9)
+    intercept[Checks.CheckFailed] { Checks.assertInRange(o, "o_totalprice", 0.0, 10.0) }
+  }
+
+  test("sql registration exposes dot_product and hilbert_index") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT hilbert_index(0L, 0L, 2)").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT hilbert_index(3L, 3L, 2)").head().getLong(0) ==
+      graft.functions.Hilbert.index(2, 3, 3))
+  }
+}
