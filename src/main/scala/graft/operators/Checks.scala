@@ -15,11 +15,17 @@ object Checks {
 
   final case class CheckFailed(msg: String) extends RuntimeException(msg)
 
-  /** Key uniqueness: count(distinct keys) == count(*). */
+  /** Key uniqueness: count(distinct keys) == count(non-null-key rows), with
+    * null-key rows counted separately so the diagnosis distinguishes
+    * duplicates from nulls. */
   def assertUnique(df: DataFrame, cols: Seq[String], what: String = "frame"): Unit = {
+    val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
     val r = df.agg(count(lit(1)).as("n"),
-      countDistinct(cols.head, cols.tail: _*).as("d")).head()
-    val (n, d) = (r.getLong(0), r.getLong(1))
+      countDistinct(cols.head, cols.tail: _*).as("d"),
+      coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L)).as("nulls")).head()
+    val (n, d, nulls) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (nulls > 0) throw CheckFailed(
+      s"$what: key ${cols.mkString("(", ",", ")")} has $nulls null-key rows")
     if (n != d) throw CheckFailed(
       s"$what: key ${cols.mkString("(", ",", ")")} not unique — $n rows, $d distinct")
   }
@@ -31,9 +37,11 @@ object Checks {
     if (b != a) throw CheckFailed(s"$what: row count changed $b -> $a")
   }
 
-  /** No nulls in the given columns. */
+  /** No nulls in the given columns (vacuously true on an empty frame —
+    * sum() over zero rows is null, hence the coalesce). */
   def assertNoNulls(df: DataFrame, cols: Seq[String], what: String = "frame"): Unit = {
-    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val aggs = cols.map(c =>
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val bad = cols.zipWithIndex.collect { case (c, i) if r.getLong(i) > 0 => s"$c=${r.getLong(i)}" }
     if (bad.nonEmpty) throw CheckFailed(s"$what: null values in ${bad.mkString(", ")}")

@@ -27,10 +27,17 @@ object Consolidation {
   def consolidate(files: Seq[DataFrame], schema: StructType,
                   requiredCols: Seq[String], primaryKey: Seq[String],
                   recencyCol: String): DataFrame = {
-    val projected = files.map(projectToSchema(_, schema))
+    require(files.nonEmpty, "consolidate: no input files (empty producer listing)")
+    // Each file gets a provenance index used as the recency tie-break —
+    // the reference's concat order decides ties the same way
+    // (`schema/utils/consolidation.py:1027-1041`).
+    val projected = files.zipWithIndex.map { case (f, i) =>
+      projectToSchema(f, schema).withColumn("__src", lit(i))
+    }
     val unioned = projected.reduce(_.unionByName(_))
       .na.drop(requiredCols)
     Relational.dedupKeepFirst(unioned, primaryKey,
-      Seq(desc(recencyCol)) ++ primaryKey.map(asc))
+        Seq(desc(recencyCol), asc("__src")))
+      .drop("__src")
   }
 }

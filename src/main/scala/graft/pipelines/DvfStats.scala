@@ -40,10 +40,12 @@ object DvfStats {
   def multiScaleStats(prepared: DataFrame, levels: Seq[(String, String)],
                       monthCol: String, typeCol: String,
                       types: Seq[String]): DataFrame = {
-    val stackExpr = levels.map { case (name, c) => s"'$name', $c" }.mkString(", ")
+    val stackExpr = levels.map { case (name, c) =>
+      s"'${name.replace("'", "\\'")}', `${c.replace("`", "``")}`"
+    }.mkString(", ")
     val melted = prepared.selectExpr(
       s"stack(${levels.size}, $stackExpr) as (echelle, code_geo)",
-      s"$monthCol as month", s"$typeCol as type", "unit_price")
+      s"`$monthCol` as month", s"`$typeCol` as type", "unit_price")
     val stats = melted.groupBy("echelle", "code_geo", "month", "type")
       .agg(count(lit(1)).as("nb"), round(avg("unit_price"), 2).as("moy"),
         round(median(col("unit_price")), 2).as("med"))
