@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ~100 sequential queries in one driver: ContextCleaner only reclaims
+      // shuffle files / broadcasts when the driver GCs, which a large heap
+      // rarely does — stale state then stalls arbitrary later queries.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM / codegen / parquet reader paths so the first timed
