@@ -1,0 +1,429 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's 15-materialized-view metrics DAG re-expressed Spark-first.
+  *
+  * Reference: `dgv/metrics/sql/create_tables.sql:125-345` defines the views,
+  * `dgv/metrics/task.py:254-283` (`MATERIALIZED_VIEWS`) is the refresh order —
+  * base full-outer join views first, then monthly rollups, then lifetime
+  * totals, then the global `site` view. Each view reads the *materialized*
+  * upstream, so [[materialize]] writes parquet in that same topological order
+  * and re-reads the written parquet for downstream views (the Spark twin of
+  * `REFRESH MATERIALIZED VIEW` in a loop), idempotent under re-run
+  * (`mode("overwrite")`).
+  *
+  * Faithfulness notes (quirks preserved on purpose):
+  *   - `metrics_dataservices` names its coalesced id column `dataservice`
+  *     (not `dataservice_id`) — `create_tables.sql:168`.
+  *   - The monthly `dataservices`/`resources` views and their `_total` twins
+  *     read the *base* visit tables, not the `metrics_*` views
+  *     (`create_tables.sql:252-268,322-345`).
+  *   - `site` full-outer-joins the monthly `dataservices` view but selects no
+  *     column from it, and joins it on `datasets.metric_month` only
+  *     (`create_tables.sql:270-293`).
+  *
+  * Scale design: the reference's `__id SERIAL` surrogate is replaced by a
+  * deterministic arithmetic key (datecode*100000 + entity*10 + family) — no
+  * global window / zipWithIndex, so base-fact construction stays an
+  * embarrassingly-parallel projection at any scale. The only shuffles in the
+  * whole DAG are the groupBys and the fact-fact full-outer joins on
+  * (entity_id, date) — exactly the shuffles the semantics require; every
+  * aggregate feeding a left join is pre-aggregated (partial map-side combine)
+  * before the join.
+  */
+object MetricsViews {
+
+  /** The 9 base tables the DAG reads (visit + matomo facts). */
+  final case class Base(
+      visitsDatasets: DataFrame,
+      visitsResources: DataFrame,
+      visitsOrganizations: DataFrame,
+      visitsReuses: DataFrame,
+      visitsDataservices: DataFrame,
+      matomoDatasets: DataFrame,
+      matomoReuses: DataFrame,
+      matomoOrganizations: DataFrame,
+      matomoDataservices: DataFrame)
+
+  /** Refresh order — verbatim from `dgv/metrics/task.py:256-271`. */
+  val materializedViews: Seq[String] = Seq(
+    "metrics_datasets", "metrics_reuses", "metrics_dataservices",
+    "metrics_organizations",
+    "datasets", "reuses", "dataservices", "organizations", "resources",
+    "site",
+    "datasets_total", "reuses_total", "dataservices_total",
+    "organizations_total", "resources_total")
+
+  // ---------------------------------------------------------------------
+  // Base-fact derivation from the synthetic `events` table (test harness).
+  // Every formula here has a byte-identical DuckDB twin in
+  // queries/MetricsQueries.baseCte, so the oracle replays the whole DAG.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic surrogate `__id`: yyyymmdd*100000 + entity*10 + family.
+    * Unique per (date, entity, table-family); pure arithmetic, no window. */
+  private def surrogateId(dt: Column, num: Column, family: Int): Column =
+    (regexp_replace(dt, "-", "").cast("long") * 100000L +
+      num * 10L + family).as("__id")
+
+  private def org(num: Column): Column = concat(lit("O"), (num % 7).cast("string"))
+
+  /** Derive the 9 base tables from `events`: view/click events are page
+    * visits routed to an entity family by `event_id % 12`; purchase events
+    * are matomo outlinks routed by `event_id % 4`. */
+  def deriveBase(spark: SparkSession, dir: String): Base = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("dt"))
+    val hits = ev.filter(col("event_type").isin("view", "click"))
+      .withColumn("slice", col("event_id") % 12)
+    val outlinks = ev.filter(col("event_type") === "purchase")
+      .withColumn("slice", col("event_id") % 4)
+
+    /** One grouped fact table: id prefix + modulus define the entity. */
+    def fact(src: DataFrame, cond: Column, prefix: String, modulus: Int,
+             idName: String, family: Int, counter: String): DataFrame = {
+      src.filter(cond)
+        .withColumn("num", col("user_id") % modulus)
+        .groupBy(col("dt"), col("num"))
+        .agg(count(lit(1)).as(counter))
+        .select(
+          surrogateId(col("dt"), col("num"), family),
+          col("dt").as("date_metric"),
+          concat(lit(prefix), col("num").cast("string")).as(idName),
+          org(col("num")).as("organization_id"),
+          col(counter))
+    }
+
+    // Resources carry two ids (resource + owning dataset): rnum = dnum*4 + sub.
+    val visitsResources = hits.filter(col("slice").between(4, 6))
+      .withColumn("dnum", col("user_id") % 50)
+      .withColumn("rnum", col("dnum") * 4 + col("event_id") % 4)
+      .groupBy(col("dt"), col("dnum"), col("rnum"))
+      .agg(count(lit(1)).as("nb_visit"))
+      .select(
+        surrogateId(col("dt"), col("rnum"), 1),
+        col("dt").as("date_metric"),
+        concat(lit("C"), col("rnum").cast("string")).as("resource_id"),
+        concat(lit("D"), col("dnum").cast("string")).as("dataset_id"),
+        org(col("dnum")).as("organization_id"),
+        col("nb_visit"))
+
+    // Organization-page visits key directly on the org id (no separate org()).
+    val visitsOrganizations = hits.filter(col("slice") >= 10)
+      .withColumn("num", col("user_id") % 7)
+      .groupBy(col("dt"), col("num"))
+      .agg(count(lit(1)).as("nb_visit"))
+      .select(
+        surrogateId(col("dt"), col("num"), 4),
+        col("dt").as("date_metric"),
+        concat(lit("O"), col("num").cast("string")).as("organization_id"),
+        col("nb_visit"))
+
+    val matomoOrganizations = outlinks.filter(col("slice") === 2)
+      .withColumn("num", col("user_id") % 7)
+      .groupBy(col("dt"), col("num"))
+      .agg(count(lit(1)).as("nb_outlink"))
+      .select(
+        surrogateId(col("dt"), col("num"), 7),
+        col("dt").as("date_metric"),
+        concat(lit("O"), col("num").cast("string")).as("organization_id"),
+        col("nb_outlink"))
+
+    Base(
+      visitsDatasets =
+        fact(hits, col("slice") <= 3, "D", 50, "dataset_id", 0, "nb_visit"),
+      visitsResources = visitsResources,
+      visitsOrganizations = visitsOrganizations,
+      visitsReuses =
+        fact(hits, col("slice").between(7, 8), "R", 30, "reuse_id", 2, "nb_visit"),
+      visitsDataservices =
+        fact(hits, col("slice") === 9, "S", 10, "dataservice_id", 3, "nb_visit"),
+      matomoDatasets =
+        fact(outlinks, col("slice") === 0, "D", 50, "dataset_id", 5, "nb_outlink"),
+      matomoReuses =
+        fact(outlinks, col("slice") === 1, "R", 30, "reuse_id", 6, "nb_outlink"),
+      matomoOrganizations = matomoOrganizations,
+      matomoDataservices =
+        fact(outlinks, col("slice") === 3, "S", 10, "dataservice_id", 8, "nb_outlink"))
+  }
+
+  // ---------------------------------------------------------------------
+  // The 15 views — each a pure DataFrame transform of its upstreams.
+  // ---------------------------------------------------------------------
+
+  /** visits FULL OUTER matomo on (id, date) with COALESCE'd keys — the
+    * shared shape of the four `metrics_*` views (`create_tables.sql:129-207`). */
+  private def visitsOuterMatomo(visits: DataFrame, matomo: DataFrame,
+                                idCol: String, outIdCol: String): DataFrame = {
+    val v = visits.select(col("__id") +: visits.columns.filterNot(_ == "__id")
+      .map(c => col(c).as(s"v_$c")): _*)
+    val m = matomo.select(matomo.columns.filterNot(_ == "__id")
+      .map(c => col(c).as(s"m_$c")): _*)
+    v.join(m,
+        col(s"v_$idCol") === col(s"m_$idCol") &&
+          col("v_date_metric") === col("m_date_metric"), "full")
+      .withColumn("date_metric", coalesce(col("v_date_metric"), col("m_date_metric")))
+      .withColumn(outIdCol, coalesce(col(s"v_$idCol"), col(s"m_$idCol")))
+      .withColumn("organization_id",
+        coalesce(col("v_organization_id"), col("m_organization_id")))
+  }
+
+  /** `metric.metrics_datasets` (`create_tables.sql:129-150`): visits ⟗ matomo
+    * plus per-(dataset, date) resource-download sums. */
+  def metricsDatasets(visitsDatasets: DataFrame, matomoDatasets: DataFrame,
+                      visitsResources: DataFrame): DataFrame = {
+    val resources = visitsResources
+      .groupBy(col("dataset_id").as("r_dataset_id"), col("date_metric").as("r_date"))
+      .agg(sum("nb_visit").as("resource_nb_download"))
+    visitsOuterMatomo(visitsDatasets, matomoDatasets, "dataset_id", "dataset_id")
+      .join(resources,
+        col("dataset_id") === col("r_dataset_id") && col("date_metric") === col("r_date"),
+        "left")
+      .select(col("__id"), col("date_metric"), col("dataset_id"),
+        col("organization_id"), col("v_nb_visit").as("nb_visit"),
+        col("m_nb_outlink").as("nb_outlink"), col("resource_nb_download"))
+  }
+
+  /** `metric.metrics_reuses` (`create_tables.sql:153-164`). */
+  def metricsReuses(visitsReuses: DataFrame, matomoReuses: DataFrame): DataFrame =
+    visitsOuterMatomo(visitsReuses, matomoReuses, "reuse_id", "reuse_id")
+      .select(col("__id"), col("date_metric"), col("reuse_id"),
+        col("organization_id"), col("v_nb_visit").as("nb_visit"),
+        col("m_nb_outlink").as("nb_outlink"))
+
+  /** `metric.metrics_dataservices` (`create_tables.sql:166-178`) — note the
+    * reference names the coalesced id column `dataservice`. */
+  def metricsDataservices(visitsDataservices: DataFrame,
+                          matomoDataservices: DataFrame): DataFrame =
+    visitsOuterMatomo(visitsDataservices, matomoDataservices,
+        "dataservice_id", "dataservice")
+      .select(col("__id"), col("date_metric"), col("dataservice"),
+        col("organization_id"), col("v_nb_visit").as("nb_visit"),
+        col("m_nb_outlink").as("nb_outlink"))
+
+  /** `metric.metrics_organizations` (`create_tables.sql:180-207`): org visits
+    * ⟗ matomo, plus per-(org, date) sums of the three upstream metrics views. */
+  def metricsOrganizations(visitsOrganizations: DataFrame,
+                           matomoOrganizations: DataFrame,
+                           metricsDatasets: DataFrame,
+                           metricsReuses: DataFrame,
+                           metricsDataservices: DataFrame): DataFrame = {
+    val datasets = metricsDatasets
+      .groupBy(col("organization_id").as("d_org"), col("date_metric").as("d_date"))
+      .agg(sum("nb_visit").as("dataset_nb_visit"),
+        sum("resource_nb_download").as("resource_nb_download"))
+    val reuses = metricsReuses
+      .groupBy(col("organization_id").as("r_org"), col("date_metric").as("r_date"))
+      .agg(sum("nb_visit").as("reuse_nb_visit"))
+    val dataservices = metricsDataservices
+      .groupBy(col("organization_id").as("s_org"), col("date_metric").as("s_date"))
+      .agg(sum("nb_visit").as("dataservice_nb_visit"))
+    visitsOuterMatomo(visitsOrganizations, matomoOrganizations,
+        "organization_id", "organization_id")
+      .join(datasets, col("organization_id") === col("d_org") &&
+        col("date_metric") === col("d_date"), "left")
+      .join(reuses, col("organization_id") === col("r_org") &&
+        col("date_metric") === col("r_date"), "left")
+      .join(dataservices, col("organization_id") === col("s_org") &&
+        col("date_metric") === col("s_date"), "left")
+      .select(col("__id"), col("date_metric"), col("organization_id"),
+        col("dataset_nb_visit"), col("resource_nb_download"),
+        col("reuse_nb_visit"), col("dataservice_nb_visit"),
+        col("m_nb_outlink").as("nb_outlink"))
+  }
+
+  private def month(dateCol: String): Column =
+    substring(col(dateCol), 1, 7).as("metric_month")
+
+  /** `metric.datasets` monthly rollup (`create_tables.sql:210-221`). */
+  def datasetsMonthly(metricsDatasets: DataFrame): DataFrame =
+    metricsDatasets
+      .groupBy(month("date_metric"), col("dataset_id"), col("organization_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("monthly_visit"),
+        sum("resource_nb_download").as("monthly_download_resource"))
+      .select("__id", "dataset_id", "organization_id", "metric_month",
+        "monthly_visit", "monthly_download_resource")
+
+  /** `metric.reuses` monthly rollup (`create_tables.sql:223-231`). */
+  def reusesMonthly(metricsReuses: DataFrame): DataFrame =
+    metricsReuses.groupBy(month("date_metric"), col("reuse_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("monthly_visit"))
+      .select("__id", "reuse_id", "metric_month", "monthly_visit")
+
+  /** `metric.organizations` monthly rollup (`create_tables.sql:233-244`). */
+  def organizationsMonthly(metricsOrganizations: DataFrame): DataFrame =
+    metricsOrganizations.groupBy(month("date_metric"), col("organization_id"))
+      .agg(min("__id").as("__id"),
+        sum("dataset_nb_visit").as("monthly_visit_dataset"),
+        sum("resource_nb_download").as("monthly_download_resource"),
+        sum("reuse_nb_visit").as("monthly_visit_reuse"),
+        sum("dataservice_nb_visit").as("monthly_visit_dataservice"))
+      .select("__id", "organization_id", "metric_month", "monthly_visit_dataset",
+        "monthly_download_resource", "monthly_visit_reuse",
+        "monthly_visit_dataservice")
+
+  /** `metric.resources` monthly rollup — reads the *base* visits table
+    * (`create_tables.sql:246-257`). */
+  def resourcesMonthly(visitsResources: DataFrame): DataFrame =
+    visitsResources
+      .groupBy(month("date_metric"), col("resource_id"), col("dataset_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("monthly_download_resource"))
+      .select("__id", "resource_id", "dataset_id", "metric_month",
+        "monthly_download_resource")
+
+  /** `metric.dataservices` monthly rollup — reads the *base* visits table
+    * (`create_tables.sql:259-268`). */
+  def dataservicesMonthly(visitsDataservices: DataFrame): DataFrame =
+    visitsDataservices.groupBy(month("date_metric"), col("dataservice_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("monthly_visit"))
+      .select("__id", "dataservice_id", "metric_month", "monthly_visit")
+
+  /** `metric.site` global view (`create_tables.sql:270-293`): monthly dataset
+    * sums ⟗ monthly reuse sums ⟗ monthly dataservice sums (the last joined on
+    * the datasets key and contributing no output column — reference quirk). */
+  def site(datasetsMonthly: DataFrame, reusesMonthly: DataFrame,
+           dataservicesMonthly: DataFrame): DataFrame = {
+    val d = datasetsMonthly.groupBy(col("metric_month").as("d_month"))
+      .agg(min("__id").as("__id"), sum("monthly_visit").as("monthly_visit_dataset"),
+        sum("monthly_download_resource").as("monthly_download_resource"))
+    val r = reusesMonthly.groupBy(col("metric_month").as("r_month"))
+      .agg(sum("monthly_visit").as("monthly_visit_reuse"))
+    val s = dataservicesMonthly.groupBy(col("metric_month").as("s_month"))
+      .agg(sum("monthly_visit").as("s_visit"))
+    d.join(r, col("d_month") === col("r_month"), "full")
+      .join(s, col("d_month") === col("s_month"), "full")
+      .select(col("__id"), coalesce(col("d_month"), col("r_month")).as("metric_month"),
+        col("monthly_visit_dataset"), col("monthly_download_resource"),
+        col("monthly_visit_reuse"))
+  }
+
+  /** `metric.datasets_total` lifetime sums (`create_tables.sql:296-306`). */
+  def datasetsTotal(metricsDatasets: DataFrame): DataFrame =
+    metricsDatasets.groupBy(col("dataset_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("visit"),
+        sum("nb_outlink").as("outlink"),
+        sum("resource_nb_download").as("download_resource"))
+      .select("__id", "dataset_id", "visit", "outlink", "download_resource")
+
+  /** `metric.reuses_total` (`create_tables.sql:308-317`). */
+  def reusesTotal(metricsReuses: DataFrame): DataFrame =
+    metricsReuses.groupBy(col("reuse_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("visit"),
+        sum("nb_outlink").as("outlink"))
+      .select("__id", "reuse_id", "visit", "outlink")
+
+  /** `metric.organizations_total` (`create_tables.sql:319-331`). */
+  def organizationsTotal(metricsOrganizations: DataFrame): DataFrame =
+    metricsOrganizations.groupBy(col("organization_id"))
+      .agg(min("__id").as("__id"), sum("dataset_nb_visit").as("visit_dataset"),
+        sum("resource_nb_download").as("download_resource"),
+        sum("reuse_nb_visit").as("visit_reuse"),
+        sum("dataservice_nb_visit").as("visit_dataservice"),
+        sum("nb_outlink").as("outlink"))
+      .select("__id", "organization_id", "visit_dataset", "download_resource",
+        "visit_reuse", "visit_dataservice", "outlink")
+
+  /** `metric.resources_total` — reads the base visits table
+    * (`create_tables.sql:333-343`). */
+  def resourcesTotal(visitsResources: DataFrame): DataFrame =
+    visitsResources.groupBy(col("resource_id"), col("dataset_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("download_resource"))
+      .select("__id", "resource_id", "dataset_id", "download_resource")
+
+  /** `metric.dataservices_total` — reads the base visits table
+    * (`create_tables.sql:345-353`). */
+  def dataservicesTotal(visitsDataservices: DataFrame): DataFrame =
+    visitsDataservices.groupBy(col("dataservice_id"))
+      .agg(min("__id").as("__id"), sum("nb_visit").as("visit"))
+      .select("__id", "dataservice_id", "visit")
+
+  // ---------------------------------------------------------------------
+  // Composition + materializer
+  // ---------------------------------------------------------------------
+
+  /** All 15 views composed lazily over the base tables (no materialization —
+    * one Catalyst plan per view; used by the oracle-checked catalog queries). */
+  def compose(base: Base): Map[String, DataFrame] = {
+    val mDatasets = metricsDatasets(base.visitsDatasets, base.matomoDatasets,
+      base.visitsResources)
+    val mReuses = metricsReuses(base.visitsReuses, base.matomoReuses)
+    val mDataservices = metricsDataservices(base.visitsDataservices,
+      base.matomoDataservices)
+    val mOrganizations = metricsOrganizations(base.visitsOrganizations,
+      base.matomoOrganizations, mDatasets, mReuses, mDataservices)
+    val dsMonthly = datasetsMonthly(mDatasets)
+    val ruMonthly = reusesMonthly(mReuses)
+    val svMonthly = dataservicesMonthly(base.visitsDataservices)
+    Map(
+      "metrics_datasets" -> mDatasets,
+      "metrics_reuses" -> mReuses,
+      "metrics_dataservices" -> mDataservices,
+      "metrics_organizations" -> mOrganizations,
+      "datasets" -> dsMonthly,
+      "reuses" -> ruMonthly,
+      "dataservices" -> svMonthly,
+      "organizations" -> organizationsMonthly(mOrganizations),
+      "resources" -> resourcesMonthly(base.visitsResources),
+      "site" -> site(dsMonthly, ruMonthly, svMonthly),
+      "datasets_total" -> datasetsTotal(mDatasets),
+      "reuses_total" -> reusesTotal(mReuses),
+      "dataservices_total" -> dataservicesTotal(base.visitsDataservices),
+      "organizations_total" -> organizationsTotal(mOrganizations),
+      "resources_total" -> resourcesTotal(base.visitsResources))
+  }
+
+  /** Refresh loop (`dgv/metrics/task.py:276-283`): write every view to
+    * `outDir/<name>` in [[materializedViews]] order, each downstream view
+    * reading the parquet its upstream just wrote. Idempotent overwrite.
+    * Returns the materialized DataFrames (re-read from disk). */
+  def materialize(spark: SparkSession, base: Base, outDir: String): Map[String, DataFrame] = {
+    def write(name: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+    // Base tables land first (the daily-loaded visit/matomo facts).
+    val b = Base(
+      visitsDatasets = write("visits_datasets", base.visitsDatasets),
+      visitsResources = write("visits_resources", base.visitsResources),
+      visitsOrganizations = write("visits_organizations", base.visitsOrganizations),
+      visitsReuses = write("visits_reuses", base.visitsReuses),
+      visitsDataservices = write("visits_dataservices", base.visitsDataservices),
+      matomoDatasets = write("matomo_datasets", base.matomoDatasets),
+      matomoReuses = write("matomo_reuses", base.matomoReuses),
+      matomoOrganizations = write("matomo_organizations", base.matomoOrganizations),
+      matomoDataservices = write("matomo_dataservices", base.matomoDataservices))
+
+    val done = scala.collection.mutable.Map[String, DataFrame]()
+    materializedViews.foreach { name =>
+      val df = name match {
+        case "metrics_datasets" =>
+          metricsDatasets(b.visitsDatasets, b.matomoDatasets, b.visitsResources)
+        case "metrics_reuses" => metricsReuses(b.visitsReuses, b.matomoReuses)
+        case "metrics_dataservices" =>
+          metricsDataservices(b.visitsDataservices, b.matomoDataservices)
+        case "metrics_organizations" =>
+          metricsOrganizations(b.visitsOrganizations, b.matomoOrganizations,
+            done("metrics_datasets"), done("metrics_reuses"),
+            done("metrics_dataservices"))
+        case "datasets" => datasetsMonthly(done("metrics_datasets"))
+        case "reuses" => reusesMonthly(done("metrics_reuses"))
+        case "dataservices" => dataservicesMonthly(b.visitsDataservices)
+        case "organizations" => organizationsMonthly(done("metrics_organizations"))
+        case "resources" => resourcesMonthly(b.visitsResources)
+        case "site" => site(done("datasets"), done("reuses"), done("dataservices"))
+        case "datasets_total" => datasetsTotal(done("metrics_datasets"))
+        case "reuses_total" => reusesTotal(done("metrics_reuses"))
+        case "dataservices_total" => dataservicesTotal(b.visitsDataservices)
+        case "organizations_total" => organizationsTotal(done("metrics_organizations"))
+        case "resources_total" => resourcesTotal(b.visitsResources)
+      }
+      done(name) = write(name, df)
+    }
+    done.toMap
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.MetricsViews
+
+/** Catalog entries exercising the 15-matview metrics DAG
+  * ([[graft.pipelines.MetricsViews]]) end-to-end against a DuckDB oracle that
+  * replays the *entire* DAG as one WITH-chain: base-fact derivation from
+  * `events` → the four `metrics_*` full-outer views → monthly rollups →
+  * lifetime totals → the global `site` view.
+  *
+  * Both engines derive the base visit/matomo facts with byte-identical
+  * arithmetic (see `MetricsViews.deriveBase`), so every COALESCE/NULL path of
+  * the reference SQL (`dgv/metrics/sql/create_tables.sql:125-345`) is
+  * engine-vs-engine verified, not just shape-tested.
+  */
+object MetricsQueries {
+
+  /** DuckDB twin of `MetricsViews.deriveBase`: same slices, same moduli, same
+    * arithmetic surrogate `__id` (yyyymmdd*100000 + entity*10 + family). */
+  private def baseFact(name: String, src: String, cond: String, prefix: String,
+                       modulus: Int, idName: String, family: Int,
+                       counter: String): String =
+    s"""$name AS (
+       |  SELECT CAST(REPLACE(dt,'-','') AS BIGINT)*100000 + num*10 + $family AS __id,
+       |         dt AS date_metric, '$prefix' || CAST(num AS VARCHAR) AS $idName,
+       |         'O' || CAST(num % 7 AS VARCHAR) AS organization_id,
+       |         COUNT(*) AS $counter
+       |  FROM (SELECT dt, user_id % $modulus AS num FROM $src WHERE $cond) t
+       |  GROUP BY dt, num)""".stripMargin
+
+  private val baseCte: String =
+    s"""ev AS (SELECT event_id, user_id, event_type,
+       |         strftime(ts::TIMESTAMP, '%Y-%m-%d') AS dt FROM events),
+       |hits AS (SELECT event_id, user_id, event_id % 12 AS slice, dt
+       |         FROM ev WHERE event_type IN ('view','click')),
+       |outl AS (SELECT event_id, user_id, event_id % 4 AS slice, dt
+       |         FROM ev WHERE event_type = 'purchase'),
+       |${baseFact("visits_datasets", "hits", "slice <= 3", "D", 50, "dataset_id", 0, "nb_visit")},
+       |visits_resources AS (
+       |  SELECT CAST(REPLACE(dt,'-','') AS BIGINT)*100000 + rnum*10 + 1 AS __id,
+       |         dt AS date_metric, 'C' || CAST(rnum AS VARCHAR) AS resource_id,
+       |         'D' || CAST(dnum AS VARCHAR) AS dataset_id,
+       |         'O' || CAST(dnum % 7 AS VARCHAR) AS organization_id,
+       |         COUNT(*) AS nb_visit
+       |  FROM (SELECT dt, user_id % 50 AS dnum, (user_id % 50)*4 + event_id % 4 AS rnum
+       |        FROM hits WHERE slice BETWEEN 4 AND 6) t
+       |  GROUP BY dt, dnum, rnum),
+       |visits_organizations AS (
+       |  SELECT CAST(REPLACE(dt,'-','') AS BIGINT)*100000 + num*10 + 4 AS __id,
+       |         dt AS date_metric, 'O' || CAST(num AS VARCHAR) AS organization_id,
+       |         COUNT(*) AS nb_visit
+       |  FROM (SELECT dt, user_id % 7 AS num FROM hits WHERE slice >= 10) t
+       |  GROUP BY dt, num),
+       |${baseFact("visits_reuses", "hits", "slice BETWEEN 7 AND 8", "R", 30, "reuse_id", 2, "nb_visit")},
+       |${baseFact("visits_dataservices", "hits", "slice = 9", "S", 10, "dataservice_id", 3, "nb_visit")},
+       |${baseFact("matomo_datasets", "outl", "slice = 0", "D", 50, "dataset_id", 5, "nb_outlink")},
+       |${baseFact("matomo_reuses", "outl", "slice = 1", "R", 30, "reuse_id", 6, "nb_outlink")},
+       |matomo_organizations AS (
+       |  SELECT CAST(REPLACE(dt,'-','') AS BIGINT)*100000 + num*10 + 7 AS __id,
+       |         dt AS date_metric, 'O' || CAST(num AS VARCHAR) AS organization_id,
+       |         COUNT(*) AS nb_outlink
+       |  FROM (SELECT dt, user_id % 7 AS num FROM outl WHERE slice = 2) t
+       |  GROUP BY dt, num),
+       |${baseFact("matomo_dataservices", "outl", "slice = 3", "S", 10, "dataservice_id", 8, "nb_outlink")}""".stripMargin
+
+  /** DuckDB twin of the 15 view definitions (`create_tables.sql:125-345`). */
+  private val viewsCte: String =
+    """metrics_datasets AS (
+      |  SELECT v.__id AS __id,
+      |         COALESCE(v.date_metric, m.date_metric) AS date_metric,
+      |         COALESCE(v.dataset_id, m.dataset_id) AS dataset_id,
+      |         COALESCE(v.organization_id, m.organization_id) AS organization_id,
+      |         v.nb_visit AS nb_visit, m.nb_outlink AS nb_outlink,
+      |         r.nb_visit AS resource_nb_download
+      |  FROM visits_datasets v
+      |  FULL JOIN matomo_datasets m
+      |    ON v.dataset_id = m.dataset_id AND v.date_metric = m.date_metric
+      |  LEFT JOIN (SELECT dataset_id, date_metric,
+      |               CAST(SUM(nb_visit) AS BIGINT) AS nb_visit
+      |             FROM visits_resources GROUP BY 1, 2) r
+      |    ON COALESCE(v.dataset_id, m.dataset_id) = r.dataset_id AND
+      |       COALESCE(v.date_metric, m.date_metric) = r.date_metric),
+      |metrics_reuses AS (
+      |  SELECT v.__id AS __id,
+      |         COALESCE(v.date_metric, m.date_metric) AS date_metric,
+      |         COALESCE(v.reuse_id, m.reuse_id) AS reuse_id,
+      |         COALESCE(v.organization_id, m.organization_id) AS organization_id,
+      |         v.nb_visit AS nb_visit, m.nb_outlink AS nb_outlink
+      |  FROM visits_reuses v
+      |  FULL JOIN matomo_reuses m
+      |    ON v.reuse_id = m.reuse_id AND v.date_metric = m.date_metric),
+      |metrics_dataservices AS (
+      |  SELECT v.__id AS __id,
+      |         COALESCE(v.date_metric, m.date_metric) AS date_metric,
+      |         COALESCE(v.dataservice_id, m.dataservice_id) AS dataservice,
+      |         COALESCE(v.organization_id, m.organization_id) AS organization_id,
+      |         v.nb_visit AS nb_visit, m.nb_outlink AS nb_outlink
+      |  FROM visits_dataservices v
+      |  FULL JOIN matomo_dataservices m
+      |    ON v.dataservice_id = m.dataservice_id AND v.date_metric = m.date_metric),
+      |metrics_organizations AS (
+      |  SELECT v.__id AS __id,
+      |         COALESCE(v.date_metric, m.date_metric) AS date_metric,
+      |         COALESCE(v.organization_id, m.organization_id) AS organization_id,
+      |         d.nb_visit AS dataset_nb_visit,
+      |         d.resource_nb_download AS resource_nb_download,
+      |         r.nb_visit AS reuse_nb_visit,
+      |         s.nb_visit AS dataservice_nb_visit,
+      |         m.nb_outlink AS nb_outlink
+      |  FROM visits_organizations v
+      |  FULL JOIN matomo_organizations m
+      |    ON v.organization_id = m.organization_id AND v.date_metric = m.date_metric
+      |  LEFT JOIN (SELECT organization_id, date_metric,
+      |               CAST(SUM(nb_visit) AS BIGINT) AS nb_visit,
+      |               CAST(SUM(resource_nb_download) AS BIGINT) AS resource_nb_download
+      |             FROM metrics_datasets GROUP BY 1, 2) d
+      |    ON COALESCE(v.organization_id, m.organization_id) = d.organization_id AND
+      |       COALESCE(v.date_metric, m.date_metric) = d.date_metric
+      |  LEFT JOIN (SELECT organization_id, date_metric,
+      |               CAST(SUM(nb_visit) AS BIGINT) AS nb_visit
+      |             FROM metrics_reuses GROUP BY 1, 2) r
+      |    ON COALESCE(v.organization_id, m.organization_id) = r.organization_id AND
+      |       COALESCE(v.date_metric, m.date_metric) = r.date_metric
+      |  LEFT JOIN (SELECT organization_id, date_metric,
+      |               CAST(SUM(nb_visit) AS BIGINT) AS nb_visit
+      |             FROM metrics_dataservices GROUP BY 1, 2) s
+      |    ON COALESCE(v.organization_id, m.organization_id) = s.organization_id AND
+      |       COALESCE(v.date_metric, m.date_metric) = s.date_metric),
+      |datasets AS (
+      |  SELECT MIN(__id) AS __id, dataset_id, organization_id,
+      |         substr(date_metric, 1, 7) AS metric_month,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS monthly_visit,
+      |         CAST(SUM(resource_nb_download) AS BIGINT) AS monthly_download_resource
+      |  FROM metrics_datasets GROUP BY metric_month, dataset_id, organization_id),
+      |reuses AS (
+      |  SELECT MIN(__id) AS __id, reuse_id,
+      |         substr(date_metric, 1, 7) AS metric_month,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS monthly_visit
+      |  FROM metrics_reuses GROUP BY metric_month, reuse_id),
+      |organizations AS (
+      |  SELECT MIN(__id) AS __id, organization_id,
+      |         substr(date_metric, 1, 7) AS metric_month,
+      |         CAST(SUM(dataset_nb_visit) AS BIGINT) AS monthly_visit_dataset,
+      |         CAST(SUM(resource_nb_download) AS BIGINT) AS monthly_download_resource,
+      |         CAST(SUM(reuse_nb_visit) AS BIGINT) AS monthly_visit_reuse,
+      |         CAST(SUM(dataservice_nb_visit) AS BIGINT) AS monthly_visit_dataservice
+      |  FROM metrics_organizations GROUP BY metric_month, organization_id),
+      |resources AS (
+      |  SELECT MIN(__id) AS __id, resource_id, dataset_id,
+      |         substr(date_metric, 1, 7) AS metric_month,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS monthly_download_resource
+      |  FROM visits_resources GROUP BY metric_month, resource_id, dataset_id),
+      |dataservices AS (
+      |  SELECT MIN(__id) AS __id, dataservice_id,
+      |         substr(date_metric, 1, 7) AS metric_month,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS monthly_visit
+      |  FROM visits_dataservices GROUP BY metric_month, dataservice_id),
+      |site AS (
+      |  SELECT d.__id AS __id,
+      |         COALESCE(d.metric_month, r.metric_month) AS metric_month,
+      |         d.monthly_visit AS monthly_visit_dataset,
+      |         d.monthly_download_resource AS monthly_download_resource,
+      |         r.monthly_visit AS monthly_visit_reuse
+      |  FROM (SELECT MIN(__id) AS __id, metric_month,
+      |          CAST(SUM(monthly_visit) AS BIGINT) AS monthly_visit,
+      |          CAST(SUM(monthly_download_resource) AS BIGINT) AS monthly_download_resource
+      |        FROM datasets GROUP BY metric_month) d
+      |  FULL JOIN (SELECT metric_month,
+      |          CAST(SUM(monthly_visit) AS BIGINT) AS monthly_visit
+      |        FROM reuses GROUP BY metric_month) r
+      |    ON d.metric_month = r.metric_month
+      |  FULL JOIN (SELECT metric_month,
+      |          CAST(SUM(monthly_visit) AS BIGINT) AS monthly_visit
+      |        FROM dataservices GROUP BY metric_month) s
+      |    ON d.metric_month = s.metric_month),
+      |organizations_total AS (
+      |  SELECT MIN(__id) AS __id, organization_id,
+      |         CAST(SUM(dataset_nb_visit) AS BIGINT) AS visit_dataset,
+      |         CAST(SUM(resource_nb_download) AS BIGINT) AS download_resource,
+      |         CAST(SUM(reuse_nb_visit) AS BIGINT) AS visit_reuse,
+      |         CAST(SUM(dataservice_nb_visit) AS BIGINT) AS visit_dataservice,
+      |         CAST(SUM(nb_outlink) AS BIGINT) AS outlink
+      |  FROM metrics_organizations GROUP BY organization_id),
+      |resources_total AS (
+      |  SELECT MIN(__id) AS __id, resource_id, dataset_id,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS download_resource
+      |  FROM visits_resources GROUP BY resource_id, dataset_id)""".stripMargin
+
+  private def oracle(finalSelect: String): String =
+    s"WITH $baseCte,\n$viewsCte\n$finalSelect"
+
+  val all: Seq[Q] = Seq(
+    Q("mv1_metrics_datasets",
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views("metrics_datasets").orderBy("date_metric", "dataset_id")
+      },
+      Some(oracle(
+        "SELECT * FROM metrics_datasets ORDER BY date_metric, dataset_id"))),
+
+    Q("mv2_metrics_organizations",
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views("metrics_organizations").orderBy("date_metric", "organization_id")
+      },
+      Some(oracle(
+        "SELECT * FROM metrics_organizations ORDER BY date_metric, organization_id"))),
+
+    Q("mv3_datasets_monthly",
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views("datasets").orderBy("metric_month", "dataset_id")
+      },
+      Some(oracle(
+        "SELECT * FROM datasets ORDER BY metric_month, dataset_id"))),
+
+    Q("mv4_site",
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views("site").orderBy("metric_month")
+      },
+      Some(oracle("SELECT * FROM site ORDER BY metric_month"))),
+
+    Q("mv5_organizations_total",
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views("organizations_total").orderBy("organization_id")
+      },
+      Some(oracle(
+        "SELECT * FROM organizations_total ORDER BY organization_id"))),
+
+    Q("mv6_resources_total",
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views("resources_total").orderBy("resource_id", "dataset_id")
+      },
+      Some(oracle(
+        "SELECT * FROM resources_total ORDER BY resource_id, dataset_id"))))
+}
