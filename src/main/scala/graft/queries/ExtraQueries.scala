@@ -167,16 +167,64 @@ object ExtraQueries {
 
     // F18+F19 combined: the full distribution stage (quantiles on distinct
     // values, bin rounding with collision repair, histogram over the
-    // repaired non-uniform bins, support threshold). The repair fold is not
-    // expressible in DuckDB 1.0 SQL (no list_reduce), so this entry takes
-    // the driver's rows-only check; edge/bin invariants are asserted in
-    // DistributionHierarchySpec.
+    // repaired non-uniform bins, support threshold). The repair fold replays
+    // in DuckDB as a recursive CTE; Spark's rint is half-to-even, so the
+    // oracle spells banker's rounding out explicitly (DuckDB round() is
+    // half-away-from-zero). Edges surface as 11 scalar double columns —
+    // never strings built from doubles.
     Q("f18b_distribution_repair",
-      (s, d) => Distribution.priceDistribution(Tables.lineitem(s, d),
+      (s, d) => {
+        val dist = Distribution.priceDistribution(Tables.lineitem(s, d),
           Seq("l_returnflag"), "l_extendedprice",
           nBins = 10, step = 100.0, minSupport = 100L)
-        .withColumn("edges", expr("array_join(edges, ',')"))
-        .orderBy("l_returnflag"),
-      None)
+        dist.select(col("l_returnflag") +: col("n") +:
+          ((1 to 11).map(i => element_at(col("edges"), i).as(s"e$i")) ++
+            (1 to 10).map(i => col(s"bin_$i"))): _*)
+          .orderBy("l_returnflag")
+      },
+      Some(f18bOracle))
   )
+
+  /** DuckDB twin of `Distribution.priceDistribution` (nBins=10, step=100,
+    * minSupport=100): quantiles of the DISTINCT set, then the repair fold as
+    * a recursive CTE carrying (i, edges, last). */
+  private def f18bOracle: String = {
+    // Banker's rounding (Spark rint): half-to-even, not DuckDB's round().
+    def rint(x: String): String =
+      s"(CASE WHEN ($x) - floor($x) = 0.5 THEN " +
+        s"(CASE WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN floor($x) ELSE floor($x) + 1 END) " +
+        s"ELSE floor(($x) + 0.5) END)"
+    val r = s"(${rint("raw_edges[i + 1] / 100.0")} * 100.0)"
+    val v = s"(CASE WHEN last IS NOT NULL AND $r <= last THEN last + 100.0 ELSE $r END)"
+    val binCols = (1 to 10).map(i =>
+      s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS bin_$i").mkString(", ")
+    val eOut = (1 to 11).map(i =>
+      s"CASE WHEN s.n >= 100 THEN r.edges[$i] END AS e$i").mkString(", ")
+    val bOut = (1 to 10).map(i =>
+      s"CASE WHEN s.n >= 100 THEN c.bin_$i END AS bin_$i").mkString(", ")
+    s"""WITH RECURSIVE
+       |dist AS (SELECT DISTINCT l_returnflag, l_extendedprice FROM lineitem),
+       |edges0 AS (
+       |  SELECT l_returnflag, quantile_cont(l_extendedprice,
+       |           [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS raw_edges
+       |  FROM dist GROUP BY l_returnflag),
+       |rep AS (
+       |  SELECT l_returnflag, raw_edges, 0 AS i, CAST([] AS DOUBLE[]) AS edges,
+       |         CAST(NULL AS DOUBLE) AS last
+       |  FROM edges0
+       |  UNION ALL
+       |  SELECT l_returnflag, raw_edges, i + 1, edges || [$v], $v
+       |  FROM rep WHERE i < 11),
+       |repaired AS (SELECT l_returnflag, edges FROM rep WHERE i = 11),
+       |support AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1),
+       |bucketed AS (
+       |  SELECT l.l_returnflag,
+       |         greatest(len(list_filter(r.edges[1:10], e -> e <= l.l_extendedprice)), 1) AS bucket
+       |  FROM lineitem l JOIN repaired r USING (l_returnflag)),
+       |counts AS (SELECT l_returnflag, $binCols FROM bucketed GROUP BY 1)
+       |SELECT s.l_returnflag, s.n, $eOut, $bOut
+       |FROM support s JOIN repaired r USING (l_returnflag)
+       |JOIN counts c USING (l_returnflag)
+       |ORDER BY s.l_returnflag""".stripMargin
+  }
 }
