@@ -126,30 +126,47 @@ object LlmQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
-    // Blocked exact n-gram Jaccard: pairs only within the same `source`
-    // (the blocking key), sampled to every 5th doc — the scalable pattern is
-    // the block join, never an unkeyed cartesian.
+    // Blocked exact bigram Jaccard: pairs restricted to the same `source`,
+    // but candidates come from the LSH band join keyed (source, band_idx,
+    // band hash) — NOT a raw self-join on `source`, whose 20-value key would
+    // make per-block work quadratic in data size. Exact 2-gram Jaccard then
+    // verifies candidates only. Planted near-copies (every 10th doc, last
+    // two words dropped, same source) guarantee recallable pairs.
     Q("d4_ngram_jaccard",
       (s, d) => {
-        val base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .select(col("source"), col("doc_id"), TextOps.shinglesExpr("toks", 2).as("grams"))
-        val a = base.select(col("source"), col("doc_id").as("id1"), col("grams").as("g1"))
-        val b = base.select(col("source"), col("doc_id").as("id2"), col("grams").as("g2"))
-        a.join(b, Seq("source")).filter(col("id1") < col("id2"))
-          .select(col("source"), col("id1"), col("id2"),
-            round(TextOps.jaccard(col("g1"), col("g2")), 6).as("jac"))
-          .orderBy("source", "id1", "id2")
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
+              expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks")))
+        Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8,
+            threshold = 0.3, w = 2, blockCols = Seq("source"))
+          .orderBy("id1", "id2")
       },
       Some {
         val sh = dShingles("toks", 2)
-        s"""WITH base AS (SELECT source, doc_id, $sh AS grams
-           |              FROM (SELECT source, doc_id, string_split(text, ' ') AS toks
-           |                    FROM documents WHERE doc_id % 5 = 0))
-           |SELECT a.source AS source, a.doc_id AS id1, b.doc_id AS id2,
-           |  ROUND(${dJaccard("a.grams", "b.grams")}, 6) AS jac
-           |FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
-           |ORDER BY 1, 2, 3""".stripMargin
+        s"""WITH docs AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
+           |aug AS (SELECT source, doc_id, toks FROM docs
+           |        UNION ALL
+           |        SELECT source, doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+           |        FROM docs WHERE doc_id % 10 = 0),
+           |sh AS (SELECT source, doc_id, $sh AS shingles FROM aug),
+           |sh2 AS (SELECT source, doc_id, shingles FROM sh WHERE len(shingles) > 0),
+           |sig AS (SELECT source, doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
+           |bands AS (SELECT source, doc_id, j AS band_idx,
+           |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
+           |              x -> CAST(x AS VARCHAR)), '|')) AS bh
+           |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+           |cand AS (SELECT DISTINCT a.source AS source, a.doc_id AS id1, b.doc_id AS id2
+           |         FROM bands a JOIN bands b
+           |           ON a.source = b.source AND a.band_idx = b.band_idx AND a.bh = b.bh
+           |         WHERE a.doc_id < b.doc_id)
+           |SELECT cand.source AS source, id1, id2,
+           |  ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
+           |FROM cand JOIN sh2 x ON cand.id1 = x.doc_id JOIN sh2 y ON cand.id2 = y.doc_id
+           |WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.3
+           |ORDER BY id1, id2""".stripMargin
       }),
 
     // ——— Similarity search ————————————————————————————————————————————

@@ -51,6 +51,21 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(j) == 1, plan(j))
   }
 
+  test("blocked LSH candidate join shuffles on (block, band, hash), never the block key alone (d4)") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+      docs, "doc_id", "toks", w = 2, blockCols = Seq("source"))
+    val p = plan(pairs)
+    // the candidate join must key on (source, band_idx, band hash) — a key
+    // whose cardinality grows with data; a join keyed on source alone is the
+    // quadratic per-block anti-pattern (20 distinct values at every scale)
+    assert("Join \\[source#\\d+, band_idx#\\d+, bh#\\d+\\]".r
+      .findFirstIn(p).isDefined, p)
+    assert("Join \\[source#\\d+\\], \\[source#\\d+\\]".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project spine") {
     val df = Tables.lineitem(spark, sf())
       .filter(col("l_quantity") > 10)
