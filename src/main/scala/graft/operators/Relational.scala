@@ -101,7 +101,21 @@ object Relational {
     * match inclusive (>=).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String]): DataFrame =
+    asOfJoin(left, right, key, tsCol, payloadCols, forwardRetry = false)
+
+  /** As-of join with the reference's miss-retry semantics
+    * (`dvf/geoloc/task_functions.py:290-305`): rows with no backward match
+    * (left.ts earlier than every right row for the key) are retried against
+    * the FIRST LATER right row — the reference's "remainders re-enriched at
+    * each upcoming snapshot batch", collapsed into one forward window pass
+    * over the same single shuffle.
+    *
+    * With `forwardRetry = true` the result also carries `asof_dir`:
+    * 'backward' | 'forward' | null (no right row for the key at all).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payloadCols: Seq[String], forwardRetry: Boolean): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r = right.select(col(key) +: col(tsCol) +:
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)
@@ -111,13 +125,32 @@ object Relational {
     // appended to the ordering so ties between right rows at the same
     // (key, ts) resolve deterministically.
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key)
-      .orderBy(col(tsCol) +: col("__side") +: payloadCols.map(c => col(s"__p_$c")): _*)
+    val order = col(tsCol) +: col("__side") +: payloadCols.map(c => col(s"__p_$c"))
+    val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(unioned) { case (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts",
-      last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    // Forward frame shares the shuffle+sort of `w` (same partitioning and
+    // ordering) — the retry costs one extra window function, zero shuffles.
+    // At equal ts right rows sort BEFORE left, so the forward frame sees
+    // strictly-later rights only; equal-ts matches already resolve backward.
+    val wf = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def back(c: String): Column = last(col(s"__p_$c"), ignoreNulls = true).over(w)
+    def fwd(c: String): Column = first(col(s"__p_$c"), ignoreNulls = true).over(wf)
+    val backTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w)
+    val fwdTs = first(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(wf)
+    val filled =
+      if (!forwardRetry) {
+        payloadCols.foldLeft(unioned) { case (d, c) =>
+          d.withColumn(s"asof_$c", back(c))
+        }.withColumn("asof_ts", backTs)
+      } else {
+        payloadCols.foldLeft(unioned) { case (d, c) =>
+          d.withColumn(s"asof_$c", coalesce(back(c), fwd(c)))
+        }.withColumn("asof_ts", coalesce(backTs, fwdTs))
+          .withColumn("asof_dir",
+            when(backTs.isNotNull, lit("backward"))
+              .when(fwdTs.isNotNull, lit("forward")))
+      }
     filled.filter(col("__side") === 1)
       .drop("__side" +: payloadCols.map("__p_" + _): _*)
   }

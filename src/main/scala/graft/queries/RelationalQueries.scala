@@ -331,6 +331,41 @@ object RelationalQueries {
                FROM p ASOF LEFT JOIN sg ON p.user_id = sg.user_id AND p.ts_us_long >= sg.ts_us_long
                ORDER BY p.event_id""")),
 
+    // J12 full parity: the reference retries rows that missed the backward
+    // as-of against the NEXT snapshot (`dvf/geoloc/task_functions.py:290-305`).
+    // Same single shuffle — the forward pass is one extra window function
+    // over the already-sorted frame. Misses drop 190 -> 0 at sf0.01.
+    Q("j12b_asof_forward_retry",
+      (s, d) => {
+        val ev = EV(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us_long")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us_long"), col("event_id").as("sig_id"))
+        Relational.asOfJoin(purchases, signups, "user_id", "ts_us_long",
+            Seq("sig_id"), forwardRetry = true)
+          .select(col("event_id"), col("user_id"),
+            col("asof_ts").as("signup_ts_us"), col("asof_sig_id").as("signup_event_id"),
+            col("asof_dir"))
+          .orderBy("event_id")
+      },
+      Some(s"""${evCte},
+               p AS (SELECT event_id, user_id, ts_us_long FROM ev WHERE event_type = 'purchase'),
+               sg AS (SELECT event_id AS sig_id, user_id, ts_us_long FROM ev WHERE event_type = 'signup'),
+               b AS (SELECT p.event_id, p.user_id, sg.ts_us_long AS b_ts, sg.sig_id AS b_sig
+                     FROM p ASOF LEFT JOIN sg
+                       ON p.user_id = sg.user_id AND p.ts_us_long >= sg.ts_us_long),
+               f AS (SELECT p.event_id, sg.ts_us_long AS f_ts, sg.sig_id AS f_sig
+                     FROM p ASOF LEFT JOIN sg
+                       ON p.user_id = sg.user_id AND p.ts_us_long <= sg.ts_us_long)
+               SELECT b.event_id, b.user_id,
+                 COALESCE(b.b_ts, f.f_ts) AS signup_ts_us,
+                 COALESCE(b.b_sig, f.f_sig) AS signup_event_id,
+                 CASE WHEN b.b_ts IS NOT NULL THEN 'backward'
+                      WHEN f.f_ts IS NOT NULL THEN 'forward' END AS asof_dir
+               FROM b JOIN f USING (event_id)
+               ORDER BY b.event_id""")),
+
     Q("j14_range_join",
       (s, d) => {
         val buckets = s.range(0, 10).select(col("id").cast("int").as("bucket_id"),

@@ -48,6 +48,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.select("asof_payload").as[String].head() == "r")
   }
 
+  test("asOfJoin forwardRetry fills backward misses with the first later right row") {
+    val left = Seq((1, 5L, "early"), (1, 15L, "late"), (2, 9L, "noRight"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, 8L, "r8"), (1, 10L, "r10")).toDF("k", "ts", "payload")
+    val out = Relational.asOfJoin(left, right, "k", "ts", Seq("payload"),
+        forwardRetry = true)
+      .select($"tag", $"asof_payload", $"asof_ts", $"asof_dir")
+      .as[(String, Option[String], Option[Long], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ts=5 precedes every right row → retried forward onto r8 (the FIRST later)
+    assert(out("early") == ((Some("r8"), Some(8L), Some("forward"))))
+    // a backward match stays backward (never overwritten by later rows)
+    assert(out("late") == ((Some("r10"), Some(10L), Some("backward"))))
+    // no right row for the key at all → still unmatched, direction null
+    assert(out("noRight") == ((None, None, None)))
+  }
+
   test("cdcDiff returns multiplicity-aware additions and deletions") {
     val old = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("k", "v")
     val neu = Seq(("x", 1), ("y", 2), ("z", 3)).toDF("k", "v")
