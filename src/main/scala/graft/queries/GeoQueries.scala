@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Hilbert, NormAdresse, PolygonContains}
+import graft.functions.{Hilbert, NormAdresse, NormAdresseFixtures, NormAdresseFull, PolygonContains}
 import QH._
 
 /** Geospatial + address-normalization inventory (J13, F23, F9): custom
@@ -80,6 +80,35 @@ object GeoQueries {
           "WHEN 2 THEN 'BOULEVARD' ELSE 'PLACE' END) || ' DE LA RÉPUBLIQUE'"
         s"""SELECT c_custkey, $addrSql AS addr, ${NormAdresse.oracleSql(addrSql)} AS norm
            |FROM customer ORDER BY c_custkey""".stripMargin
+      }),
+
+    // F9 full parity: the 8-stage, 341-rule abbreviator
+    // (`insee/sirene/geocodage/scripts/normadresse.py:23-226`) as a codegen'd
+    // Catalyst expression, over the reference's own golden fixture addresses
+    // keyed by nation. The staged rewriter is not SQL-expressible, so the
+    // oracle embeds driver-computed expected values (the f23 CASE-table
+    // pattern); engine-vs-reference parity is separately pinned by
+    // NormAdresseFullSpec replaying all 41 published golden pairs.
+    Q("f9b_normadresse_full",
+      (s, d) => {
+        val addrs = NormAdresseFixtures.cases.map(_._1)
+        val arr = array(addrs.map(lit): _*)
+        Tables.nation(s, d)
+          .select(col("n_nationkey"),
+            element_at(arr, col("n_nationkey") % addrs.size + 1).as("addr"))
+          .withColumn("norm", NormAdresseFull.normadresseFull(col("addr")))
+          .orderBy("n_nationkey")
+      },
+      Some {
+        def q(s: String) = s.replace("'", "''")
+        val ins = NormAdresseFixtures.cases.map(c => s"'${q(c._1)}'")
+          .mkString("[", ", ", "]")
+        val outs = NormAdresseFixtures.cases
+          .map(c => s"'${q(NormAdresseFull.abrev(c._1))}'")
+          .mkString("[", ", ", "]")
+        val idx = s"n_nationkey % ${NormAdresseFixtures.cases.size} + 1"
+        s"""SELECT n_nationkey, ($ins)[$idx] AS addr, ($outs)[$idx] AS norm
+           |FROM nation ORDER BY n_nationkey""".stripMargin
       })
   )
 }
