@@ -46,4 +46,49 @@ object Hierarchy {
   /** Denormalized sorted ancestor arrays (`geozones/task_functions.py:175-176`). */
   def ancestorArrays(closure: DataFrame): DataFrame =
     closure.groupBy("node").agg(array_sort(collect_set("ancestor")).as("ancestors"))
+
+  /** Closest exported parents (`geozones/task_functions.py:149-164`): a
+    * node's direct parents that are in the export, climbing THROUGH
+    * filtered-out parents until an exported one is found on each path (the
+    * reference skips non-exported levels like canton/arrondissement).
+    *
+    * Spark-first shape: the frontier holds only still-unresolved (node,
+    * via) paths, so each round is one equi-join of the shrinking frontier
+    * against the edge set — resolved paths leave the loop immediately.
+    * Cycles are cut by `maxRounds` (the reference cuts back-edges with a
+    * visiting set; a cyclic all-non-exported component simply resolves to
+    * no parent here too).
+    *
+    * @return (node, parent) pairs, parent ∈ exported. Roots and nodes whose
+    *         every path dead-ends produce no rows (reference: empty set).
+    */
+  def closestExportedParents(edges: DataFrame, childCol: String, parentCol: String,
+                             exported: DataFrame, exportedCol: String,
+                             maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
+      .filter(col("child") =!= col("parent")).distinct()
+    val x = exported.select(col(exportedCol).as("__xid")).distinct()
+    def classify(df: DataFrame): DataFrame =
+      df.join(x, df("parent") === x("__xid"), "left")
+        .select(col("node"), col("parent"), col("__xid").isNotNull.as("__hit"))
+    var tagged = classify(e.select(col("child").as("node"), col("parent")))
+      .localCheckpoint(true)
+    var result = tagged.filter(col("__hit")).select("node", "parent")
+    var frontier = tagged.filter(!col("__hit"))
+      .select(col("node"), col("parent").as("via"))
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val step = frontier.join(e, frontier("via") === e("child"))
+        .select(col("node"), e("parent").as("parent")).distinct()
+      tagged = classify(step).localCheckpoint(true)
+      result = result.union(tagged.filter(col("__hit")).select("node", "parent"))
+      frontier = tagged.filter(!col("__hit")).select(col("node"), col("parent").as("via"))
+      round += 1
+    }
+    result.distinct()
+  }
+
+  /** Denormalized sorted closest-parent arrays (`task_functions.py:177`). */
+  def parentArrays(parents: DataFrame): DataFrame =
+    parents.groupBy("node").agg(array_sort(collect_set("parent")).as("parents"))
 }

@@ -109,6 +109,41 @@ object GeoQueries {
         val idx = s"n_nationkey % ${NormAdresseFixtures.cases.size} + 1"
         s"""SELECT n_nationkey, ($ins)[$idx] AS addr, ($outs)[$idx] AS norm
            |FROM nation ORDER BY n_nationkey""".stripMargin
-      })
+      }),
+
+    // Geozones closest-exported-parent (`geozones/task_functions.py:149-164`)
+    // over the real customer→nation→region FK hierarchy, with odd nations
+    // playing the filtered-out level (the reference's canton/arrondissement):
+    // customers under an odd nation climb through it to their region.
+    Q("h1_closest_exported_parent",
+      (s, d) => {
+        val custEdges = Tables.customer(s, d)
+          .select(concat(lit("c:"), col("c_custkey")).as("child"),
+            concat(lit("n:"), col("c_nationkey")).as("parent"))
+        val natEdges = Tables.nation(s, d)
+          .select(concat(lit("n:"), col("n_nationkey")).as("child"),
+            concat(lit("r:"), col("n_regionkey")).as("parent"))
+        val edges = custEdges.unionByName(natEdges)
+        val exported = custEdges.select(col("child").as("id"))
+          .unionByName(Tables.nation(s, d).filter(col("n_nationkey") % 2 === 0)
+            .select(concat(lit("n:"), col("n_nationkey")).as("id")))
+          .unionByName(Tables.region(s, d)
+            .select(concat(lit("r:"), col("r_regionkey")).as("id")))
+        val parents = graft.operators.Hierarchy.closestExportedParents(
+          edges, "child", "parent", exported, "id")
+          // reference computes parents only FOR exported ids (task_functions.py:168)
+          .join(exported, col("node") === col("id"), "left_semi")
+        graft.operators.Hierarchy.parentArrays(parents).orderBy("node")
+      },
+      Some(
+        """WITH n AS (SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation),
+          |cust AS (SELECT 'c:' || c_custkey AS node,
+          |           CASE WHEN n.nk % 2 = 0 THEN 'n:' || n.nk
+          |                ELSE 'r:' || n.rk END AS parent
+          |         FROM customer JOIN n ON c_nationkey = n.nk),
+          |nat AS (SELECT 'n:' || nk AS node, 'r:' || rk AS parent FROM n WHERE nk % 2 = 0),
+          |allp AS (SELECT node, parent FROM cust UNION SELECT node, parent FROM nat)
+          |SELECT node, list_sort(list(DISTINCT parent)) AS parents
+          |FROM allp GROUP BY node ORDER BY node""".stripMargin))
   )
 }

@@ -60,4 +60,35 @@ class DistributionHierarchySpec extends SparkSpec {
     assert(anc("epci1") == Seq("dept1", "region1"))
     assert(anc("dept1") == Seq("region1"))
   }
+
+  test("closestExportedParents climbs through filtered-out levels") {
+    // 4 levels: commune -> canton -> dept -> region, with cantons NOT
+    // exported (the reference's filtered level) and a diamond for communeB.
+    val edges = Seq(
+      ("communeA", "canton1"), ("canton1", "dept1"), ("dept1", "region1"),
+      ("communeB", "canton1"), ("communeB", "epci1"), ("epci1", "dept1"),
+      ("communeC", "dept1"),
+      // all-filtered dead end: communeD's only path never reaches an export
+      ("communeD", "cantonX"), ("cantonX", "cantonY")
+    ).toDF("child", "parent")
+    val exported = Seq("communeA", "communeB", "communeC", "communeD",
+      "epci1", "dept1", "region1").toDF("id")
+    val parents = Hierarchy.closestExportedParents(edges, "child", "parent", exported, "id")
+    val m = Hierarchy.parentArrays(parents).as[(String, Seq[String])].collect().toMap
+    assert(m("communeA") == Seq("dept1"))          // canton1 skipped -> dept1
+    assert(m("communeB") == Seq("dept1", "epci1")) // diamond: canton path + epci
+    assert(m("communeC") == Seq("dept1"))          // direct exported parent
+    assert(m("dept1") == Seq("region1"))
+    assert(m("epci1") == Seq("dept1"))
+    assert(!m.contains("communeD"))                // dead-ends resolve to no parent
+    assert(!m.contains("region1"))                 // roots have no parents
+  }
+
+  test("closestExportedParents terminates on a non-exported cycle") {
+    val edges = Seq(("a", "x"), ("x", "y"), ("y", "x")).toDF("child", "parent")
+    val exported = Seq("a").toDF("id")
+    val parents = Hierarchy.closestExportedParents(edges, "child", "parent",
+      exported, "id", maxRounds = 5)
+    assert(parents.count() == 0)
+  }
 }
