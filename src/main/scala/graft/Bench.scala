@@ -20,8 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // ~100 sequential queries in one driver: ContextCleaner only reclaims
       // shuffle files / broadcasts when the driver GCs, which a large heap
-      // rarely does — stale state then stalls arbitrary later queries.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // rarely does — stale state then stalls arbitrary later queries. A 30s
+      // GC timer fixed that in round 2 but landed full-GC pauses INSIDE
+      // timed queries (up to 200% per-query spread across runs), so the GC
+      // now runs explicitly between queries — outside the timed window —
+      // and the timer is only a long-stop fallback.
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM / codegen / parquet reader paths so the first timed
@@ -37,6 +41,10 @@ object Bench {
         }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s ${if (ok) secs else -1.0}%8.2f s")
+      // Untimed inter-query GC: lets the ContextCleaner reclaim the finished
+      // query's shuffles/broadcasts without a pause landing in the next
+      // query's timed window.
+      System.gc()
       name -> (if (ok) secs else -1.0)
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a

@@ -153,14 +153,20 @@ object FunctionQueries {
                  MIN(ts_us_long) // 1000000 AS first_epoch_s
                FROM ev GROUP BY user_id ORDER BY user_id""")),
 
+    // Both outputs are the SAME from_json subtree, so whole-stage codegen's
+    // subexpression elimination parses each row once. (The round-2 version
+    // mixed get_json_object with from_json — two different parse exprs CSE
+    // cannot merge, and the one multi-second-variance query in the bench.)
     Q("f14_json_extract",
-      (s, d) => Tables.events(s, d)
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"))
-        .orderBy("event_id"),
+      (s, d) => {
+        val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+        Tables.events(s, d)
+          .select(col("event_id"), parsed.getField("k").as("k_int"),
+            parsed.getField("k").as("k_struct"))
+          .orderBy("event_id")
+      },
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
               FROM events ORDER BY event_id""")),

@@ -53,6 +53,45 @@ object Writers {
       .drop("__old", "__new")
   }
 
+  /** Byte-compatible CSV export contract
+    * (`dvf/explore/task_functions.py:764-803`): fixed column order, pandas
+    * `float_format="%.0f"` rendering, ONE header line, then each subsequent
+    * year appended header-less — a single consumer-facing CSV file.
+    *
+    * Float rendering matches C printf `%.0f`: round HALF-EVEN to integer
+    * (Spark `bround`), nulls become empty fields (pandas `na_rep=''`).
+    * Known divergence: (-0.5, 0) renders "0", not C's "-0".
+    *
+    * Each year's frame is formatted and sorted DISTRIBUTED, then written as
+    * single-partition CSV (the contract is one ordered file — inherently a
+    * one-stream sink) and stream-appended to `dest` on the driver.
+    */
+  def csvExportContract(years: Seq[DataFrame], dest: String,
+                        columnOrder: Seq[String], sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, StringType}
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(dest, false))
+    try years.zipWithIndex.foreach { case (df, i) =>
+      val cols = columnOrder.map { c =>
+        df.schema(c).dataType match {
+          case DoubleType | FloatType =>
+            bround(col(c)).cast(DecimalType(38, 0)).cast(StringType).as(c)
+          case _ => col(c)
+        }
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("csvexp").toString
+      df.select(cols: _*).orderBy(sortCols.map(col): _*).coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .option("header", (i == 0).toString).option("emptyValue", "")
+        .csv(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, out)
+      out.flush()
+    } finally out.close()
+  }
+
   /** St2: processed-file registry (`dgv/tabular_metrics/task_functions.py:
     * 177-229`): filter a batch of candidate file names down to the
     * never-seen ones, given the registry table. */

@@ -76,4 +76,24 @@ class SourcesSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(fresh == Set("f1.log", "f3.log"))
   }
+
+  test("csv export contract: %.0f half-even floats, one header, year appends") {
+    val dest = s"${tmp()}/stats_dvf_api.csv"
+    val y1 = Seq(("A", Some(0.5), Some("x")), ("B", Some(1.5), Some("joli,nom")))
+      .toDF("code_geo", "nb_ventes", "libelle")
+    val y2 = Seq(("C", Some(2.5), None), ("D", Option.empty[Double], Some("y")))
+      .toDF("code_geo", "nb_ventes", "libelle")
+    Writers.csvExportContract(Seq(y1, y2), dest,
+      Seq("code_geo", "nb_ventes", "libelle"), Seq("code_geo"))
+    val bytes = new String(Files.readAllBytes(java.nio.file.Paths.get(dest)), "UTF-8")
+    // pandas to_csv(float_format="%.0f") golden: 0.5->0, 1.5->2, 2.5->2
+    // (C printf rounds half-even), nulls empty, one header, minimal quoting
+    assert(bytes ==
+      """code_geo,nb_ventes,libelle
+        |A,0,x
+        |B,2,"joli,nom"
+        |C,2,
+        |D,,y
+        |""".stripMargin, bytes)
+  }
 }
