@@ -18,6 +18,47 @@ import QH._
   */
 object LlmQueries {
 
+  /** Shared d4/d6 pipeline: same-source LSH candidates + exact bigram-
+    * Jaccard verify, with planted near-copies (every 10th doc, last two
+    * words dropped) keeping the pair set recallable. */
+  private def d4Pairs(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val aug = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
+          expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks")))
+    Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8,
+      threshold = 0.3, w = 2, blockCols = Seq("source"))
+  }
+
+  /** DuckDB twin of [[d4Pairs]] as a CTE chain ending in `pairs`. */
+  private def d4PairsCtes: String = {
+    val sh = dShingles("toks", 2)
+    s"""docs AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
+       |aug AS (SELECT source, doc_id, toks FROM docs
+       |        UNION ALL
+       |        SELECT source, doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+       |        FROM docs WHERE doc_id % 10 = 0),
+       |sh AS (SELECT source, doc_id, $sh AS shingles FROM aug),
+       |sh2 AS (SELECT source, doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |sig AS (SELECT source, doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
+       |bands AS (SELECT source, doc_id, j AS band_idx,
+       |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
+       |              x -> CAST(x AS VARCHAR)), '|')) AS bh
+       |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+       |cand AS (SELECT DISTINCT a.source AS source, a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b
+       |           ON a.source = b.source AND a.band_idx = b.band_idx AND a.bh = b.bh
+       |         WHERE a.doc_id < b.doc_id),
+       |pairs AS (SELECT cand.source AS source, id1, id2,
+       |            ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
+       |          FROM cand JOIN sh2 x ON cand.id1 = x.doc_id
+       |          JOIN sh2 y ON cand.id2 = y.doc_id
+       |          WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.3)""".stripMargin
+  }
+
   // ——— DuckDB fragment generators (twins of TextOps/Similarity exprs) ———
 
   private val P = DetHash.P
@@ -133,41 +174,30 @@ object LlmQueries {
     // verifies candidates only. Planted near-copies (every 10th doc, last
     // two words dropped, same source) guarantee recallable pairs.
     Q("d4_ngram_jaccard",
+      (s, d) => d4Pairs(s, d).orderBy("id1", "id2"),
+      Some(
+        s"""WITH $d4PairsCtes
+           |SELECT p.source, id1, id2, jac FROM pairs p
+           |ORDER BY id1, id2""".stripMargin)),
+
+    // Near-dup CLUSTERS: the step after pairwise detection — connected
+    // components over the d4 LSH pairs turn hits into dedup groups
+    // (keep component == id, drop the rest). Oracle: recursive-CTE
+    // reachability with min-id labeling over the same pairs.
+    Q("d6_dedup_clusters",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val aug = docs.unionByName(
-          docs.filter(col("doc_id") % 10 === 0)
-            .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
-              expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks")))
-        Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8,
-            threshold = 0.3, w = 2, blockCols = Seq("source"))
-          .orderBy("id1", "id2")
+        val pairs = d4Pairs(s, d)
+        Dedup.connectedComponents(pairs, "id1", "id2").orderBy("id")
       },
-      Some {
-        val sh = dShingles("toks", 2)
-        s"""WITH docs AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
-           |aug AS (SELECT source, doc_id, toks FROM docs
-           |        UNION ALL
-           |        SELECT source, doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
-           |        FROM docs WHERE doc_id % 10 = 0),
-           |sh AS (SELECT source, doc_id, $sh AS shingles FROM aug),
-           |sh2 AS (SELECT source, doc_id, shingles FROM sh WHERE len(shingles) > 0),
-           |sig AS (SELECT source, doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
-           |bands AS (SELECT source, doc_id, j AS band_idx,
-           |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
-           |              x -> CAST(x AS VARCHAR)), '|')) AS bh
-           |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
-           |cand AS (SELECT DISTINCT a.source AS source, a.doc_id AS id1, b.doc_id AS id2
-           |         FROM bands a JOIN bands b
-           |           ON a.source = b.source AND a.band_idx = b.band_idx AND a.bh = b.bh
-           |         WHERE a.doc_id < b.doc_id)
-           |SELECT cand.source AS source, id1, id2,
-           |  ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
-           |FROM cand JOIN sh2 x ON cand.id1 = x.doc_id JOIN sh2 y ON cand.id2 = y.doc_id
-           |WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.3
-           |ORDER BY id1, id2""".stripMargin
-      }),
+      Some(
+        s"""WITH RECURSIVE $d4PairsCtes,
+           |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |          UNION SELECT id2, id1 FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+           |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     // ——— Similarity search ————————————————————————————————————————————
 
@@ -386,6 +416,36 @@ object LlmQueries {
       Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
                 substr(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 2) AS shard
               FROM documents ORDER BY doc_id""")),
+
+    // Repetition detection: duplicate-bigram fraction per document — the
+    // repeated-n-gram quality signal LLM data pipelines filter on. Bigrams
+    // are let-bound (letSql) so the array is built once per row.
+    Q("t5_repetition_ratio",
+      (s, d) => {
+        val nBi = expr("greatest(size(split(text, ' ')) - 1, 0)").cast("long")
+        val bigrams = TextOps.letSql("split(text, ' ')", "tv") { tv =>
+          s"""size(array_distinct(if(size($tv) < 2, array(),
+             |  transform(sequence(1, size($tv) - 1),
+             |    i -> concat_ws(' ', element_at($tv, i), element_at($tv, i + 1))))))""".stripMargin
+        }
+        val nDi = expr(bigrams).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), nBi.as("n_bigrams"), nDi.as("n_distinct"),
+            round(when(nBi === 0, 0.0).otherwise(
+              lit(1.0) - nDi.cast("double") / nBi.cast("double")), 6).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_bigrams, n_distinct,
+                ROUND(CASE WHEN n_bigrams = 0 THEN 0.0
+                      ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                      END, 6) AS rep_ratio
+              FROM (SELECT doc_id,
+                      greatest(len(toks) - 1, 0) AS n_bigrams,
+                      len(list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]) END)) AS n_distinct
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+              ORDER BY doc_id""")),
 
     // ——— Multimodal ———————————————————————————————————————————————————
 

@@ -98,4 +98,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val j = df.select(TextOps.jaccard($"x", $"y")).as[Double].head()
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("connectedComponents labels chains, diamonds, and singleton pairs") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), diamond 10-11-12 with
+    // both 10-11 and 10-12 and 11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
