@@ -101,20 +101,27 @@ object Similarity {
 
   /** Shared candidate generation for the multi-table LSH paths. The query
     * side is broadcast only when it is genuinely small (search); self-join
-    * dedup passes broadcastQueries = false and shuffles on (tbl, bucket). */
+    * dedup passes broadcastQueries = false and shuffles on (tbl, bucket).
+    *
+    * The bucket join shuffles ONLY (id, tbl, bucket) — never the vector
+    * payloads, which would multiply corpus volume by 2*nTables (the same
+    * rule the MinHash band join follows, `Dedup.minhashLshPairs`). Vectors
+    * re-attach to the deduplicated candidate pairs via two id equi-joins. */
   private[operators] def lshTopKCandidates(queries: DataFrame, corpus: DataFrame,
       nPlanes: Int, dim: Int, nTables: Int,
       broadcastQueries: Boolean = true): DataFrame = {
-    def explodeTables(df: DataFrame, vecCol: String) =
+    def explodeTables(df: DataFrame, idCol: String, vecCol: String) =
       df.withColumn("__bs", lshBucketsExpr(vecCol, nPlanes, dim, nTables))
-        .select(df.columns.map(col) :+
-          posexplode(col("__bs")).as(Seq("tbl", "bucket")): _*)
-    val qb0 = explodeTables(queries, "qvec")
+        .select(col(idCol), posexplode(col("__bs")).as(Seq("tbl", "bucket")))
+    val qb0 = explodeTables(queries, "qid", "qvec")
     val qb = if (broadcastQueries) broadcast(qb0) else qb0
-    val cb = explodeTables(corpus, "cvec")
-    cb.join(qb, Seq("tbl", "bucket"))
+    val cb = explodeTables(corpus, "cid", "cvec")
+    val candIds = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "qvec", "cid", "cvec").dropDuplicates("qid", "cid")
+      .select("qid", "cid").dropDuplicates("qid", "cid")
+    val qSide = if (broadcastQueries) broadcast(queries) else queries
+    candIds.join(qSide, Seq("qid")).join(corpus, Seq("cid"))
+      .select("qid", "qvec", "cid", "cvec")
   }
 
   /** Multi-table LSH approximate top-k (OR-amplification): a candidate is
