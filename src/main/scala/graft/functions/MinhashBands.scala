@@ -1,0 +1,154 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.DetHash
+
+/** Native codegen'd MinHash pipeline: token array → w-shingles → 60-bit md5
+  * hashes → k-signature affine MinHash → b band hashes, in ONE JVM call per
+  * row.
+  *
+  * Bit-identical to the HOF form it replaces (`TextOps.minhashBandsExpr`,
+  * which still generates the DuckDB oracle SQL): same md5-first-15-nibbles
+  * hash, same (a*h%P+b)%P family from [[DetHash]], same first-occurrence
+  * shingle order, same '|'-joined band digests. The HOF form is
+  * CodegenFallback — a boxed lambda call per element per stage (the
+  * catalyst-eval-cost trap); this expression is one tight loop inside
+  * WholeStageCodegen.
+  */
+case class MinhashBands(child: Expression, w: Int, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("shingles", ArrayType(StringType)),
+    StructField("bands", ArrayType(StringType))))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinhashBands.compute(v.asInstanceOf[ArrayData], w, k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashBands.compute($c, $w, $k, $bands);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+  private val P = DetHash.P
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+  // seed cache per k (tiny): (a[], b[]) from the shared deterministic family
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def seeds(k: Int): (Array[Long], Array[Long]) =
+    seedCache.computeIfAbsent(k, (kk: Int) => {
+      val s = DetHash.minhashSeeds(kk)
+      (s.map(_._1).toArray, s.map(_._2).toArray)
+    })
+
+  /** First 15 md5 hex nibbles as a 60-bit long (== md5LongSql). */
+  private def md5Long60(bytes: Array[Byte]): Long = {
+    val d = md.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private def md5Hex(s: String): UTF8String = {
+    val d = md.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** JVM worker shared by interpreted eval and generated code; null when the
+    * document is too short to shingle (matching the HOF form). */
+  def compute(toks: ArrayData, w: Int, k: Int, nBands: Int): InternalRow = {
+    val n = toks.numElements()
+    if (n < w) return null
+    // w-shingles, distinct with first-occurrence order (array_distinct)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= n - w) {
+      // concat_ws(' ', ...) semantics: null elements vanish WITH their
+      // separator; empty strings are kept
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      var appended = 0
+      while (j < w) {
+        val t = toks.getUTF8String(i + j)
+        if (t != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(t.toString)
+          appended += 1
+        }
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    if (seen.isEmpty) return null
+    val (sa, sb2) = seeds(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val shingleArr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var s = 0
+    while (it.hasNext) {
+      val sh = it.next()
+      shingleArr(s) = UTF8String.fromString(sh)
+      val h = md5Long60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % P
+      var q = 0
+      while (q < k) {
+        val v = (sa(q) * h + sb2(q)) % P
+        if (v < sig(q)) sig(q) = v
+        q += 1
+      }
+      s += 1
+    }
+    val r = k / nBands
+    val bandArr = new Array[AnyRef](nBands)
+    var bIdx = 0
+    while (bIdx < nBands) {
+      val sj = new java.lang.StringBuilder()
+      var x = 0
+      while (x < r) {
+        if (x > 0) sj.append('|')
+        sj.append(sig(bIdx * r + x))
+        x += 1
+      }
+      bandArr(bIdx) = md5Hex(sj.toString)
+      bIdx += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(shingleArr), new GenericArrayData(bandArr)))
+  }
+
+  /** Column entry point matching `TextOps.minhashBandsExpr`'s shape. */
+  def minhashBands(toks: Column, w: Int, k: Int, b: Int): Column =
+    Bridge.column(MinhashBands(Bridge.expression(toks), w, k, b))
+}

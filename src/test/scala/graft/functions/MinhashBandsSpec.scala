@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TextOps
+
+/** The native MinHash expression must be bit-identical to the HOF form that
+  * generates the DuckDB oracle SQL — shingle order, signatures, band hashes.
+  */
+class MinhashBandsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sf())
+    .select($"doc_id", TextOps.tokens($"text").as("toks"))
+
+  test("native expression equals the HOF form on real documents") {
+    val both = docs
+      .withColumn("nat", MinhashBands.minhashBands($"toks", 3, 16, 8))
+      .withColumn("hof", TextOps.minhashBandsExpr("toks", 3, 16, 8, 2))
+    assert(both.filter(
+      ($"nat".isNull =!= $"hof".isNull) ||
+        ($"nat.shingles" =!= $"hof.shingles") ||
+        ($"nat.bands" =!= $"hof.bands")).count() == 0)
+  }
+
+  test("interpreted path matches codegen path") {
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen == "true") "FALLBACK" else "NO_CODEGEN")
+      try docs.limit(50)
+        .select(MinhashBands.minhashBands($"toks", 2, 16, 8).cast("string"))
+        .as[String].collect().toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(run("true") == run("false"))
+  }
+
+  test("too-short documents yield null (HOF parity)") {
+    val df = Seq(Seq("one"), Seq("a", "b", "c")).toDF("toks")
+    val out = df.select(MinhashBands.minhashBands($"toks", 2, 16, 8).isNull)
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false))
+  }
+}
