@@ -21,5 +21,19 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"hilbert_index order must be an integer literal, got $other")
         }), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "normadresse", exprs => NormAdresseAbrev(exprs.head), "scala_udf")
+    // minhash_bands(toks, w, k, b) — w/k/b must be integer literals
+    registry.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinhashBands(exprs.head,
+        intLit(exprs(1), "w"), intLit(exprs(2), "k"), intLit(exprs(3), "b")),
+      "scala_udf")
+  }
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_bands $name must be an integer literal, got $other")
   }
 }

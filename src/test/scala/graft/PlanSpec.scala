@@ -66,6 +66,23 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[source#\\d+\\], \\[source#\\d+\\]".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("metrics DAG base facts push event_type filters to the parquet scan") {
+    val base = graft.pipelines.MetricsViews.deriveBase(spark, sf())
+    val p = plan(base.visitsDatasets)
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"), p)
+  }
+
+  test("metrics DAG aggregates are partial (map-side combine) before every shuffle") {
+    val base = graft.pipelines.MetricsViews.deriveBase(spark, sf())
+    val views = graft.pipelines.MetricsViews.compose(base)
+    val p = plan(views("metrics_organizations"))
+    // every sum feeding a left join aggregates before the exchange
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    // no exchange keyed on a constant (single-partition collapse) except the
+    // driver-side sort at the very top would be rangepartitioning — fine
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project spine") {
     val df = Tables.lineitem(spark, sf())
       .filter(col("l_quantity") > 10)
