@@ -377,26 +377,59 @@ object MetricsViews {
       "resources_total" -> resourcesTotal(base.visitsResources))
   }
 
-  /** Refresh loop (`dgv/metrics/task.py:276-283`): write every view to
-    * `outDir/<name>` in [[materializedViews]] order, each downstream view
-    * reading the parquet its upstream just wrote. Idempotent overwrite.
-    * Returns the materialized DataFrames (re-read from disk). */
-  def materialize(spark: SparkSession, base: Base, outDir: String): Map[String, DataFrame] = {
+  private def baseTables(b: Base): Seq[(String, DataFrame)] = Seq(
+    "visits_datasets" -> b.visitsDatasets,
+    "visits_resources" -> b.visitsResources,
+    "visits_organizations" -> b.visitsOrganizations,
+    "visits_reuses" -> b.visitsReuses,
+    "visits_dataservices" -> b.visitsDataservices,
+    "matomo_datasets" -> b.matomoDatasets,
+    "matomo_reuses" -> b.matomoReuses,
+    "matomo_organizations" -> b.matomoOrganizations,
+    "matomo_dataservices" -> b.matomoDataservices)
+
+  /** Load base facts partitioned by date_metric with DYNAMIC partition
+    * overwrite — the reference's duplication-safety delete-day-then-reload
+    * (`dgv/metrics/task.py:199-221`): re-running a day replaces exactly that
+    * day's partitions and touches nothing else. Pass a Base filtered to the
+    * new day(s) for the daily increment; pass the full Base for a backfill. */
+  def loadBase(base: Base, outDir: String): Unit =
+    baseTables(base).foreach { case (name, df) =>
+      graft.sources.Writers.overwritePartitions(df, s"$outDir/$name",
+        Seq("date_metric"))
+    }
+
+  /** Refresh loop (`dgv/metrics/task.py:276-283`): recompute every view from
+    * the materialized base tables into `outDir/<name>` in
+    * [[materializedViews]] order, each downstream view reading the parquet
+    * its upstream just wrote. Idempotent overwrite. */
+  def refreshViews(spark: SparkSession, outDir: String): Map[String, DataFrame] = {
+    // partition values must come back as the strings the views expect
+    val prev = spark.conf.getOption("spark.sql.sources.partitionColumnTypeInference.enabled")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try refreshViews0(spark, outDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
+    }
+  }
+
+  private def refreshViews0(spark: SparkSession, outDir: String): Map[String, DataFrame] = {
+    def readBase(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
     def write(name: String, df: DataFrame): DataFrame = {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       spark.read.parquet(s"$outDir/$name")
     }
-    // Base tables land first (the daily-loaded visit/matomo facts).
     val b = Base(
-      visitsDatasets = write("visits_datasets", base.visitsDatasets),
-      visitsResources = write("visits_resources", base.visitsResources),
-      visitsOrganizations = write("visits_organizations", base.visitsOrganizations),
-      visitsReuses = write("visits_reuses", base.visitsReuses),
-      visitsDataservices = write("visits_dataservices", base.visitsDataservices),
-      matomoDatasets = write("matomo_datasets", base.matomoDatasets),
-      matomoReuses = write("matomo_reuses", base.matomoReuses),
-      matomoOrganizations = write("matomo_organizations", base.matomoOrganizations),
-      matomoDataservices = write("matomo_dataservices", base.matomoDataservices))
+      visitsDatasets = readBase("visits_datasets"),
+      visitsResources = readBase("visits_resources"),
+      visitsOrganizations = readBase("visits_organizations"),
+      visitsReuses = readBase("visits_reuses"),
+      visitsDataservices = readBase("visits_dataservices"),
+      matomoDatasets = readBase("matomo_datasets"),
+      matomoReuses = readBase("matomo_reuses"),
+      matomoOrganizations = readBase("matomo_organizations"),
+      matomoDataservices = readBase("matomo_dataservices"))
 
     val done = scala.collection.mutable.Map[String, DataFrame]()
     materializedViews.foreach { name =>
@@ -425,5 +458,13 @@ object MetricsViews {
       done(name) = write(name, df)
     }
     done.toMap
+  }
+
+  /** Full backfill: load every base fact, then refresh all 15 views —
+    * `loadBase` + `refreshViews`. The daily flow loads ONLY the new day's
+    * Base and calls [[refreshViews]]. */
+  def materialize(spark: SparkSession, base: Base, outDir: String): Map[String, DataFrame] = {
+    loadBase(base, outDir)
+    refreshViews(spark, outDir)
   }
 }

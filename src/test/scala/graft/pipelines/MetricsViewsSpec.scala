@@ -59,11 +59,46 @@ class MetricsViewsSpec extends SparkSpec {
     }
   }
 
-  // Last on purpose: overwriting the parquet invalidates the file listings
-  // captured by the DataFrames in `views`, so nothing may read them afterwards.
+  // Last two on purpose: overwriting the parquet invalidates the file
+  // listings captured by the DataFrames in `views`, so nothing may read
+  // them afterwards.
   test("re-materialization is idempotent (overwrite, same rows)") {
     val before = views("site").orderBy("metric_month").collect().toSeq
     val again = MetricsViews.materialize(spark, base, outDir)
     assert(again("site").orderBy("metric_month").collect().toSeq == before)
+  }
+
+  test("daily delete-day-then-reload replaces exactly that day, views follow") {
+    val day = base.visitsDatasets.agg(min("date_metric")).head().getString(0)
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("date_metric") === day)
+    val dayVisits = one(base.visitsDatasets).agg(sum("nb_visit")).head().getLong(0)
+    val before = spark.read.parquet(s"$outDir/datasets_total")
+      .agg(sum("visit")).head().getLong(0)
+    // re-load the day with doubled visit counts (the duplication-safety
+    // re-run of task.py:199-221, here with changed data)
+    val doubled = MetricsViews.Base(
+      visitsDatasets = one(base.visitsDatasets)
+        .withColumn("nb_visit", col("nb_visit") * 2),
+      visitsResources = one(base.visitsResources),
+      visitsOrganizations = one(base.visitsOrganizations),
+      visitsReuses = one(base.visitsReuses),
+      visitsDataservices = one(base.visitsDataservices),
+      matomoDatasets = one(base.matomoDatasets),
+      matomoReuses = one(base.matomoReuses),
+      matomoOrganizations = one(base.matomoOrganizations),
+      matomoDataservices = one(base.matomoDataservices))
+    MetricsViews.loadBase(doubled, outDir)
+    val after = MetricsViews.refreshViews(spark, outDir)
+    // only that day's partitions changed: total gains exactly the day's visits
+    assert(after("datasets_total").agg(sum("visit")).head().getLong(0)
+      == before + dayVisits)
+    // untouched days keep their original counts
+    val otherDays = after("metrics_datasets")
+      .filter(col("date_metric") =!= day && col("nb_visit").isNotNull)
+      .agg(sum("nb_visit")).head().getLong(0)
+    val origOther = base.visitsDatasets.filter(col("date_metric") =!= day)
+      .agg(sum("nb_visit")).head().getLong(0)
+    assert(otherDays == origOther)
   }
 }
