@@ -57,4 +57,52 @@ class LogMetricsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(m == Seq(("2024-03", 3L, 3L)))
   }
+
+  test("full §3.2 chain: logs → parse → aggregate → base facts → matview DAG → site") {
+    import org.apache.spark.sql.functions._
+    val agg = LogMetrics.aggregate(LogMetrics.parse(lines.toDF("value")),
+      Seq("fr", "direct", "api"))
+    val joined = LogMetrics.joinCatalog(agg, catalog)
+
+    // shape the aggregated hits into the metrics base-fact tables
+    val visitsDatasets = joined
+      .filter($"entity_type" === "datasets" && $"id".isNotNull)
+      .select(monotonically_increasing_id().as("__id"),
+        $"date".as("date_metric"), $"id".as("dataset_id"),
+        lit("org-1").as("organization_id"), $"nb_visit_total".as("nb_visit"))
+    val emptyLike = visitsDatasets.limit(0)
+    val base = MetricsViews.Base(
+      visitsDatasets = visitsDatasets,
+      visitsResources = joined.filter($"entity_type" === "resources")
+        .select(monotonically_increasing_id().as("__id"), $"date".as("date_metric"),
+          $"slug".as("resource_id"), lit("d-1").as("dataset_id"),
+          lit("org-1").as("organization_id"), $"nb_visit_total".as("nb_visit")),
+      visitsOrganizations = joined.filter($"entity_type" === "organizations")
+        .select(monotonically_increasing_id().as("__id"), $"date".as("date_metric"),
+          $"id".as("organization_id"), $"nb_visit_total".as("nb_visit")),
+      visitsReuses = emptyLike.withColumnRenamed("dataset_id", "reuse_id"),
+      visitsDataservices = emptyLike.withColumnRenamed("dataset_id", "dataservice_id"),
+      matomoDatasets = emptyLike.withColumnRenamed("nb_visit", "nb_outlink"),
+      matomoReuses = emptyLike.withColumnRenamed("dataset_id", "reuse_id")
+        .withColumnRenamed("nb_visit", "nb_outlink"),
+      matomoOrganizations = emptyLike.drop("dataset_id")
+        .withColumnRenamed("nb_visit", "nb_outlink"),
+      matomoDataservices = emptyLike.withColumnRenamed("dataset_id", "dataservice_id")
+        .withColumnRenamed("nb_visit", "nb_outlink"))
+
+    val views = MetricsViews.compose(base)
+    // air-quality 2+1, water-data 1 → monthly dataset visits = 4; resources
+    // roll into the dataset download column via the dataset_id attribution
+    val site = views("site").collect()
+    assert(site.length == 1)
+    val row = views("site").select("metric_month", "monthly_visit_dataset",
+      "monthly_download_resource").head()
+    assert(row.getString(0) == "2024-03")
+    assert(row.getLong(1) == 4L)
+    assert(row.getLong(2) == 1L)
+    // lifetime totals agree with the log-derived counts
+    val totals = views("datasets_total").select("dataset_id", "visit")
+      .as[(String, Long)].collect().toMap
+    assert(totals == Map("d-1" -> 3L, "d-2" -> 1L))
+  }
 }
