@@ -47,8 +47,9 @@ object Distribution {
       .withColumn("edges", repairSql("raw_edges", step)).drop("raw_edges")
     val support = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
     // bucket(v) = #edges (excluding the last) that are <= v, clamped to >= 1
-    val bucket = expr(
-      s"greatest(size(filter(slice(edges, 1, $nBins), e -> e <= $valueCol)), 1)")
+    // — native codegen'd scan, not the CodegenFallback HOF form
+    val bucket = graft.functions.BucketIndex.bucketIndex(
+      col("edges"), col(valueCol), nBins)
     val counts = df.join(edges, keyCols)
       .withColumn("bucket", bucket)
       .groupBy((keyCols.map(col) :+ col("edges")): _*)
