@@ -64,6 +64,49 @@ object Multimodal {
       }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("offset", LongType),
+    StructField("frame_sha", StringType)))
+
+  private def hexLower(bytes: Array[Byte]): String = {
+    val hc = "0123456789abcdef"
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hc((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hc(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Frame sampling for video-like payloads: each media row yields k
+    * evenly-spaced frames (frame_idx, byte offset, frame digest). Same
+    * mapPartitions batch shape as [[decodeFeatures]] — one codec init per
+    * partition, rows stream lazily, output fan-out k per row. The frame
+    * "content" is a STUB digest (md5 of payload-sha:idx) so the plumbing is
+    * externally replayable; a real deployment swaps in the demuxer. */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      // real pipeline: val demux = Demuxer.init() — once per partition
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val payloadSha = hexLower(sha.digest(bytes))
+        (0 until k).iterator.map { i =>
+          val frameSha = hexLower(md5.digest(
+            s"$payloadSha:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          Row(id, i, (i.toLong * bytes.length) / k, frameSha)
+        }
+      }
+    }(enc)
+  }
+
   /** Wrap any (id, text) frame into the multimodal schema for testing:
     * payload = utf-8 bytes, metadata stamped from the payload. */
   def fromText(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): DataFrame =

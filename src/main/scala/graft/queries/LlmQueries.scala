@@ -462,6 +462,26 @@ object LlmQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                 hex(encode(substring(text, 1, 4))) AS head_hex,
                 sha256(text) AS payload_sha
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Frame sampling plumbing: k frames per media row via the partition-
+    // batched stub demuxer (fan-out mapPartitions, one init per partition).
+    // The stub frame digest is md5(payload_sha:idx), so DuckDB replays the
+    // whole path including offsets.
+    Q("m2_frame_sample",
+      (s, d) => {
+        val media = graft.operators.Multimodal.fromText(s,
+          Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        graft.operators.Multimodal.sampleFrames(media, 4)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS psha,
+                           octet_length(encode(text)) AS n
+                         FROM documents WHERE doc_id % 20 = 0)
+              SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                CAST((i * n) // 4 AS BIGINT) AS "offset",
+                md5(psha || ':' || CAST(i AS VARCHAR)) AS frame_sha
+              FROM m, (SELECT unnest(range(0, 4)) AS i)
+              ORDER BY media_id, frame_idx"""))
   )
 }

@@ -22,4 +22,21 @@ class MultimodalSpec extends SparkSpec {
     // brightness is a normalized [0,1] signal
     assert(feats.filter($"brightness" < 0.0 || $"brightness" > 1.0).count() == 0)
   }
+
+  test("sampleFrames fans out k frames per row with monotone offsets") {
+    val media = Multimodal.fromText(spark,
+      Tables.documents(spark, sf()).limit(10), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.schema.simpleString == Multimodal.frameSchema.simpleString)
+    assert(frames.count() == 40)
+    assert(frames.groupBy("media_id").count().filter($"count" =!= 4).count() == 0)
+    // offsets are nondecreasing in frame_idx and inside the payload
+    val bad = frames.join(media.select($"media_id", $"meta.n_bytes"), "media_id")
+      .filter($"offset" < 0 || $"offset" >= $"n_bytes" ||
+        $"offset" =!= org.apache.spark.sql.functions
+          .expr("(cast(frame_idx as bigint) * n_bytes) div 4"))
+    assert(bad.count() == 0)
+    // deterministic
+    assert(Multimodal.sampleFrames(media, 4).exceptAll(frames).count() == 0)
+  }
 }
