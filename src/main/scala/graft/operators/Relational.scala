@@ -155,6 +155,22 @@ object Relational {
       .drop("__side" +: payloadCols.map("__p_" + _): _*)
   }
 
+  /** Skew-salted equi-join: spread a hot join key over `nSalts` sub-keys.
+    * The fact side derives a DETERMINISTIC salt from `factSalt` (e.g.
+    * `doc_id % n` — never rand(), which breaks retries and oracles); the
+    * dim side replicates each row across all salts. The shuffle key becomes
+    * (key, salt), so a key holding half the table spreads over nSalts
+    * reducers instead of hot-spotting one — the manual complement to AQE
+    * skew-join for deterministic plans.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 factSalt: Column, nSalts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(factSalt, lit(nSalts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** CDC apply with the reference's full-replace policy
     * (`meteo/pg_processing/task_functions.py:559-575`): compute the
     * (added, removed) diff; if the deletion count exceeds `threshold`,

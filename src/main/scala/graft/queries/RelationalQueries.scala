@@ -366,6 +366,26 @@ object RelationalQueries {
                FROM b JOIN f USING (event_id)
                ORDER BY b.event_id""")),
 
+    // Skew-salted join: documents.source has 20 values at EVERY scale — a
+    // raw shuffle join hot-spots 20 reducers forever. The salt spreads each
+    // source over 8 sub-keys (deterministic doc_id % 8, dim replicated 8x);
+    // results are identical to the plain join, which is what the oracle runs.
+    Q("j15_salted_skew_join",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        val dim = docs.groupBy("source")
+          .agg(count(lit(1)).as("src_docs"), sum("n_chars").as("src_chars"))
+        Relational.saltedJoin(docs, dim, "source", col("doc_id"), nSalts = 8)
+          .select("doc_id", "source", "src_docs", "src_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, src_docs, src_chars
+              FROM documents JOIN (
+                SELECT source, COUNT(*) AS src_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS src_chars
+                FROM documents GROUP BY source) dim USING (source)
+              ORDER BY doc_id""")),
+
     Q("j14_range_join",
       (s, d) => {
         val buckets = s.range(0, 10).select(col("id").cast("int").as("bucket_id"),

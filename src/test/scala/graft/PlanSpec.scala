@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[source#\\d+\\], \\[source#\\d+\\]".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("salted join keys on (key, salt), spreading the hot key (j15)") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "source", "n_chars")
+    val dim = docs.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    val j = Relational.saltedJoin(docs, dim, "source", col("doc_id"), nSalts = 8)
+    val p = plan(j)
+    assert("Join \\[source#\\d+, __salt#\\d+\\]".r.findFirstIn(p).isDefined, p)
+  }
+
   test("metrics DAG base facts push event_type filters to the parquet scan") {
     val base = graft.pipelines.MetricsViews.deriveBase(spark, sf())
     val p = plan(base.visitsDatasets)
