@@ -29,8 +29,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM / codegen / parquet reader paths so the first timed
-    // query doesn't absorb one-time startup cost.
+    // query doesn't absorb one-time startup cost. The group/agg/median/sort
+    // warmup matters: without it the alphabetically-first a* aggregates
+    // absorbed ~30s of JIT/classloading on a cold JVM (3-run measurement).
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(200000)
+      .selectExpr("id % 97 AS k", "cast(id as double) AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("sum(v)"),
+        org.apache.spark.sql.functions.expr("avg(v)"),
+        org.apache.spark.sql.functions.expr("median(v)"),
+        org.apache.spark.sql.functions.expr("count(distinct v)"))
+      .orderBy("k").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
