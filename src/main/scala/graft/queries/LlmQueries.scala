@@ -199,6 +199,33 @@ object LlmQueries {
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
            |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Benchmark decontamination: flag training documents sharing any
+    // 3-gram with the (small) benchmark set — the eval-leak check run
+    // before training. The benchmark gram set broadcasts; the corpus side
+    // streams through one semi-join + count, no shuffle of document text.
+    Q("d7_decontamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), TextOps.shinglesExpr("toks", 3).as("sh"))
+        val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("gram")).distinct()
+        docs.select(col("doc_id"), explode(col("sh")).as("gram"))
+          .join(broadcast(benchGrams), Seq("gram"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = dShingles("toks", 3)
+        s"""WITH docs AS (SELECT doc_id, $sh AS sh
+           |              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           |grams AS (SELECT doc_id, unnest(sh) AS gram FROM docs),
+           |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+           |SELECT doc_id, COUNT(*) AS n_contaminated_grams
+           |FROM grams JOIN bench USING (gram)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     // ——— Similarity search ————————————————————————————————————————————
 
     // Brute-force cosine top-3 for 20 query vectors: broadcast queries,
