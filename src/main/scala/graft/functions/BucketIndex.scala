@@ -25,11 +25,32 @@ case class BucketIndex(left: Expression, right: Expression, nBins: Int)
       s"bucket_index requires (array<double>, double), got $other")
   }
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(edges: Any, v: Any): Any =
-    BucketIndex.compute(edges.asInstanceOf[ArrayData], v.asInstanceOf[Double], nBins)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (e, v) =>
-      s"graft.functions.BucketIndex.compute($e, $v, $nBins)")
+  // Null semantics mirror the HOF form this replaces (and the DuckDB
+  // oracle's greatest(len(list_filter(...)), 1)): a null edges array or
+  // null value yields bucket 1, never a null bucket.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = left.eval(input)
+    val v = right.eval(input)
+    if (e == null || v == null) 1
+    else BucketIndex.compute(e.asInstanceOf[ArrayData], v.asInstanceOf[Double], nBins)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val eGen = left.genCode(ctx)
+    val vGen = right.genCode(ctx)
+    val n = nBins.toString
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+        ${eGen.code}
+        ${vGen.code}
+        int ${ev.value} = 1;
+        if (!${eGen.isNull} && !${vGen.isNull}) {
+          ${ev.value} = graft.functions.BucketIndex.compute(${eGen.value}, ${vGen.value}, $n);
+        }
+      """)
+  }
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BucketIndex = copy(left = newLeft, right = newRight)
 }

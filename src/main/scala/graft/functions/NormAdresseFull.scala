@@ -37,12 +37,18 @@ object NormAdresseFull {
     NormAdresseRules.rules.groupBy(_.stage)
   private def stage(n: Int): Seq[Rule] = byStage.getOrElse(n, Nil)
 
-  // Compiled-pattern cache: patterns are built by concatenation per stage,
-  // so the cache key is the final pattern text (bounded: ~1k distinct).
+  // Compiled-pattern cache for RULE-derived patterns only (bounded by the
+  // rule table: ~1k distinct). Data-derived patterns (stage 3/11 document
+  // words) must NOT enter it — a nationwide address corpus has millions of
+  // distinct proper nouns and the cache never evicts.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
   private def subFirst(s: String, p: String, rep: String): String =
     cache.computeIfAbsent(p, (k: String) => Pattern.compile(k))
       .matcher(s).replaceFirst(rep)
+
+  /** Uncached replaceFirst for patterns built from document words. */
+  private def subFirstRaw(s: String, p: String, rep: String): String =
+    Pattern.compile(p).matcher(s).replaceFirst(rep)
 
   private def splitWords(s: String): Array[String] =
     s.split("\\s+").filter(_.nonEmpty)
@@ -127,7 +133,7 @@ object NormAdresseFull {
           val w2 = subFirst(w, "^" + r.long + "$",
             r.court.toLowerCase(java.util.Locale.ROOT))
           if (w != w2)
-            lib = subFirst(lib, " " + Pattern.quote(w) + " ",
+            lib = subFirstRaw(lib, " " + Pattern.quote(w) + " ",
               Matcher.quoteReplacement(" " + w2 + " "))
         }
       }
@@ -159,7 +165,7 @@ object NormAdresseFull {
     // 11 — residual: still-uppercase words collapse to their first letter
     for (w <- splitWords(lib)) {
       if (w == w.toUpperCase(java.util.Locale.ROOT) && w.length > 1 && w(0) >= 'A') {
-        lib = subFirst(lib, " " + Pattern.quote(w) + " ", " " + w(0) + " ")
+        lib = subFirstRaw(lib, " " + Pattern.quote(w) + " ", " " + w(0) + " ")
         if (lib.length <= maxi) return lib
       }
     }

@@ -31,9 +31,13 @@ object Enrichment {
     import spark.implicits._
     val misses = input.select(col(keyCol)).distinct()
       .join(cache.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // Materialize the fetch ONCE: both returned frames reference it, and
+    // without pinning, each downstream action would re-run the external
+    // fetch for every miss (breaking the miss-proportional-cost contract).
     val fetched = misses.select(col(keyCol).cast("string")).as[String]
       .mapPartitions(fetch)
       .toDF(keyCol, valueCol)
+      .localCheckpoint(true)
     val updated = cache.select(col(keyCol), col(valueCol)).unionByName(fetched)
     (input.join(updated, Seq(keyCol), "left"), updated)
   }

@@ -94,7 +94,9 @@ object Relational {
     * the latest right row with `right.ts <= left.ts` for the same key.
     *
     * Implementation: union the two sides tagged, then a single per-key
-    * window carries the last right value forward (`last(..., ignoreNulls)`).
+    * window carries the last right ROW forward as a struct
+    * (`last(struct(...), ignoreNulls)`), so ts and every payload column come
+    * from the same matched row — whole-row match semantics, like SQL ASOF.
     * Cost: ONE shuffle on `key` — no range-join explosion, no per-interval
     * loop; scales linearly in rows per key, which is what survives 100 TB.
     * Right rows sort before left rows at equal timestamps, making the
@@ -134,23 +136,23 @@ object Relational {
     // strictly-later rights only; equal-ts matches already resolve backward.
     val wf = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def back(c: String): Column = last(col(s"__p_$c"), ignoreNulls = true).over(w)
-    def fwd(c: String): Column = first(col(s"__p_$c"), ignoreNulls = true).over(wf)
-    val backTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w)
-    val fwdTs = first(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(wf)
+    // The matched right row travels as ONE struct, so every asof_* column
+    // (and asof_ts) comes from the SAME right row — per-column ignoreNulls
+    // fills could otherwise blend payloads of different rows when a payload
+    // value is null (DuckDB ASOF matches whole rows; so do we).
+    val rightRow = when(col("__side") === 0,
+      struct(col(tsCol).as("__ts") +: payloadCols.map(c => col(s"__p_$c").as(c)): _*))
+    val backRow = last(rightRow, ignoreNulls = true).over(w)
+    val fwdRow = first(rightRow, ignoreNulls = true).over(wf)
+    val matched = if (forwardRetry) coalesce(backRow, fwdRow) else backRow
+    val withCols = payloadCols.foldLeft(unioned) { case (d, c) =>
+      d.withColumn(s"asof_$c", matched.getField(c))
+    }.withColumn("asof_ts", matched.getField("__ts"))
     val filled =
-      if (!forwardRetry) {
-        payloadCols.foldLeft(unioned) { case (d, c) =>
-          d.withColumn(s"asof_$c", back(c))
-        }.withColumn("asof_ts", backTs)
-      } else {
-        payloadCols.foldLeft(unioned) { case (d, c) =>
-          d.withColumn(s"asof_$c", coalesce(back(c), fwd(c)))
-        }.withColumn("asof_ts", coalesce(backTs, fwdTs))
-          .withColumn("asof_dir",
-            when(backTs.isNotNull, lit("backward"))
-              .when(fwdTs.isNotNull, lit("forward")))
-      }
+      if (!forwardRetry) withCols
+      else withCols.withColumn("asof_dir",
+        when(backRow.isNotNull, lit("backward"))
+          .when(fwdRow.isNotNull, lit("forward")))
     filled.filter(col("__side") === 1)
       .drop("__side" +: payloadCols.map("__p_" + _): _*)
   }

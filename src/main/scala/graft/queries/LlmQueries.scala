@@ -25,10 +25,15 @@ object LlmQueries {
                       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // let-bind toks: slice+size reference it twice, and CollapseProject
+    // would otherwise inline split(text) into both (CLAUDE.md letSql rule)
+    val dropTwo = TextOps.letSql("toks", "tv") { tv =>
+      s"slice($tv, 1, greatest(size($tv) - 2, 0))"
+    }
     val aug = docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0)
         .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
-          expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks")))
+          expr(dropTwo).as("toks")))
     Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8,
       threshold = 0.3, w = 2, blockCols = Seq("source"))
   }
@@ -119,10 +124,13 @@ object LlmQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val dropTwo = TextOps.letSql("toks", "tv") { tv =>
+          s"slice($tv, 1, greatest(size($tv) - 2, 0))"
+        }
         val aug = docs.unionByName(
           docs.filter(col("doc_id") % 10 === 0)
             .select((col("doc_id") + 1000000).as("doc_id"),
-              expr("slice(toks, 1, greatest(size(toks) - 2, 0))").as("toks")))
+              expr(dropTwo).as("toks")))
         Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8, threshold = 0.5)
           .orderBy("id1", "id2")
       },

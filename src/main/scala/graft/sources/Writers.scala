@@ -79,16 +79,30 @@ object Writers {
           case _ => col(c)
         }
       }
-      val tmp = java.nio.file.Files.createTempDirectory("csvexp").toString
-      df.select(cols: _*).orderBy(sortCols.map(col): _*).coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .option("header", (i == 0).toString).option("emptyValue", "")
-        .csv(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
-      java.nio.file.Files.copy(part, out)
-      out.flush()
+      val tmp = java.nio.file.Files.createTempDirectory("csvexp")
+      try {
+        df.select(cols: _*).orderBy(sortCols.map(col): _*).coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .option("header", (i == 0).toString).option("emptyValue", "")
+          .csv(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        try {
+          val part = listing
+            .filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst()
+          if (!part.isPresent)
+            throw new IllegalStateException(
+              s"csvExportContract: no part file written for frame $i under $tmp")
+          java.nio.file.Files.copy(part.get(), out)
+        } finally listing.close()
+        out.flush()
+      } finally {
+        // temp CSVs are full data copies — never leave them behind
+        val paths = java.nio.file.Files.walk(tmp)
+        try paths.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally paths.close()
+      }
     } finally out.close()
   }
 

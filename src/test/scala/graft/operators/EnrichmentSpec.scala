@@ -23,8 +23,9 @@ class EnrichmentSpec extends SparkSpec {
     val rows = enriched.as[(String, String)].collect().toSeq.sorted
     assert(rows == Seq("a" -> "geo(a)", "a" -> "geo(a)", "b" -> "geo(b)",
       "b" -> "geo(b)", "c" -> "geo(c)"))
-    assert(calls.value == 2) // only b and c were fetched
     assert(updated.count() == 3)
+    // fetch ran ONCE per miss even though two downstream actions consumed it
+    assert(calls.value == 2)
 
     // idempotent re-run against the updated cache: zero fetches
     val calls2 = spark.sparkContext.longAccumulator("fetch-calls-2")

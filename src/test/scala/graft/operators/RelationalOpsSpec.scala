@@ -48,6 +48,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.select("asof_payload").as[String].head() == "r")
   }
 
+  test("asOfJoin never blends payload columns from different right rows") {
+    // right rows: (ts=10, a=null, b=x) and (ts=20, a=y, b=z). A per-column
+    // ignoreNulls fill would hand a backward match at ts=20 the PAIR (y, z)
+    // but a forward retry at ts=5 the blend (y-from-20, x-from-10); the
+    // whole-row struct must return (null, x) from the single ts=10 row.
+    val left = Seq((1, 5L, "fwd"), (1, 25L, "back")).toDF("k", "ts", "tag")
+    val right = Seq((1, 10L, Option.empty[String], Some("x")),
+      (1, 20L, Some("y"), Some("z"))).toDF("k", "ts", "a", "b")
+    val out = Relational.asOfJoin(left, right, "k", "ts", Seq("a", "b"),
+        forwardRetry = true)
+      .select($"tag", $"asof_a", $"asof_b", $"asof_ts")
+      .as[(String, Option[String], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("fwd") == ((None, Some("x"), Some(10L))))       // atomic ts=10 row
+    assert(out("back") == ((Some("y"), Some("z"), Some(20L)))) // atomic ts=20 row
+  }
+
   test("asOfJoin forwardRetry fills backward misses with the first later right row") {
     val left = Seq((1, 5L, "early"), (1, 15L, "late"), (2, 9L, "noRight"))
       .toDF("k", "ts", "tag")
