@@ -1,0 +1,23 @@
+package graft
+
+/** The driver smoke-checks SparkEntry.entry rows>0 on sf0.001 — keep that
+  * guarantee in CI, plus the rollup-grain shape it promises.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("flagship entry returns rolled-up rows at all three grains") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // ROLLUP produces the grand-total row and at least one per-region row
+    assert(rows.exists(r => r.getString(0) == "ALL" && r.getString(1) == "ALL"))
+    assert(rows.exists(r => r.getString(0) != "ALL" && r.getString(2) == "ALL"))
+    assert(rows.exists(r => r.getString(2) != "ALL"))
+  }
+
+  test("every catalog query name has either an oracle or a documented reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without DuckDB oracle (driver downgrades to rows-only): $noOracle")
+  }
+}
