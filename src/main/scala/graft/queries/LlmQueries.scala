@@ -234,6 +234,95 @@ object LlmQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // CAPSTONE — the end-to-end training-set selection every signal above
+    // feeds: exact-dup canonical retention (min id per content hash),
+    // near-dup removal (MinHash-LSH pairs at 0.5, larger id dropped),
+    // benchmark decontamination, and the repetition-quality gate, composed
+    // into one keep/drop verdict per document. The whole selection replays
+    // in DuckDB as one WITH chain.
+    Q("llm_corpus_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        val withHash = docs.withColumn("__h", md5(col("text")))
+        val canon = withHash.groupBy("__h").agg(min("doc_id").as("canon_id"))
+        val removed = Dedup.minhashLshPairs(docs.select("doc_id", "toks"),
+            "doc_id", "toks", k = 16, bands = 8, threshold = 0.5)
+          .select(col("id2").as("doc_id")).distinct()
+          .withColumn("__near", lit(true))
+        val sh = docs.select(col("doc_id"), TextOps.shinglesExpr("toks", 3).as("sh"))
+        val benchGrams = sh.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("gram")).distinct()
+        val contaminated = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+          .select("doc_id").distinct().withColumn("__contam", lit(true))
+        val nBi = expr("greatest(size(split(text, ' ')) - 1, 0)").cast("long")
+        val nDi = expr(TextOps.letSql("split(text, ' ')", "tv") { tv =>
+          s"""size(array_distinct(if(size($tv) < 2, array(),
+             |  transform(sequence(1, size($tv) - 1),
+             |    i -> concat_ws(' ', element_at($tv, i), element_at($tv, i + 1))))))""".stripMargin
+        }).cast("long")
+        val repRatio = round(when(nBi === 0, 0.0).otherwise(
+          lit(1.0) - nDi.cast("double") / nBi.cast("double")), 6)
+        withHash.join(canon, "__h")
+          .join(removed, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("is_exact_canonical", col("doc_id") === col("canon_id"))
+          .withColumn("is_near_dup", coalesce(col("__near"), lit(false)))
+          .withColumn("is_contaminated", coalesce(col("__contam"), lit(false)))
+          .withColumn("rep_ratio", repRatio)
+          .withColumn("keep", col("is_exact_canonical") && !col("is_near_dup") &&
+            !col("is_contaminated") && col("rep_ratio") <= 0.1)
+          .select("doc_id", "is_exact_canonical", "is_near_dup",
+            "is_contaminated", "rep_ratio", "keep")
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = dShingles("toks", 3)
+        s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           |hash AS (SELECT doc_id, md5(text) AS h FROM docs),
+           |canon AS (SELECT h, MIN(doc_id) AS canon_id FROM hash GROUP BY h),
+           |sh3 AS (SELECT doc_id, $sh AS shingles FROM docs),
+           |sh3f AS (SELECT doc_id, shingles FROM sh3 WHERE len(shingles) > 0),
+           |sig AS (SELECT doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh3f),
+           |bands AS (SELECT doc_id, j AS band_idx,
+           |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
+           |              x -> CAST(x AS VARCHAR)), '|')) AS bh
+           |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+           |         WHERE a.doc_id < b.doc_id),
+           |pairs AS (SELECT id1, id2 FROM cand
+           |          JOIN sh3f x ON cand.id1 = x.doc_id JOIN sh3f y ON cand.id2 = y.doc_id
+           |          WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.5),
+           |removed AS (SELECT DISTINCT id2 AS doc_id FROM pairs),
+           |grams AS (SELECT doc_id, unnest(shingles) AS gram FROM sh3),
+           |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+           |contam AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (gram)),
+           |rep AS (SELECT doc_id,
+           |          ROUND(CASE WHEN n_bigrams = 0 THEN 0.0
+           |                ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+           |                END, 6) AS rep_ratio
+           |        FROM (SELECT doc_id,
+           |                greatest(len(toks) - 1, 0) AS n_bigrams,
+           |                len(list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+           |                  ELSE list_transform(range(1, len(toks)),
+           |                         i -> toks[i] || ' ' || toks[i + 1]) END)) AS n_distinct
+           |              FROM docs))
+           |SELECT h.doc_id,
+           |  (h.doc_id = c.canon_id) AS is_exact_canonical,
+           |  (r.doc_id IS NOT NULL) AS is_near_dup,
+           |  (ct.doc_id IS NOT NULL) AS is_contaminated,
+           |  rep.rep_ratio AS rep_ratio,
+           |  (h.doc_id = c.canon_id AND r.doc_id IS NULL AND ct.doc_id IS NULL
+           |   AND rep.rep_ratio <= 0.1) AS keep
+           |FROM hash h JOIN canon c USING (h)
+           |LEFT JOIN removed r ON h.doc_id = r.doc_id
+           |LEFT JOIN contam ct ON h.doc_id = ct.doc_id
+           |JOIN rep ON h.doc_id = rep.doc_id
+           |ORDER BY h.doc_id""".stripMargin
+      }),
+
     // ——— Similarity search ————————————————————————————————————————————
 
     // Brute-force cosine top-3 for 20 query vectors: broadcast queries,
