@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.util.regex.{Matcher, Pattern}
+import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -46,9 +46,12 @@ object NormAdresseFull {
     cache.computeIfAbsent(p, (k: String) => Pattern.compile(k))
       .matcher(s).replaceFirst(rep)
 
-  /** Uncached replaceFirst for patterns built from document words. */
-  private def subFirstRaw(s: String, p: String, rep: String): String =
-    Pattern.compile(p).matcher(s).replaceFirst(rep)
+  /** First-occurrence LITERAL replacement for document-word rewrites (stage
+    * 3/11): no regex compile in the per-row hot path, no cache needed. */
+  private def replaceFirstLiteral(s: String, target: String, rep: String): String = {
+    val i = s.indexOf(target)
+    if (i < 0) s else s.substring(0, i) + rep + s.substring(i + target.length)
+  }
 
   private def splitWords(s: String): Array[String] =
     s.split("\\s+").filter(_.nonEmpty)
@@ -133,8 +136,7 @@ object NormAdresseFull {
           val w2 = subFirst(w, "^" + r.long + "$",
             r.court.toLowerCase(java.util.Locale.ROOT))
           if (w != w2)
-            lib = subFirstRaw(lib, " " + Pattern.quote(w) + " ",
-              Matcher.quoteReplacement(" " + w2 + " "))
+            lib = replaceFirstLiteral(lib, " " + w + " ", " " + w2 + " ")
         }
       }
     }
@@ -165,7 +167,7 @@ object NormAdresseFull {
     // 11 — residual: still-uppercase words collapse to their first letter
     for (w <- splitWords(lib)) {
       if (w == w.toUpperCase(java.util.Locale.ROOT) && w.length > 1 && w(0) >= 'A') {
-        lib = subFirstRaw(lib, " " + Pattern.quote(w) + " ", " " + w(0) + " ")
+        lib = replaceFirstLiteral(lib, " " + w + " ", " " + w(0) + " ")
         if (lib.length <= maxi) return lib
       }
     }

@@ -22,7 +22,12 @@ object Enrichment {
   /** @param fetch partition-batch fetcher: unseen keys → (key, value) rows.
     *              MUST be deterministic for idempotent re-runs.
     * @return (enriched input, updated cache) — the caller persists the new
-    *         cache table for the next run. */
+    *         cache table for the next run.
+    * @note the fetch runs EAGERLY at call time (localCheckpoint), so both
+    *       returned frames share one execution — call only when you intend
+    *       to consume the result. Checkpoint blocks live on executors; on a
+    *       long-lived cluster persist `updated` promptly (an executor loss
+    *       before that forfeits the fetched rows rather than re-fetching). */
   def enrichWithCache(input: DataFrame, keyCol: String, cache: DataFrame,
                       valueCol: String)
                      (fetch: Iterator[String] => Iterator[(String, String)])

@@ -118,6 +118,8 @@ object Relational {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                payloadCols: Seq[String], forwardRetry: Boolean): DataFrame = {
+    require(!payloadCols.contains("__ts"),
+      "asOfJoin: payload column name '__ts' collides with the internal match-struct field")
     val l = left.withColumn("__side", lit(1))
     val r = right.select(col(key) +: col(tsCol) +:
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)

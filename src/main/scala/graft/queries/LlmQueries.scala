@@ -18,6 +18,12 @@ import QH._
   */
 object LlmQueries {
 
+  /** Drop-last-two-words transform for planted near-copies, let-bound so
+    * split(text) evaluates once (CLAUDE.md letSql rule). Shared by d2/d4. */
+  private val dropTwoSql: String = TextOps.letSql("toks", "tv") { tv =>
+    s"slice($tv, 1, greatest(size($tv) - 2, 0))"
+  }
+
   /** Shared d4/d6 pipeline: same-source LSH candidates + exact bigram-
     * Jaccard verify, with planted near-copies (every 10th doc, last two
     * words dropped) keeping the pair set recallable. */
@@ -25,44 +31,79 @@ object LlmQueries {
                       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    // let-bind toks: slice+size reference it twice, and CollapseProject
-    // would otherwise inline split(text) into both (CLAUDE.md letSql rule)
-    val dropTwo = TextOps.letSql("toks", "tv") { tv =>
-      s"slice($tv, 1, greatest(size($tv) - 2, 0))"
-    }
     val aug = docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0)
         .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
-          expr(dropTwo).as("toks")))
+          expr(dropTwoSql).as("toks")))
     Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8,
       threshold = 0.3, w = 2, blockCols = Seq("source"))
   }
 
-  /** DuckDB twin of [[d4Pairs]] as a CTE chain ending in `pairs`. */
-  private def d4PairsCtes: String = {
-    val sh = dShingles("toks", 2)
+  /** DuckDB twin of `Dedup.minhashLshPairs` as a CTE chain ending in
+    * `pairs`: shingle(w) → minhash(16) → 8 bands of 2 → candidate join
+    * (optionally blocked) → exact Jaccard >= threshold. The single source
+    * of truth for every LSH-pair oracle (d2/d4/d6/llm_corpus_filter). */
+  private def dMinhashPairsCtes(srcCte: String, w: Int, block: Option[String],
+                                threshold: Double): String = {
+    val sh = dShingles("toks", w)
+    val bcol = block.map(b => s"$b, ").getOrElse("")
+    val bjoin = block.map(b => s"a.$b = b.$b AND ").getOrElse("")
+    val bsel = block.map(b => s"a.$b AS $b, ").getOrElse("")
+    val bout = block.map(b => s"cand.$b AS $b, ").getOrElse("")
+    s"""sh AS (SELECT ${bcol}doc_id, $sh AS shingles FROM $srcCte),
+       |sh2 AS (SELECT ${bcol}doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |sig AS (SELECT ${bcol}doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
+       |bands AS (SELECT ${bcol}doc_id, j AS band_idx,
+       |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
+       |              x -> CAST(x AS VARCHAR)), '|')) AS bh
+       |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+       |cand AS (SELECT DISTINCT ${bsel}a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b
+       |           ON ${bjoin}a.band_idx = b.band_idx AND a.bh = b.bh
+       |         WHERE a.doc_id < b.doc_id),
+       |pairs AS (SELECT ${bout}id1, id2,
+       |            ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
+       |          FROM cand JOIN sh2 x ON cand.id1 = x.doc_id
+       |          JOIN sh2 y ON cand.id2 = y.doc_id
+       |          WHERE ${dJaccard("x.shingles", "y.shingles")} >= $threshold)""".stripMargin
+  }
+
+  /** DuckDB twin of [[d4Pairs]]. */
+  private def d4PairsCtes: String =
     s"""docs AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
        |aug AS (SELECT source, doc_id, toks FROM docs
        |        UNION ALL
        |        SELECT source, doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
        |        FROM docs WHERE doc_id % 10 = 0),
-       |sh AS (SELECT source, doc_id, $sh AS shingles FROM aug),
-       |sh2 AS (SELECT source, doc_id, shingles FROM sh WHERE len(shingles) > 0),
-       |sig AS (SELECT source, doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
-       |bands AS (SELECT source, doc_id, j AS band_idx,
-       |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
-       |              x -> CAST(x AS VARCHAR)), '|')) AS bh
-       |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
-       |cand AS (SELECT DISTINCT a.source AS source, a.doc_id AS id1, b.doc_id AS id2
-       |         FROM bands a JOIN bands b
-       |           ON a.source = b.source AND a.band_idx = b.band_idx AND a.bh = b.bh
-       |         WHERE a.doc_id < b.doc_id),
-       |pairs AS (SELECT cand.source AS source, id1, id2,
-       |            ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
-       |          FROM cand JOIN sh2 x ON cand.id1 = x.doc_id
-       |          JOIN sh2 y ON cand.id2 = y.doc_id
-       |          WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.3)""".stripMargin
+       |${dMinhashPairsCtes("aug", 2, Some("source"), 0.3)}""".stripMargin
+
+  /** Bigram repetition counts + rounded ratio, shared by t5 and the corpus
+    * filter (Spark side). */
+  private def repCountCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val nBi = expr("greatest(size(split(text, ' ')) - 1, 0)").cast("long")
+    val nDi = expr(TextOps.letSql("split(text, ' ')", "tv") { tv =>
+      s"""size(array_distinct(if(size($tv) < 2, array(),
+         |  transform(sequence(1, size($tv) - 1),
+         |    i -> concat_ws(' ', element_at($tv, i), element_at($tv, i + 1))))))""".stripMargin
+    }).cast("long")
+    (nBi, nDi)
   }
+  private def repRatioCol(nBi: org.apache.spark.sql.Column,
+                          nDi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(when(nBi === 0, 0.0).otherwise(
+      lit(1.0) - nDi.cast("double") / nBi.cast("double")), 6)
+
+  /** DuckDB twins of the repetition counts/ratio. */
+  private val dRepCounts: String =
+    """SELECT doc_id, greatest(len(toks) - 1, 0) AS n_bigrams,
+      |  len(list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+      |    ELSE list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i + 1]) END)) AS n_distinct
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+  private val dRepRatio: String =
+    """ROUND(CASE WHEN n_bigrams = 0 THEN 0.0
+      |      ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |      END, 6)""".stripMargin
 
   // ——— DuckDB fragment generators (twins of TextOps/Similarity exprs) ———
 
@@ -124,38 +165,21 @@ object LlmQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val dropTwo = TextOps.letSql("toks", "tv") { tv =>
-          s"slice($tv, 1, greatest(size($tv) - 2, 0))"
-        }
         val aug = docs.unionByName(
           docs.filter(col("doc_id") % 10 === 0)
             .select((col("doc_id") + 1000000).as("doc_id"),
-              expr(dropTwo).as("toks")))
+              expr(dropTwoSql).as("toks")))
         Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8, threshold = 0.5)
           .orderBy("id1", "id2")
       },
-      Some {
-        val sh = dShingles("toks", 3)
+      Some(
         s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            |aug AS (SELECT doc_id, toks FROM docs
            |        UNION ALL
            |        SELECT doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
            |        FROM docs WHERE doc_id % 10 = 0),
-           |sh AS (SELECT doc_id, $sh AS shingles FROM aug),
-           |sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-           |sig AS (SELECT doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
-           |bands AS (SELECT doc_id, j AS band_idx,
-           |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
-           |              x -> CAST(x AS VARCHAR)), '|')) AS bh
-           |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
-           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
-           |         WHERE a.doc_id < b.doc_id)
-           |SELECT id1, id2, ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
-           |FROM cand JOIN sh2 x ON cand.id1 = x.doc_id JOIN sh2 y ON cand.id2 = y.doc_id
-           |WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.5
-           |ORDER BY id1, id2""".stripMargin
-      }),
+           |${dMinhashPairsCtes("aug", 3, None, 0.5)}
+           |SELECT id1, id2, jac FROM pairs ORDER BY id1, id2""".stripMargin)),
 
     // Per-document SimHash signatures (hamming-0 bucketing is then a plain
     // groupBy on the signature).
@@ -256,14 +280,8 @@ object LlmQueries {
         val contaminated = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
           .join(broadcast(benchGrams), Seq("gram"), "left_semi")
           .select("doc_id").distinct().withColumn("__contam", lit(true))
-        val nBi = expr("greatest(size(split(text, ' ')) - 1, 0)").cast("long")
-        val nDi = expr(TextOps.letSql("split(text, ' ')", "tv") { tv =>
-          s"""size(array_distinct(if(size($tv) < 2, array(),
-             |  transform(sequence(1, size($tv) - 1),
-             |    i -> concat_ws(' ', element_at($tv, i), element_at($tv, i + 1))))))""".stripMargin
-        }).cast("long")
-        val repRatio = round(when(nBi === 0, 0.0).otherwise(
-          lit(1.0) - nDi.cast("double") / nBi.cast("double")), 6)
+        val (nBi, nDi) = repCountCols
+        val repRatio = repRatioCol(nBi, nDi)
         withHash.join(canon, "__h")
           .join(removed, Seq("doc_id"), "left")
           .join(contaminated, Seq("doc_id"), "left")
@@ -278,37 +296,15 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some {
-        val sh = dShingles("toks", 3)
         s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
            |hash AS (SELECT doc_id, md5(text) AS h FROM docs),
            |canon AS (SELECT h, MIN(doc_id) AS canon_id FROM hash GROUP BY h),
-           |sh3 AS (SELECT doc_id, $sh AS shingles FROM docs),
-           |sh3f AS (SELECT doc_id, shingles FROM sh3 WHERE len(shingles) > 0),
-           |sig AS (SELECT doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh3f),
-           |bands AS (SELECT doc_id, j AS band_idx,
-           |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
-           |              x -> CAST(x AS VARCHAR)), '|')) AS bh
-           |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
-           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
-           |         WHERE a.doc_id < b.doc_id),
-           |pairs AS (SELECT id1, id2 FROM cand
-           |          JOIN sh3f x ON cand.id1 = x.doc_id JOIN sh3f y ON cand.id2 = y.doc_id
-           |          WHERE ${dJaccard("x.shingles", "y.shingles")} >= 0.5),
+           |${dMinhashPairsCtes("docs", 3, None, 0.5)},
            |removed AS (SELECT DISTINCT id2 AS doc_id FROM pairs),
-           |grams AS (SELECT doc_id, unnest(shingles) AS gram FROM sh3),
+           |grams AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
            |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
            |contam AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (gram)),
-           |rep AS (SELECT doc_id,
-           |          ROUND(CASE WHEN n_bigrams = 0 THEN 0.0
-           |                ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-           |                END, 6) AS rep_ratio
-           |        FROM (SELECT doc_id,
-           |                greatest(len(toks) - 1, 0) AS n_bigrams,
-           |                len(list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-           |                  ELSE list_transform(range(1, len(toks)),
-           |                         i -> toks[i] || ' ' || toks[i + 1]) END)) AS n_distinct
-           |              FROM docs))
+           |rep AS (SELECT doc_id, $dRepRatio AS rep_ratio FROM ($dRepCounts))
            |SELECT h.doc_id,
            |  (h.doc_id = c.canon_id) AS is_exact_canonical,
            |  (r.doc_id IS NOT NULL) AS is_near_dup,
@@ -546,30 +542,16 @@ object LlmQueries {
     // are let-bound (letSql) so the array is built once per row.
     Q("t5_repetition_ratio",
       (s, d) => {
-        val nBi = expr("greatest(size(split(text, ' ')) - 1, 0)").cast("long")
-        val bigrams = TextOps.letSql("split(text, ' ')", "tv") { tv =>
-          s"""size(array_distinct(if(size($tv) < 2, array(),
-             |  transform(sequence(1, size($tv) - 1),
-             |    i -> concat_ws(' ', element_at($tv, i), element_at($tv, i + 1))))))""".stripMargin
-        }
-        val nDi = expr(bigrams).cast("long")
+        val (nBi, nDi) = repCountCols
         Tables.documents(s, d)
           .select(col("doc_id"), nBi.as("n_bigrams"), nDi.as("n_distinct"),
-            round(when(nBi === 0, 0.0).otherwise(
-              lit(1.0) - nDi.cast("double") / nBi.cast("double")), 6).as("rep_ratio"))
+            repRatioCol(nBi, nDi).as("rep_ratio"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, n_bigrams, n_distinct,
-                ROUND(CASE WHEN n_bigrams = 0 THEN 0.0
-                      ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-                      END, 6) AS rep_ratio
-              FROM (SELECT doc_id,
-                      greatest(len(toks) - 1, 0) AS n_bigrams,
-                      len(list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-                        ELSE list_transform(range(1, len(toks)),
-                               i -> toks[i] || ' ' || toks[i + 1]) END)) AS n_distinct
-                    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-              ORDER BY doc_id""")),
+      Some(
+        s"""SELECT doc_id, n_bigrams, n_distinct, $dRepRatio AS rep_ratio
+           |FROM ($dRepCounts)
+           |ORDER BY doc_id""".stripMargin)),
 
     // ——— Multimodal ———————————————————————————————————————————————————
 

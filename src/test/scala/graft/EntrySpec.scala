@@ -15,8 +15,13 @@ class EntrySpec extends SparkSpec {
     assert(rows.exists(r => r.getString(2) != "ALL"))
   }
 
-  test("every catalog query name has either an oracle or a documented reason") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every catalog query carries a DuckDB oracle") {
+    // If a legitimately non-SQL-expressible operator ever lands, add it to
+    // this allowlist WITH the reason — the driver silently downgrades
+    // oracle-less queries to a rows-only check.
+    val allowedNoOracle = Set.empty[String]
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedNoOracle
     assert(noOracle.isEmpty,
       s"queries without DuckDB oracle (driver downgrades to rows-only): $noOracle")
   }
