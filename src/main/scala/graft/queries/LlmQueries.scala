@@ -553,6 +553,32 @@ object LlmQueries {
            |FROM ($dRepCounts)
            |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic stratified subsampling (mixture weighting): each source
+    // keeps a per-source percentage of documents, gated on a content-stable
+    // hash of the id — never rand(), so re-runs, retries, and the oracle all
+    // agree row-for-row. The gate is a pure projection; the only shuffle is
+    // the audit aggregation.
+    Q("samp1_deterministic_mixture",
+      (s, d) => {
+        val gate = expr(TextOps.md5LongSql("cast(doc_id as string)")) % 100
+        val pct = lit(20) + (length(col("source")) % 4) * 10
+        Tables.documents(s, d)
+          .withColumn("__kept", gate < pct)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+            max(pct).cast("int").as("target_pct"))
+          .orderBy("source")
+      },
+      Some {
+        val h = dMd5Long("CAST(doc_id AS VARCHAR)")
+        s"""SELECT source, COUNT(*) AS n_total,
+           |  CAST(SUM(CASE WHEN $h % 100 < 20 + (length(source) % 4) * 10
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(MAX(20 + (length(source) % 4) * 10) AS INTEGER) AS target_pct
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level
