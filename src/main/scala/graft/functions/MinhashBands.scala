@@ -151,4 +151,53 @@ object MinhashBands {
   /** Column entry point matching `TextOps.minhashBandsExpr`'s shape. */
   def minhashBands(toks: Column, w: Int, k: Int, b: Int): Column =
     Bridge.column(MinhashBands(Bridge.expression(toks), w, k, b))
+
+  /** 60-bit SimHash of a token array: bit b is the sign of the sum of ±1
+    * votes from bit b of each token's 60-bit md5 hash. One md5 + one
+    * 60-counter pass per token — the wide-signature variant that keeps
+    * near-dup SEARCH collisions content-driven (16 bits saturate: identical-
+    * signature groups grow with corpus size and pair counts go quadratic). */
+  def simhash60(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = md5Long60(t.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def simhash60Col(toks: Column): Column =
+    Bridge.column(SimHash60(Bridge.expression(toks)))
+}
+
+/** Codegen'd 60-bit SimHash (see [[MinhashBands.simhash60]]). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    MinhashBands.simhash60(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashBands.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
 }

@@ -199,6 +199,61 @@ object LlmQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // SimHash near-dup SEARCH: 60-bit signatures (native expression), 4
+    // bands of 15 bits — two signatures within hamming distance 3 must
+    // agree on >= 1 band (pigeonhole), so the band equi-join is a complete
+    // candidate generator for d<=3; exact bit_count verify on candidates
+    // only. The signature must be WIDE: 16 bits saturate, making identical-
+    // signature groups grow with corpus size and pair counts quadratic —
+    // measured 14k pairs at sf0.01 ballooning to 1.38M at sf0.1 before the
+    // widening; 60 bits keep collisions content-driven.
+    Q("d3b_simhash_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              expr(dropTwoSql).as("toks")))
+        val sigs = aug.select(col("doc_id"),
+          graft.functions.MinhashBands.simhash60Col(col("toks")).as("sig"))
+        val bandRows = sigs.select(col("doc_id"), col("sig"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .withColumn("band", expr("(sig >> (15 * j)) & 32767"))
+        val a = bandRows.select(col("doc_id").as("id1"), col("sig").as("s1"),
+          col("j"), col("band"))
+        val b = bandRows.select(col("doc_id").as("id2"), col("sig").as("s2"),
+          col("j"), col("band"))
+        a.join(b, Seq("j", "band")).filter(col("id1") < col("id2"))
+          .select("id1", "id2", "s1", "s2").distinct()
+          .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+          .filter(col("hamming") <= 3)
+          .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val hs = dTokenHashes("toks")
+        val sim = s"""CAST(list_sum(list_transform(range(0, 60), b ->
+                     |    CASE WHEN list_sum(list_transform($hs, h ->
+                     |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     |         THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT)""".stripMargin
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |aug AS (SELECT doc_id, toks FROM docs
+           |        UNION ALL
+           |        SELECT doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+           |        FROM docs WHERE doc_id % 10 = 0),
+           |sigs AS (SELECT doc_id, $sim AS sig FROM aug),
+           |bandrows AS (SELECT doc_id, sig, j, (sig >> (15 * j)) & 32767 AS band
+           |             FROM sigs, (SELECT unnest(range(0, 4)) AS j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           |           a.sig AS s1, b.sig AS s2
+           |         FROM bandrows a JOIN bandrows b ON a.j = b.j AND a.band = b.band
+           |         WHERE a.doc_id < b.doc_id)
+           |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+           |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
     // Blocked exact bigram Jaccard: pairs restricted to the same `source`,
     // but candidates come from the LSH band join keyed (source, band_idx,
     // band hash) — NOT a raw self-join on `source`, whose 20-value key would
