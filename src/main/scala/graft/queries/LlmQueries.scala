@@ -206,7 +206,10 @@ object LlmQueries {
     // only. The signature must be WIDE: 16 bits saturate, making identical-
     // signature groups grow with corpus size and pair counts quadratic —
     // measured 14k pairs at sf0.01 ballooning to 1.38M at sf0.1 before the
-    // widening; 60 bits keep collisions content-driven.
+    // widening; 60 bits keep collisions content-driven. Scaling rule: random
+    // band collisions cost ~n^2/2^width pairs, so band width must track
+    // log2(corpus) — 15 bits suits 1e4-1e6 docs; beyond that, widen the
+    // signature (2x64-bit words) and the bands, keeping bands >= d+1.
     Q("d3b_simhash_neardup",
       (s, d) => {
         val docs = Tables.documents(s, d)

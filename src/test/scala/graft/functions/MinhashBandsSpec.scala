@@ -46,4 +46,27 @@ class MinhashBandsSpec extends SparkSpec {
       .as[Boolean].collect().toSeq
     assert(out == Seq(true, false))
   }
+
+  test("simhash60 matches the HOF vote formula and both execution paths agree") {
+    val hof = org.apache.spark.sql.functions.expr(
+      TextOps.letSql("toks", "tv") { tv =>
+        TextOps.letSql(s"transform($tv, t -> ${TextOps.md5LongSql("t")})", "hs") { hs =>
+          s"""aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+             |  if(aggregate($hs, 0L,
+             |       (w, h) -> w + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+             |     shiftleft(1L, b), 0L))""".stripMargin
+        }
+      })
+    val df = docs.limit(30)
+    val both = df.select($"doc_id",
+      MinhashBands.simhash60Col($"toks").as("nat"), hof.as("ref"))
+    assert(both.filter($"nat" =!= $"ref").count() == 0)
+    // codegen on/off parity
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(MinhashBands.simhash60Col($"toks")).as[Long].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run("true") == run("false"))
+  }
 }
