@@ -36,7 +36,14 @@ object Distribution {
        |       rint(b / ${step}d) * ${step}d))))""".stripMargin)
 
   /** Per-key distribution: repaired bin edges + per-bin counts; keys with
-    * fewer than `minSupport` rows keep a null distribution. */
+    * fewer than `minSupport` rows keep a null distribution.
+    *
+    * Scale note: exact `percentile` holds one buffer of the group's DISTINCT
+    * values. In the reference workload the groups are geographic units
+    * (communes/EPCI/départements — many groups, each bounded), so buffers
+    * stay small at any corpus size; the few-huge-groups shape (like the
+    * 3-flag TPC-H demo) is where exact quantiles stop scaling and
+    * `approx_percentile` or distributed selection takes over. */
   def priceDistribution(df: DataFrame, keyCols: Seq[String], valueCol: String,
                         nBins: Int = 10, step: Double = 100.0,
                         minSupport: Long = 100L): DataFrame = {
