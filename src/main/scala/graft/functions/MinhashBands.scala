@@ -158,6 +158,7 @@ object MinhashBands {
     * near-dup SEARCH collisions content-driven (16 bits saturate: identical-
     * signature groups grow with corpus size and pair counts go quadratic). */
   def simhash60(toks: ArrayData): Long = {
+    if (toks == null) return 0L // HOF/DuckDB: null array folds to all-zero bits
     val n = toks.numElements()
     val votes = new Array[Int](60)
     var i = 0
@@ -170,6 +171,10 @@ object MinhashBands {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
+      } else {
+        // null element: (null >> b) & 1 = 1 is null-false on both engines → -1
+        var b = 0
+        while (b < 60) { votes(b) -= 1; b += 1 }
       }
       i += 1
     }
@@ -186,7 +191,10 @@ object MinhashBands {
     Bridge.column(SimHash60(Bridge.expression(toks)))
 }
 
-/** Codegen'd 60-bit SimHash (see [[MinhashBands.simhash60]]). */
+/** Codegen'd 60-bit SimHash (see [[MinhashBands.simhash60]]). Never null:
+  * a null token array folds to signature 0, matching the HOF/DuckDB vote
+  * formula (aggregate over a null list yields null sums, and `null > 0`
+  * selects the 0 branch for every bit). */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -194,10 +202,20 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       s"simhash60 requires array<string>, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    MinhashBands.simhash60(v.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashBands.simhash60($c)")
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    MinhashBands.simhash60(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+        ${c.code}
+        long ${ev.value} = graft.functions.MinhashBands.simhash60(
+          ${c.isNull} ? null : ${c.value});
+      """)
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }

@@ -19,10 +19,36 @@ import QH._
 object LlmQueries {
 
   /** Drop-last-two-words transform for planted near-copies, let-bound so
-    * split(text) evaluates once (CLAUDE.md letSql rule). Shared by d2/d4. */
+    * split(text) evaluates once (CLAUDE.md letSql rule). */
   private val dropTwoSql: String = TextOps.letSql("toks", "tv") { tv =>
     s"slice($tv, 1, greatest(size($tv) - 2, 0))"
   }
+
+  /** Plant near-copies: every 10th doc re-appears with id+1e6 and the last
+    * two words dropped. The single Spark-side source of the plant used by
+    * d2/d3b/d4 (keeps the modulus/offset/transform in lockstep). */
+  private def augNearCopies(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("toks", expr(dropTwoSql)))
+
+  /** DuckDB twin of [[augNearCopies]]: `docs` + `aug` CTEs; `extraCols`
+    * prefixes like "source, " carry through both. */
+  private def dAugCtes(extraCols: String = ""): String =
+    s"""docs AS (SELECT ${extraCols}doc_id, string_split(text, ' ') AS toks FROM documents),
+       |aug AS (SELECT ${extraCols}doc_id, toks FROM docs
+       |        UNION ALL
+       |        SELECT ${extraCols}doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+       |        FROM docs WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** DuckDB SimHash vote formula over token-hash list `hs`, parameterized
+    * by signature width (16-bit d3 signatures, 60-bit d3b search). */
+  private def dSimhash(hs: String, bits: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $bits), b ->
+       |    CASE WHEN list_sum(list_transform($hs, h ->
+       |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT)""".stripMargin
 
   /** Shared d4/d6 pipeline: same-source LSH candidates + exact bigram-
     * Jaccard verify, with planted near-copies (every 10th doc, last two
@@ -31,12 +57,8 @@ object LlmQueries {
                       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val aug = docs.unionByName(
-      docs.filter(col("doc_id") % 10 === 0)
-        .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
-          expr(dropTwoSql).as("toks")))
-    Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8,
-      threshold = 0.3, w = 2, blockCols = Seq("source"))
+    Dedup.minhashLshPairs(augNearCopies(docs), "doc_id", "toks", k = 16,
+      bands = 8, threshold = 0.3, w = 2, blockCols = Seq("source"))
   }
 
   /** DuckDB twin of `Dedup.minhashLshPairs` as a CTE chain ending in
@@ -70,11 +92,7 @@ object LlmQueries {
 
   /** DuckDB twin of [[d4Pairs]]. */
   private def d4PairsCtes: String =
-    s"""docs AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
-       |aug AS (SELECT source, doc_id, toks FROM docs
-       |        UNION ALL
-       |        SELECT source, doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
-       |        FROM docs WHERE doc_id % 10 = 0),
+    s"""${dAugCtes("source, ")},
        |${dMinhashPairsCtes("aug", 2, Some("source"), 0.3)}""".stripMargin
 
   /** Bigram repetition counts + rounded ratio, shared by t5 and the corpus
@@ -165,19 +183,12 @@ object LlmQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val aug = docs.unionByName(
-          docs.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000).as("doc_id"),
-              expr(dropTwoSql).as("toks")))
-        Dedup.minhashLshPairs(aug, "doc_id", "toks", k = 16, bands = 8, threshold = 0.5)
+        Dedup.minhashLshPairs(augNearCopies(docs), "doc_id", "toks",
+            k = 16, bands = 8, threshold = 0.5)
           .orderBy("id1", "id2")
       },
       Some(
-        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |aug AS (SELECT doc_id, toks FROM docs
-           |        UNION ALL
-           |        SELECT doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
-           |        FROM docs WHERE doc_id % 10 = 0),
+        s"""WITH ${dAugCtes()},
            |${dMinhashPairsCtes("aug", 3, None, 0.5)}
            |SELECT id1, id2, jac FROM pairs ORDER BY id1, id2""".stripMargin)),
 
@@ -188,16 +199,10 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
           "doc_id", "toks")
         .orderBy("doc_id"),
-      Some {
-        val hs = dTokenHashes("toks")
-        s"""SELECT doc_id,
-           |  CAST(list_sum(list_transform(range(0, 16), b ->
-           |    CASE WHEN list_sum(list_transform($hs, h ->
-           |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-           |         THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash16
+      Some(
+        s"""SELECT doc_id, ${dSimhash(dTokenHashes("toks"), 16)} AS simhash16
            |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-           |ORDER BY doc_id""".stripMargin
-      }),
+           |ORDER BY doc_id""".stripMargin)),
 
     // SimHash near-dup SEARCH: 60-bit signatures (native expression), 4
     // bands of 15 bits — two signatures within hamming distance 3 must
@@ -214,48 +219,22 @@ object LlmQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val aug = docs.unionByName(
-          docs.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000).as("doc_id"),
-              expr(dropTwoSql).as("toks")))
-        val sigs = aug.select(col("doc_id"),
-          graft.functions.MinhashBands.simhash60Col(col("toks")).as("sig"))
-        val bandRows = sigs.select(col("doc_id"), col("sig"),
-            explode(expr("sequence(0, 3)")).as("j"))
-          .withColumn("band", expr("(sig >> (15 * j)) & 32767"))
-        val a = bandRows.select(col("doc_id").as("id1"), col("sig").as("s1"),
-          col("j"), col("band"))
-        val b = bandRows.select(col("doc_id").as("id2"), col("sig").as("s2"),
-          col("j"), col("band"))
-        a.join(b, Seq("j", "band")).filter(col("id1") < col("id2"))
-          .select("id1", "id2", "s1", "s2").distinct()
-          .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
-          .filter(col("hamming") <= 3)
-          .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
+        Dedup.simhashNearDupPairs(augNearCopies(docs), "doc_id", "toks",
+            maxHamming = 3, bands = 4)
           .orderBy("id1", "id2")
       },
-      Some {
-        val hs = dTokenHashes("toks")
-        val sim = s"""CAST(list_sum(list_transform(range(0, 60), b ->
-                     |    CASE WHEN list_sum(list_transform($hs, h ->
-                     |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                     |         THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT)""".stripMargin
-        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |aug AS (SELECT doc_id, toks FROM docs
-           |        UNION ALL
-           |        SELECT doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 2, 0))
-           |        FROM docs WHERE doc_id % 10 = 0),
-           |sigs AS (SELECT doc_id, $sim AS sig FROM aug),
+      Some(
+        s"""WITH ${dAugCtes()},
+           |sigs AS (SELECT doc_id, ${dSimhash(dTokenHashes("toks"), 60)} AS sig FROM aug),
            |bandrows AS (SELECT doc_id, sig, j, (sig >> (15 * j)) & 32767 AS band
-           |             FROM sigs, (SELECT unnest(range(0, 4)) AS j)),
-           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-           |           a.sig AS s1, b.sig AS s2
-           |         FROM bandrows a JOIN bandrows b ON a.j = b.j AND a.band = b.band
-           |         WHERE a.doc_id < b.doc_id)
-           |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
-           |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
-           |ORDER BY id1, id2""".stripMargin
-      }),
+           |             FROM sigs, (SELECT unnest(range(0, 4)) AS j))
+           |SELECT DISTINCT id1, id2, hamming FROM (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+           |  FROM bandrows a JOIN bandrows b ON a.j = b.j AND a.band = b.band
+           |  WHERE a.doc_id < b.doc_id)
+           |WHERE hamming <= 3
+           |ORDER BY id1, id2""".stripMargin)),
 
     // Blocked exact bigram Jaccard: pairs restricted to the same `source`,
     // but candidates come from the LSH band join keyed (source, band_idx,

@@ -61,12 +61,33 @@ class MinhashBandsSpec extends SparkSpec {
     val both = df.select($"doc_id",
       MinhashBands.simhash60Col($"toks").as("nat"), hof.as("ref"))
     assert(both.filter($"nat" =!= $"ref").count() == 0)
-    // codegen on/off parity
-    def run(codegen: String) = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+    // codegen on/off parity — NO_CODEGEN actually exercises interpreted eval
+    def run(codegen: Boolean) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen) "FALLBACK" else "NO_CODEGEN")
       try df.select(MinhashBands.simhash60Col($"toks")).as[Long].collect().toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
     }
-    assert(run("true") == run("false"))
+    assert(run(codegen = true) == run(codegen = false))
+  }
+
+  test("simhash60 null semantics match the vote formula (null array -> 0)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    assert(MinhashBands.simhash60(null) == 0L)
+    // a null ELEMENT votes -1 on every bit (engine CASE-null behavior), so a
+    // single-null-element array and an empty array both yield signature 0
+    assert(MinhashBands.simhash60(new GenericArrayData(Array[Any](null))) == 0L)
+    assert(MinhashBands.simhash60(new GenericArrayData(Array[Any]())) == 0L)
+    // and through the expression: null toks column gives 0, never null
+    val out = Seq(Option.empty[Seq[String]], Some(Seq("a", "b")))
+      .toDF("toks")
+      .select(MinhashBands.simhash60Col($"toks").as("sig"))
+      .as[Long].collect().toSeq
+    assert(out.head == 0L)
+    assert(out(1) != 0L)
   }
 }

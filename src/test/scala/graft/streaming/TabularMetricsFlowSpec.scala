@@ -47,11 +47,15 @@ class TabularMetricsFlowSpec extends SparkSpec {
         .map(r => (r._1, r._2) -> r._3).toMap
     assert(asMap(counts) == Map(("2024-03-01", "r1") -> 2L, ("2024-03-01", "r2") -> 1L))
 
-    // re-run with NO new files: the registry yields nothing new; upserting
-    // an empty delta leaves the table unchanged (idempotent day re-run)
+    // re-run with NO new files: the registry yields nothing new, and
+    // upserting the resulting EMPTY delta leaves the table unchanged
+    // (idempotent day re-run)
     drain()
-    val stagedCount = spark.read.parquet(staged).count()
-    assert(stagedCount == 3) // the streaming checkpoint never re-ingests f1
+    assert(spark.read.parquet(staged).count() == 3) // checkpoint never re-ingests f1
+    val emptyDelta = aggregateStaged().limit(0)
+    val afterEmpty = Writers.upsertCounts(counts, emptyDelta,
+      Seq("date_metric", "resource_id"), "nb_calls")
+    assert(asMap(afterEmpty) == asMap(counts))
 
     // day 2 file arrives: exactly its rows land in staged, and its
     // aggregated increment upserts with summed-on-conflict semantics
