@@ -21,15 +21,17 @@ object Enrichment {
 
   /** @param fetch partition-batch fetcher: unseen keys → (key, value) rows.
     *              MUST be deterministic for idempotent re-runs.
+    * @param fetchedDir when set, the fetched rows land in this parquet dir —
+    *                   DURABLE pinning that survives executor loss (the
+    *                   production choice for expensive HTTP fetches); when
+    *                   None, an executor-memory localCheckpoint (fine for
+    *                   tests and short jobs).
     * @return (enriched input, updated cache) — the caller persists the new
     *         cache table for the next run.
-    * @note the fetch runs EAGERLY at call time (localCheckpoint), so both
-    *       returned frames share one execution — call only when you intend
-    *       to consume the result. Checkpoint blocks live on executors; on a
-    *       long-lived cluster persist `updated` promptly (an executor loss
-    *       before that forfeits the fetched rows rather than re-fetching). */
+    * @note the fetch runs EAGERLY at call time, so both returned frames
+    *       share one execution — call only when you intend to consume. */
   def enrichWithCache(input: DataFrame, keyCol: String, cache: DataFrame,
-                      valueCol: String)
+                      valueCol: String, fetchedDir: Option[String] = None)
                      (fetch: Iterator[String] => Iterator[(String, String)])
       : (DataFrame, DataFrame) = {
     val spark = input.sparkSession
@@ -39,10 +41,15 @@ object Enrichment {
     // Materialize the fetch ONCE: both returned frames reference it, and
     // without pinning, each downstream action would re-run the external
     // fetch for every miss (breaking the miss-proportional-cost contract).
-    val fetched = misses.select(col(keyCol).cast("string")).as[String]
+    val fetched0 = misses.select(col(keyCol).cast("string")).as[String]
       .mapPartitions(fetch)
       .toDF(keyCol, valueCol)
-      .localCheckpoint(true)
+    val fetched = fetchedDir match {
+      case Some(dir) =>
+        fetched0.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None => fetched0.localCheckpoint(true)
+    }
     val updated = cache.select(col(keyCol), col(valueCol)).unionByName(fetched)
     (input.join(updated, Seq(keyCol), "left"), updated)
   }

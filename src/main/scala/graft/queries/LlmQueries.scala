@@ -616,6 +616,42 @@ object LlmQueries {
            |FROM documents GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // PII scrubbing: plant emails/phone numbers deterministically, then
+    // redact with the same regexes on both engines and prove byte-identical
+    // masked text via md5. Pure codegen'd projection — the shape of a
+    // privacy pass over a 100 TB corpus.
+    Q("t6_pii_scrub",
+      (s, d) => {
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phoneRe = "0[1-9](?: [0-9]{2}){4}"
+        val planted = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact jean.dupont@example.org ou 01 23 45 67 89")))
+          .otherwise(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), planted.as("txt"))
+          .select(col("doc_id"),
+            size(expr(s"regexp_extract_all(txt, '$emailRe', 0)")).as("n_emails"),
+            size(expr(s"regexp_extract_all(txt, '$phoneRe', 0)")).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phoneRe = "0[1-9](?: [0-9]{2}){4}"
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS INTEGER) AS n_emails,
+           |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS INTEGER) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+           |      '$phoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+           |FROM (SELECT doc_id,
+           |        CASE WHEN doc_id % 7 = 0
+           |             THEN text || ' contact jean.dupont@example.org ou 01 23 45 67 89'
+           |             ELSE text END AS txt
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level

@@ -36,6 +36,20 @@ class EnrichmentSpec extends SparkSpec {
     assert(calls2.value == 0)
   }
 
+  test("durable fetchedDir pins fetched rows to parquet, one fetch per miss") {
+    val dir = java.nio.file.Files.createTempDirectory("enrich").toString
+    val input = Seq("x", "y").toDF("addr")
+    val cache = Seq.empty[(String, String)].toDF("addr", "geo")
+    val calls = spark.sparkContext.longAccumulator("fetch-durable")
+    val (enriched, updated) = Enrichment.enrichWithCache(
+      input, "addr", cache, "geo", Some(s"$dir/fetched"))(stubFetch(calls))
+    assert(enriched.count() == 2)
+    assert(updated.count() == 2)
+    assert(calls.value == 2) // both downstream actions served from parquet
+    // the durable copy is on disk and matches
+    assert(spark.read.parquet(s"$dir/fetched").count() == 2)
+  }
+
   test("DST switch day parses unambiguously under the UTC session tz (§7.4.6)") {
     // Europe/Paris fell back on 2024-10-27: 02:30 exists at +02:00 AND +01:00.
     // With offsets in the data and a UTC session, the two map to distinct
