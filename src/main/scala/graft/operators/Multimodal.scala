@@ -107,6 +107,39 @@ object Multimodal {
     }(enc)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("src_width", IntegerType),
+    StructField("src_height", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("resized", BinaryType)))
+
+  /** Resize plumbing: decode (stub) → scale to fit (targetW, targetH)
+    * preserving aspect ratio → re-encode (stub: payload truncated/padded to
+    * the area-scaled byte count). Same partition-batched shape as the other
+    * codec paths — one resizer init per partition, rows streamed. A real
+    * deployment replaces the two stub calls with the image library. */
+  def resizeMedia(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      // real pipeline: val resizer = Codec.init() — once per partition
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val (w, h, _) = decodeStub(bytes)
+        val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
+        val nw = math.max(1, math.rint(w * scale).toInt)
+        val nh = math.max(1, math.rint(h * scale).toInt)
+        // stub re-encode: byte count scales with the area ratio
+        val outLen = math.max(1,
+          (bytes.length.toLong * nw * nh / (w.toLong * h)).toInt)
+        val out = java.util.Arrays.copyOf(bytes, outLen)
+        Row(id, w, h, nw, nh, out)
+      }
+    }(enc)
+  }
+
   /** Wrap any (id, text) frame into the multimodal schema for testing:
     * payload = utf-8 bytes, metadata stamped from the payload. */
   def fromText(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): DataFrame =

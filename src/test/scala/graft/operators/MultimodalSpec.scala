@@ -39,4 +39,22 @@ class MultimodalSpec extends SparkSpec {
     // deterministic
     assert(Multimodal.sampleFrames(media, 4).exceptAll(frames).count() == 0)
   }
+
+  test("resizeMedia fits the target box preserving aspect ratio") {
+    val media = Multimodal.fromText(spark,
+      Tables.documents(spark, sf()).limit(20), "doc_id", "text")
+    val out = Multimodal.resizeMedia(media, 32, 32)
+    assert(out.schema.simpleString == Multimodal.resizedSchema.simpleString)
+    assert(out.count() == 20)
+    // every output fits the box, no upscaling past it, aspect preserved
+    val bad = out.filter($"width" > 32 || $"height" > 32 ||
+      ($"width" =!= 32 && $"height" =!= 32))
+    assert(bad.count() == 0, "the binding dimension must hit the target")
+    // stub re-encode shrinks the payload with the area
+    val sizes = out.join(media.select($"media_id", $"meta.n_bytes"), "media_id")
+      .filter(org.apache.spark.sql.functions.length($"resized") > $"n_bytes")
+    assert(sizes.count() == 0)
+    // deterministic
+    assert(Multimodal.resizeMedia(media, 32, 32).exceptAll(out).count() == 0)
+  }
 }
