@@ -37,6 +37,8 @@ object Hierarchy {
         .union(closure).distinct()
         .localCheckpoint(true)
       converged = next.count() == prevCount
+      // next is materialized: the superseded round's blocks are dead weight
+      org.apache.spark.sql.graft.Bridge.freeCheckpoint(closure)
       closure = next
       round += 1
     }
@@ -73,18 +75,29 @@ object Hierarchy {
         .select(col("node"), col("parent"), col("__xid").isNotNull.as("__hit"))
     var tagged = classify(e.select(col("child").as("node"), col("parent")))
       .localCheckpoint(true)
+    // result is re-checkpointed (and the superseded copy freed) each round so
+    // resident storage stays bounded at {edges, current tagged, current
+    // result} instead of accumulating every round's hit slice.
     var result = tagged.filter(col("__hit")).select("node", "parent")
+      .localCheckpoint(true)
     var frontier = tagged.filter(!col("__hit"))
       .select(col("node"), col("parent").as("via"))
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       val step = frontier.join(e, frontier("via") === e("child"))
         .select(col("node"), e("parent").as("parent")).distinct()
-      tagged = classify(step).localCheckpoint(true)
-      result = result.union(tagged.filter(col("__hit")).select("node", "parent"))
+      val nextTagged = classify(step).localCheckpoint(true)
+      val nextResult = result
+        .union(nextTagged.filter(col("__hit")).select("node", "parent"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.freeCheckpoint(tagged)
+      org.apache.spark.sql.graft.Bridge.freeCheckpoint(result)
+      tagged = nextTagged
+      result = nextResult
       frontier = tagged.filter(!col("__hit")).select(col("node"), col("parent").as("via"))
       round += 1
     }
+    org.apache.spark.sql.graft.Bridge.freeCheckpoint(tagged)
     result.distinct()
   }
 

@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the block-manager storage behind a `localCheckpoint(true)`-ed
+    * frame. Iterative operators (transitive closure, label propagation)
+    * checkpoint every round; without this, every superseded round's blocks
+    * stay resident until the session dies — unbounded storage growth on
+    * deep fixpoints. Call ONLY once nothing will read the frame again: the
+    * checkpoint truncated its lineage, so freed blocks cannot be recomputed.
+    */
+  def freeCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
 }
