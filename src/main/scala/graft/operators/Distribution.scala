@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The reference's price-distribution stage
   * (`dvf/explore/task_functions.py:839-896`, SURVEY §7.4.1): per group,
@@ -67,5 +68,119 @@ object Distribution {
         when(col("n") >= minSupport, col("edges")).as("edges")) ++
         (1 to nBins).map(i => when(col("n") >= minSupport,
           coalesce(col(s"$i"), lit(0L))).as(s"bin_$i")): _*)
+  }
+
+  /** Exact quantiles with O(1) task memory — the FEW-HUGE-GROUPS
+    * complement to `percentile` (whose aggregation buffer holds one group's
+    * whole value multiset; see the scale note on [[priceDistribution]]).
+    *
+    * Two-pass distributed selection:
+    *   1. range-partition + sort rows by (key, value) — values of one group
+    *     span many partitions, each sorted externally (spill-safe);
+    *   2. per-partition per-key run-length counts → driver (P×K rows — tiny
+    *     when K is few, which is this operator's envelope);
+    *   3. driver turns counts into per-partition rank offsets and the
+    *     0-based target ranks floor/ceil of p·(n-1) for each prob;
+    *   4. second pass streams each partition once, emitting ONLY rows whose
+    *     rank is a target (≤ 2·|probs|·K rows total);
+    *   5. interpolation uses Spark's exact `percentile` weight form
+    *     ((hi−pos)·v_lo + (pos−lo)·v_hi) so results are bit-identical to the
+    *     buffered aggregate.
+    *
+    * The two collects are aggregate-sized by construction — this is the
+    * textbook distributed-selection shape, not a driver loop over data.
+    * Null values are ignored (percentile semantics); a null key forms its
+    * own group. Keys are compared as strings (cast internally).
+    *
+    * @return one row per key: (keyCol: string, n: long, qs: array<double>)
+    */
+  def distributedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                           probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be within [0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_1"), col(valueCol).cast("double").as("_2"))
+      .as[(String, Double)]
+    val sorted = base
+      .repartitionByRange(col("_1"), col("_2"))
+      .sortWithinPartitions("_1", "_2")
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition per-key counts, in partition order
+      val counts: Array[(Int, String, Long)] = sorted
+        .mapPartitionsWithIndex { (pid, it) =>
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+          var cur: String = null
+          var started = false
+          var n = 0L
+          it.foreach { case (k, _) =>
+            if (started && java.util.Objects.equals(cur, k)) n += 1
+            else {
+              if (started) runs += ((pid, cur, n))
+              cur = k; n = 1L; started = true
+            }
+          }
+          if (started) runs += ((pid, cur, n))
+          runs.iterator
+        }.collect()
+      // driver: totals, target ranks (0-based), per-(pid,key) start offsets
+      val totals: Map[String, Long] =
+        counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
+      val targets: Map[String, Set[Long]] = totals.map { case (k, n) =>
+        k -> probs.flatMap { p =>
+          val pos = p * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }
+      val offsets: Map[(Int, String), Long] = {
+        val running = scala.collection.mutable.HashMap.empty[String, Long]
+        counts.sortBy(_._1).map { case (pid, k, n) =>
+          val off = running.getOrElse(k, 0L)
+          running(k) = off + n
+          (pid, k) -> off
+        }.toMap
+      }
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val bcTgt = spark.sparkContext.broadcast(targets)
+      // pass 2: emit only rows at target ranks
+      val picked: Array[(String, Long, Double)] = sorted
+        .mapPartitionsWithIndex { (pid, it) =>
+          val off = bcOff.value
+          val tgt = bcTgt.value
+          var cur: String = null
+          var started = false
+          var idx = 0L
+          it.flatMap { case (k, v) =>
+            if (!started || !java.util.Objects.equals(cur, k)) {
+              cur = k; started = true
+              idx = off.getOrElse((pid, k), 0L)
+            }
+            val out =
+              if (tgt.getOrElse(k, Set.empty[Long]).contains(idx)) Iterator.single((k, idx, v))
+              else Iterator.empty
+            idx += 1
+            out
+          }
+        }.collect()
+      val byKey = picked.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.map(r => r._2 -> r._3).toMap
+      }
+      val rows = totals.toSeq.map { case (k, n) =>
+        val vals = byKey(k)
+        val qs = probs.map { p =>
+          val pos = p * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          // percentile's tie shortcut: equal neighbors return the value
+          // directly (interpolating equal values costs an ulp — observed)
+          if (lo == hi || vals(lo) == vals(hi)) vals(lo)
+          else (hi - pos) * vals(lo) + (pos - lo) * vals(hi)
+        }
+        (k, n, qs)
+      }
+      rows.toDF(keyCol, "n", "qs")
+    } finally sorted.unpersist(false)
   }
 }

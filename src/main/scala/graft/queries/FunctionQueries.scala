@@ -235,6 +235,36 @@ object FunctionQueries {
               FROM (SELECT DISTINCT l_returnflag, l_extendedprice FROM lineitem)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // f18's semantics through the O(1)-task-memory distributed-selection
+    // path (operators/Distribution.distributedQuantiles): the few-huge-
+    // groups scale shape — 3 return flags over all of lineitem — where the
+    // buffered percentile aggregate would hold a group's whole distinct set
+    // in one buffer. Same oracle as f18: the two paths are bit-identical
+    // (DistributedQuantilesSpec) so they must also hash-match DuckDB alike.
+    Q("f18c_quantiles_distributed",
+      (s, d) => {
+        val distinctPrices = Tables.lineitem(s, d)
+          .select("l_returnflag", "l_extendedprice").distinct()
+        graft.operators.Distribution.distributedQuantiles(
+            distinctPrices, "l_returnflag", "l_extendedprice",
+            Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+          .select(col("l_returnflag"), col("n").as("n_distinct"),
+            round(element_at(col("qs"), 1), 4).as("q10"),
+            round(element_at(col("qs"), 2), 4).as("q25"),
+            round(element_at(col("qs"), 3), 4).as("q50"),
+            round(element_at(col("qs"), 4), 4).as("q75"),
+            round(element_at(col("qs"), 5), 4).as("q90"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_distinct,
+                ROUND(quantile_cont(l_extendedprice, 0.1), 4) AS q10,
+                ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+                ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+              FROM (SELECT DISTINCT l_returnflag, l_extendedprice FROM lineitem)
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Q("f19_histogram",
       (s, d) => Tables.lineitem(s, d)
         .select(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
