@@ -189,6 +189,56 @@ object MinhashBands {
 
   def simhash60Col(toks: Column): Column =
     Bridge.column(SimHash60(Bridge.expression(toks)))
+
+  /** 120-bit SimHash as [hi60, lo60]: one md5 per token feeds BOTH halves —
+    * hi from hex nibbles 1–15 (== [[simhash60]]'s hash), lo from nibbles
+    * 16–30 (both replayable as ('0x'||substr(md5(t), o, 15))::BIGINT). The
+    * corpus-scale variant: identical-signature collision groups shrink by
+    * another 2^60, and 8×15-bit bands stay pigeonhole-complete to
+    * hamming 7 (vs 3 for the 60-bit/4-band search). */
+  def simhash120(toks: ArrayData): ArrayData = {
+    val votes = new Array[Int](120)
+    if (toks != null) {
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) {
+          val d = md.get().digest(t.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var hi = 0L
+          var j = 0
+          while (j < 8) { hi = (hi << 8) | (d(j) & 0xffL); j += 1 }
+          hi = hi >>> 4
+          var lo = d(7) & 0xfL
+          j = 8
+          while (j < 15) { lo = (lo << 8) | (d(j) & 0xffL); j += 1 }
+          var b = 0
+          while (b < 60) {
+            if (((hi >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            if (((lo >>> b) & 1L) == 1L) votes(60 + b) += 1 else votes(60 + b) -= 1
+            b += 1
+          }
+        } else {
+          // null element: every bit test is null-false on both engines → -1
+          var b = 0
+          while (b < 120) { votes(b) -= 1; b += 1 }
+        }
+        i += 1
+      }
+    }
+    var hiSig = 0L
+    var loSig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) hiSig |= (1L << b)
+      if (votes(60 + b) > 0) loSig |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array[Any](hiSig, loSig))
+  }
+
+  def simhash120Col(toks: Column): Column =
+    Bridge.column(SimHash120(Bridge.expression(toks)))
 }
 
 /** Codegen'd 60-bit SimHash (see [[MinhashBands.simhash60]]). Never null:
@@ -217,5 +267,32 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       """)
   }
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Codegen'd 120-bit SimHash → array(hi60, lo60); never null (a null token
+  * array folds to [0, 0], matching the vote formula — see [[SimHash60]]). */
+case class SimHash120(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash120 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    MinhashBands.simhash120(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.MinhashBands.simhash120(${c.isNull} ? null : ${c.value});
+      """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash120 =
     copy(child = newChild)
 }

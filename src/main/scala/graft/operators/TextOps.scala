@@ -30,6 +30,11 @@ object TextOps {
   def md5LongSql(x: String): String =
     s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
 
+  /** SQL fragment: the LOW half of the 120-bit signature hash — md5 hex
+    * nibbles 16–30 (same cross-engine idiom as [[md5LongSql]]). */
+  def md5LongLoSql(x: String): String =
+    s"cast(conv(substring(md5($x), 16, 15), 16, 10) as bigint)"
+
   /** SQL let-binding: evaluate `bound` once, reference it as `v` in `body`.
     * Implemented as a single-element transform — works interpreted and
     * codegen'd, and survives CollapseProject without duplication. */

@@ -134,6 +134,9 @@ object LlmQueries {
        | END)""".stripMargin
   }
   private def dTokenHashes(sh: String) = s"list_transform($sh, t -> ${dMd5Long("t")})"
+  // low half of the 120-bit signature: md5 hex nibbles 16-30
+  private def dMd5LongLo(x: String) = s"(('0x' || substr(md5($x), 16, 15))::BIGINT)"
+  private def dTokenHashesLo(sh: String) = s"list_transform($sh, t -> ${dMd5LongLo("t")})"
   private def dMinhash(hs: String, k: Int): String =
     DetHash.minhashSeeds(k).map { case (a, b) =>
       s"list_aggregate(list_transform($hs, h -> ($a * (h % $P) + $b) % $P), 'min')"
@@ -234,6 +237,34 @@ object LlmQueries {
            |  FROM bandrows a JOIN bandrows b ON a.j = b.j AND a.band = b.band
            |  WHERE a.doc_id < b.doc_id)
            |WHERE hamming <= 3
+           |ORDER BY id1, id2""".stripMargin)),
+
+    // d3b one width notch up: 120-bit signature (2x60), 8x15-bit bands,
+    // pigeonhole-complete to hamming 7 — the >1e6-doc corpus variant (the
+    // 60-bit signature's identical-signature groups saturate there; see
+    // Dedup.simhashNearDupPairsWide). One md5 per token feeds both halves.
+    Q("d3c_simhash_wide",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        Dedup.simhashNearDupPairsWide(augNearCopies(docs), "doc_id", "toks",
+            maxHamming = 7, bands = 8)
+          .orderBy("id1", "id2")
+      },
+      Some(
+        s"""WITH ${dAugCtes()},
+           |sigs AS (SELECT doc_id, ${dSimhash(dTokenHashes("toks"), 60)} AS hi,
+           |                ${dSimhash(dTokenHashesLo("toks"), 60)} AS lo FROM aug),
+           |bandrows AS (SELECT doc_id, hi, lo, j,
+           |               CASE WHEN j < 4 THEN (hi >> (15 * j)) & 32767
+           |                    ELSE (lo >> (15 * (j - 4))) & 32767 END AS band
+           |             FROM sigs, (SELECT unnest(range(0, 8)) AS j))
+           |SELECT DISTINCT id1, id2, hamming FROM (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+           |  FROM bandrows a JOIN bandrows b ON a.j = b.j AND a.band = b.band
+           |  WHERE a.doc_id < b.doc_id)
+           |WHERE hamming <= 7
            |ORDER BY id1, id2""".stripMargin)),
 
     // Blocked exact bigram Jaccard: pairs restricted to the same `source`,

@@ -75,6 +75,35 @@ class MinhashBandsSpec extends SparkSpec {
     assert(run(codegen = true) == run(codegen = false))
   }
 
+  test("simhash120 halves match the HOF vote formulas; nulls fold to [0,0]") {
+    def voteHof(hashSql: String => String) = org.apache.spark.sql.functions.expr(
+      TextOps.letSql("toks", "tv") { tv =>
+        TextOps.letSql(s"transform($tv, t -> ${hashSql("t")})", "hs") { hs =>
+          s"""aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+             |  if(aggregate($hs, 0L,
+             |       (w, h) -> w + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+             |     shiftleft(1L, b), 0L))""".stripMargin
+        }
+      })
+    val df = docs.limit(30)
+    val both = df.select($"doc_id",
+      MinhashBands.simhash120Col($"toks").as("nat"),
+      voteHof(TextOps.md5LongSql).as("refHi"),
+      voteHof(TextOps.md5LongLoSql).as("refLo"))
+    assert(both.filter(element_at($"nat", 1) =!= $"refHi" ||
+      element_at($"nat", 2) =!= $"refLo").count() == 0)
+    // hi half is definitionally simhash60
+    assert(df.select(MinhashBands.simhash120Col($"toks").as("nat"),
+        MinhashBands.simhash60Col($"toks").as("s60"))
+      .filter(element_at($"nat", 1) =!= $"s60").count() == 0)
+    // null/empty token arrays fold to [0, 0] through the expression
+    val out = Seq(Option.empty[Seq[String]], Some(Seq.empty[String]))
+      .toDF("toks")
+      .select(MinhashBands.simhash120Col($"toks").as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(out == Seq(Seq(0L, 0L), Seq(0L, 0L)))
+  }
+
   test("simhash60 null semantics match the vote formula (null array -> 0)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     assert(MinhashBands.simhash60(null) == 0L)
