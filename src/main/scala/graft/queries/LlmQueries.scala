@@ -299,6 +299,50 @@ object LlmQueries {
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
            |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Paragraph-level boilerplate removal: paragraphs = fixed 8-token
+    // chunks (the corpus has no newlines; the chunk grid is the same
+    // deterministic formula on both engines), with an 8-word boilerplate
+    // paragraph planted at the FRONT of every 5th doc — exactly one chunk,
+    // so it repeats verbatim 100x at sf0.01 and gets dropped at
+    // maxOccurrences=3 while every organic paragraph survives. Documents
+    // are reassembled from surviving paragraphs in original order.
+    Q("d8_paragraph_dedup",
+      (s, d) => {
+        val boiler = "click here to subscribe now for daily updates"
+        val docs = Tables.documents(s, d)
+          .withColumn("text2", expr(
+            s"if(doc_id % 5 = 0, concat('$boiler ', text), text)"))
+          .withColumn("paras", expr(TextOps.letSql("split(text2, ' ')", "tv") { tv =>
+            s"""transform(sequence(0, cast(ceil(size($tv) / 8.0) as int) - 1),
+               |  i -> array_join(slice($tv, i * 8 + 1, 8), ' '))""".stripMargin
+          }))
+          .select(col("doc_id"), col("paras"))
+        Dedup.paragraphDedup(docs, "doc_id", "paras", maxOccurrences = 3L)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0
+          |         THEN 'click here to subscribe now for daily updates ' || text
+          |         ELSE text END AS text2
+          |  FROM documents),
+          |paras AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, CAST(ceil(len(string_split(text2, ' ')) / 8.0) AS BIGINT)),
+          |      i -> array_to_string(list_slice(string_split(text2, ' '), i * 8 + 1, i * 8 + 8), ' ')) AS ps
+          |  FROM planted),
+          |ex AS (
+          |  SELECT doc_id, i AS pos, ps[i + 1] AS para
+          |  FROM paras, (SELECT unnest(range(0, 1024)) AS i)
+          |  WHERE i < len(ps)),
+          |cnt AS (SELECT para, COUNT(*) AS occ FROM ex GROUP BY para)
+          |SELECT e.doc_id, COUNT(*) AS n_paras,
+          |  COUNT(CASE WHEN c.occ <= 3 THEN 1 END) AS n_kept,
+          |  COALESCE(string_agg(CASE WHEN c.occ <= 3 THEN e.para END, ' <p> ' ORDER BY e.pos), '') AS clean_text
+          |FROM ex e JOIN cnt c ON e.para = c.para
+          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)),
+
     // Benchmark decontamination: flag training documents sharing any
     // 3-gram with the (small) benchmark set — the eval-leak check run
     // before training. The benchmark gram set broadcasts; the corpus side

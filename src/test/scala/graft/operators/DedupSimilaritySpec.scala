@@ -109,4 +109,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("paragraphDedup drops repeated paragraphs, keeps order, never drops docs") {
+    val docs = Seq(
+      (1L, Seq("boiler", "alpha one", "boiler", "beta two")),
+      (2L, Seq("boiler", "gamma three")),
+      (3L, Seq("boiler")), // all-boilerplate doc survives with empty text
+      (4L, Seq("delta four", "boiler"))
+    ).toDF("doc_id", "paras")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "paras", maxOccurrences = 3L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // "boiler" occurs 5 times (> 3) → dropped everywhere; originals keep order
+    assert(got === Seq(
+      (1L, 4L, 2L, "alpha one <p> beta two"),
+      (2L, 2L, 1L, "gamma three"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 1L, "delta four")))
+  }
 }
