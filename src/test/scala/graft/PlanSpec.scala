@@ -91,6 +91,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("paragraph-count aggregation is partial before the shuffle (d8)") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq("a", "b")), (2L, Seq("b", "c"))).toDF("id", "paras")
+    val out = graft.operators.Dedup.paragraphDedup(docs, "id", "paras", 3L)
+    val p = plan(out)
+    // a billion-copy boilerplate paragraph must partial-aggregate map-side
+    assert("partial_count".r.findAllIn(p).nonEmpty, s"no partial agg in:\n$p")
+  }
+
+  test("wide-simhash candidate join keys on (band index, band bits), carrying only longs (d3c)") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("toks"))
+    val out = graft.operators.Dedup.simhashNearDupPairsWide(docs, "doc_id", "toks")
+    val p = plan(out)
+    // the candidate join must key on (band index, band bits) — cardinality
+    // grows with data — and its inputs carry only (id, hi, lo, j, band)
+    // longs, never token arrays (at sf0.001 AQE may broadcast one side;
+    // the join KEY is the scale property being pinned)
+    assert("Join \\[j#\\d+, band#\\d+L?\\]".r.findFirstIn(p).isDefined, p)
+    // and never on doc id or a constant-cardinality key alone
+    assert("Join \\[doc_id#\\d+L?\\]".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project spine") {
     val df = Tables.lineitem(spark, sf())
       .filter(col("l_quantity") > 10)
