@@ -299,6 +299,36 @@ object LlmQueries {
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
            |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Training-sequence packing: contiguous-fill assignment of documents
+    // to 256-token training sequences, shard-parallel (window partitioned
+    // by source — no global-order single-partition window). A document
+    // belongs to the sequence where it STARTS, the concat-then-chunk
+    // layout of real tokenizer pipelines.
+    Q("pack1_sequence_packing",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok"))
+        graft.operators.Packing.packStats(
+            graft.operators.Packing.contiguousPack(
+              toks, "source", "doc_id", "n_tok", budget = 256L),
+            "source", "n_tok")
+          .orderBy("source", "seq_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+          |  FROM documents),
+          |packed AS (
+          |  SELECT source, doc_id, n_tok,
+          |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS tokens_before
+          |  FROM toks)
+          |SELECT source, CAST(FLOOR(tokens_before / 256.0) AS BIGINT) AS seq_id,
+          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+          |FROM packed GROUP BY source, seq_id
+          |ORDER BY source, seq_id""".stripMargin)),
+
     // Paragraph-level boilerplate removal: paragraphs = fixed 8-token
     // chunks (the corpus has no newlines; the chunk grid is the same
     // deterministic formula on both engines), with an 8-word boilerplate
