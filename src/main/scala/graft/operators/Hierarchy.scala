@@ -104,4 +104,12 @@ object Hierarchy {
   /** Denormalized sorted closest-parent arrays (`task_functions.py:177`). */
   def parentArrays(parents: DataFrame): DataFrame =
     parents.groupBy("node").agg(array_sort(collect_set("parent")).as("parents"))
+
+  /** [[parentArrays]] with the parent list flattened to a pipe-joined string —
+    * the exchange-friendly flat-scalar form (array cells don't survive every
+    * downstream tabular consumer).
+    */
+  def parentList(parents: DataFrame): DataFrame =
+    parents.groupBy("node")
+      .agg(array_join(array_sort(collect_set("parent")), "|").as("parents"))
 }

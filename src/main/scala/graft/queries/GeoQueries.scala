@@ -133,7 +133,7 @@ object GeoQueries {
           edges, "child", "parent", exported, "id")
           // reference computes parents only FOR exported ids (task_functions.py:168)
           .join(exported, col("node") === col("id"), "left_semi")
-        graft.operators.Hierarchy.parentArrays(parents).orderBy("node")
+        graft.operators.Hierarchy.parentList(parents).orderBy("node")
       },
       Some(
         """WITH n AS (SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation),
@@ -143,7 +143,7 @@ object GeoQueries {
           |         FROM customer JOIN n ON c_nationkey = n.nk),
           |nat AS (SELECT 'n:' || nk AS node, 'r:' || rk AS parent FROM n WHERE nk % 2 = 0),
           |allp AS (SELECT node, parent FROM cust UNION SELECT node, parent FROM nat)
-          |SELECT node, list_sort(list(DISTINCT parent)) AS parents
+          |SELECT node, array_to_string(list_sort(list(DISTINCT parent)), '|') AS parents
           |FROM allp GROUP BY node ORDER BY node""".stripMargin))
   )
 }

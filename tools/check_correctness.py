@@ -74,6 +74,17 @@ def main():
             print(f"FAIL {name}: cannot read spark parquet: {e}")
             n_fail += 1
             continue
+        # The driver sorts result frames with pandas, which crashes on
+        # non-hashable cells (numpy arrays from list/struct columns) — see
+        # h1 in CORRECTNESS_r03. Flat scalar outputs are the contract.
+        import pyarrow.types as pt
+        nested = [f.name for f in st.schema
+                  if pt.is_nested(f.type)]
+        if nested:
+            print(f"FAIL {name}: driver-fragile nested output columns {nested} "
+                  "(pandas sort crashes on array/struct cells — flatten to scalars)")
+            n_fail += 1
+            continue
         try:
             res = con.execute(sql)
             d_cols = [c[0] for c in res.description]
