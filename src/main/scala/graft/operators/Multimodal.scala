@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * Scala-side equivalent of the mapInPandas batch shape (iterator of
   * batches in, iterator of batches out; one decoder init per partition).
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * container): [[decodeStub]] produces deterministic pseudo-features from
-  * the bytes. The Spark-side plumbing — schema, batch iteration,
-  * partitioning, output encoder — is real and tested.
+  * The IMAGE path is real: `javax.imageio` (JDK built-in — PNG/JPEG/GIF/
+  * BMP) decodes dimensions + brightness and `Graphics2D` does the resize,
+  * dispatched by magic-byte sniff. Audio/video demux has no JDK codec, so
+  * non-image payloads take [[decodeStub]] — deterministic pseudo-features
+  * from the bytes — keeping the operators total and replayable. The
+  * Spark-side plumbing — schema, batch iteration, partitioning, output
+  * encoder — is shared by both paths.
   */
 object Multimodal {
 
@@ -34,9 +37,50 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("brightness", DoubleType)))
 
-  /** STUB decoder: where a real pipeline would call an image codec, this
-    * derives deterministic fake dimensions/brightness from the payload
-    * bytes. Replace the body with the real codec at deployment. */
+  /** Magic-byte sniff for the formats the JDK's ImageIO decodes out of the
+    * box. Cheaper and more deterministic than letting ImageIO scan its
+    * reader registry per row, and it keeps non-image payloads (text
+    * fixtures, audio/video containers) off the codec entirely. */
+  def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("png")
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("jpeg")
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) Some("gif")
+    else if (at(0, 'B') && at(1, 'M')) Some("bmp")
+    else None
+  }
+
+  /** REAL image decode — JDK `javax.imageio` (PNG/JPEG/GIF/BMP), zero
+    * extra dependencies. Returns (width, height, mean Rec.601 luma in
+    * [0,1]), or None when the payload is not a decodable image — callers
+    * fall back to [[decodeStub]] so every row still yields a feature row. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    if (sniffImageFormat(bytes).isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum / (w.toLong * h) / 255.0))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decoder for non-image payloads (no audio/video demuxers in the
+    * JDK): derives deterministic fake dimensions/brightness from the
+    * payload bytes so the plumbing stays total and replayable. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
     val n = bytes.length
     val w = 64 + (if (n > 0) (bytes(0) & 0x7f) else 0)
@@ -49,15 +93,19 @@ object Multimodal {
 
   /** Batched decode over the media frame: one decoder context per
     * partition (the expensive init a real codec needs), rows streamed
-    * through it lazily — never materialized per-partition. */
+    * through it lazily — never materialized per-partition. Image payloads
+    * (sniffed by magic bytes) go through the REAL `javax.imageio` decode;
+    * everything else falls back to the deterministic stub. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "media", "meta.format", "meta.n_bytes")
       .mapPartitions { rows =>
-        // real pipeline: val codec = Codec.init() — once per partition
+        // per-partition codec init: disable ImageIO's temp-file cache so
+        // decodes stay in-memory on executors
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("media")
-          val (w, h, br) = decodeStub(bytes)
+          val (w, h, br) = decodeImage(bytes).getOrElse(decodeStub(bytes))
           Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
             r.getAs[Int]("n_bytes"), w, h, br)
         }
@@ -115,26 +163,59 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("resized", BinaryType)))
 
-  /** Resize plumbing: decode (stub) → scale to fit (targetW, targetH)
-    * preserving aspect ratio → re-encode (stub: payload truncated/padded to
-    * the area-scaled byte count). Same partition-batched shape as the other
-    * codec paths — one resizer init per partition, rows streamed. A real
-    * deployment replaces the two stub calls with the image library. */
-  def resizeMedia(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val enc = RowEncoder.encoderFor(resizedSchema)
-    media.select("media_id", "media").mapPartitions { rows =>
-      // real pipeline: val resizer = Codec.init() — once per partition
-      rows.map { r =>
-        val id = r.getAs[Long]("media_id")
-        val bytes = r.getAs[Array[Byte]]("media")
-        val (w, h, _) = decodeStub(bytes)
+  /** REAL image resize: decode via `javax.imageio`, bilinear-scale to fit
+    * (targetW, targetH) preserving aspect ratio with `Graphics2D`, and
+    * re-encode as PNG (lossless + deterministic within a JDK). Returns
+    * None for non-image payloads. */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int)
+      : Option[(Int, Int, Int, Int, Array[Byte])] =
+    if (sniffImageFormat(bytes).isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
         val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
         val nw = math.max(1, math.rint(w * scale).toInt)
         val nh = math.max(1, math.rint(h * scale).toInt)
-        // stub re-encode: byte count scales with the area ratio
-        val outLen = math.max(1,
-          (bytes.length.toLong * nw * nh / (w.toLong * h)).toInt)
-        val out = java.util.Arrays.copyOf(bytes, outLen)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some((w, h, nw, nh, baos.toByteArray))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Resize over the media frame: REAL decode → `Graphics2D` scale-to-fit
+    * → PNG re-encode for image payloads; non-image payloads take a
+    * deterministic stub path (fake dims from [[decodeStub]], byte count
+    * scaled by the area ratio) so the operator stays total. Same
+    * partition-batched shape as the other codec paths — one resizer init
+    * per partition, rows streamed. */
+  def resizeMedia(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val (w, h, nw, nh, out) =
+          resizeImage(bytes, targetW, targetH).getOrElse {
+            val (sw, sh, _) = decodeStub(bytes)
+            val scale = math.min(targetW.toDouble / sw, targetH.toDouble / sh)
+            val snw = math.max(1, math.rint(sw * scale).toInt)
+            val snh = math.max(1, math.rint(sh * scale).toInt)
+            // stub re-encode: byte count scales with the area ratio
+            val outLen = math.max(1,
+              (bytes.length.toLong * snw * snh / (sw.toLong * sh)).toInt)
+            (sw, sh, snw, snh, java.util.Arrays.copyOf(bytes, outLen))
+          }
         Row(id, w, h, nw, nh, out)
       }
     }(enc)

@@ -57,4 +57,49 @@ class MultimodalSpec extends SparkSpec {
     // deterministic
     assert(Multimodal.resizeMedia(media, 32, 32).exceptAll(out).count() == 0)
   }
+
+  /** Deterministic RGB test image: left half black, right half white. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeFeatures uses the real javax.imageio codec for image payloads") {
+    val rows = Seq((1L, pngBytes(80, 40)), (2L, pngBytes(10, 10)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "media")
+      .select($"media_id", $"media",
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("image/png").as("format"),
+          org.apache.spark.sql.functions.length($"media").cast("int").as("n_bytes")).as("meta"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // real dimensions, not stub fabrications
+    assert(feats(1L).getInt(3) == 80 && feats(1L).getInt(4) == 40)
+    assert(feats(2L).getInt(3) == 10 && feats(2L).getInt(4) == 10)
+    // half black / half white → mean luma 0.5 exactly (even width)
+    assert(math.abs(feats(1L).getDouble(5) - 0.5) < 1e-9)
+    // non-image payload falls back to the deterministic stub
+    val stub = Multimodal.decodeStub("not an image at all".getBytes("UTF-8"))
+    assert(feats(3L).getInt(3) == stub._1 && feats(3L).getInt(4) == stub._2)
+  }
+
+  test("resizeMedia really rescales image payloads (decode-back check)") {
+    val media = Seq((7L, pngBytes(80, 40))).toDF("media_id", "media")
+    val out = Multimodal.resizeMedia(media, 32, 32).collect().head
+    assert(out.getInt(1) == 80 && out.getInt(2) == 40)   // source dims
+    assert(out.getInt(3) == 32 && out.getInt(4) == 16)   // fit 32x32, aspect kept
+    // the resized payload is a real PNG with exactly those dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("resized")))
+    assert(back.getWidth == 32 && back.getHeight == 16)
+    // still half-black/half-white after bilinear scale: luma ends near 0.5
+    val feats = Multimodal.decodeImage(out.getAs[Array[Byte]]("resized")).get
+    assert(math.abs(feats._3 - 0.5) < 0.05)
+  }
 }
