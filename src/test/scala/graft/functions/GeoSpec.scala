@@ -62,6 +62,36 @@ class GeoSpec extends SparkSpec {
     assert(perFile.forall(rows => { val hs = rows.map(_._2).toSeq; hs == hs.sorted }))
   }
 
+  test("hilbert-clustered writer registers GeoParquet footer metadata") {
+    val dir = Files.createTempDirectory("graft-geo-meta").toString
+    val pts = (0 until 500).map { i =>
+      (i.toLong, (i % 83) / 83.0 * 10 + 2.0, (i % 67) / 67.0 * 5 + 45.0)
+    }.toDF("id", "lon", "lat")
+    GeoWriter.hilbertClustered(pts, "lon", "lat", s"$dir/tiles", order = 8)
+    // native-point geometry column present and consistent with lon/lat
+    val back = spark.read.parquet(s"$dir/tiles")
+    assert(back.columns.contains("geometry"))
+    assert(back.filter($"geometry.x" =!= $"lon" || $"geometry.y" =!= $"lat").count() == 0)
+    // every part file's footer carries the `geo` key with the global extent
+    val files = new java.io.File(s"$dir/tiles").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    files.foreach { f =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+      val kv = footer.getFileMetaData.getKeyValueMetaData
+      val geo = kv.get("geo")
+      assert(geo != null, s"no geo key in ${f.getName}; keys=${kv.keySet()}")
+      assert(geo.contains("\"primary_column\":\"geometry\""))
+      assert(geo.contains("\"encoding\":\"point\""))
+      // extent of the fixture: lon in [2, 2+82/83*10], lat in [45, 45+66/67*5]
+      assert(geo.contains("\"bbox\":[2.0,45.0,"))
+      // spark's own schema key must survive the footer rewrite
+      assert(kv.containsKey("org.apache.spark.sql.parquet.row.metadata"))
+    }
+  }
+
   test("normadresse abbreviates way types and drops particles") {
     val out = Seq("12 AVENUE DE LA RÉPUBLIQUE", "3 boulevard Saint Émile",
       "7 Rue de l'Église")
