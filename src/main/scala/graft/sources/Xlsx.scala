@@ -48,29 +48,96 @@ object Xlsx {
       .replace("&apos;", "'").replace("&amp;", "&")
   }
 
-  /** Parse one workbook's bytes into rows of (colIdx -> value) strings.
-    * Reads the lowest-numbered `xl/worksheets/sheetN.xml` part (an
-    * approximation of "first sheet" that survives deleted sheets).
-    * Known divergences from a full Excel reader, by design: date cells
-    * surface as raw day serials and styled numbers as stored values (no
-    * styles.xml interpretation); booleans surface as TRUE/FALSE. */
-  def parseWorkbook(bytes: Array[Byte]): Seq[Seq[(Int, String)]] = {
+  /** Sheet selector: workbook order (`First`/`ByIndex`) or tab name
+    * (`ByName`), resolved through `xl/workbook.xml` + its rels part —
+    * the reference reads the sheet from a profile
+    * (`schema/utils/consolidation.py:911-947`). */
+  sealed trait Sheet
+  object Sheet {
+    case object First extends Sheet
+    final case class ByIndex(i: Int) extends Sheet
+    final case class ByName(name: String) extends Sheet
+  }
+
+  private val WbSheetRe =
+    """<sheet\s[^>]*?/?>""".r
+  private val AttrNameRe = """\sname="([^"]*)"""".r
+  private val AttrRidRe = """\sr:id="([^"]*)"""".r
+  private val RelRe = """<Relationship\s[^>]*?/?>""".r
+  private val AttrIdRe = """\sId="([^"]*)"""".r
+  private val AttrTargetRe = """\sTarget="([^"]*)"""".r
+
+  /** Legacy .xls is an OLE2 compound document, not a zip — unreadable here. */
+  private def rejectOle2(bytes: Array[Byte]): Unit =
+    require(bytes.length < 8 ||
+      !(bytes.take(8).map(_ & 0xff) sameElements
+        Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)),
+      "legacy .xls (OLE2 compound document) is not supported — convert to .xlsx")
+
+  /** Parse one workbook's bytes into rows of (colIdx -> value) strings for
+    * the selected sheet. Selection resolves `xl/workbook.xml` sheet order /
+    * tab names through the rels part to the worksheet entry; workbooks
+    * missing those parts fall back to the lowest-numbered
+    * `xl/worksheets/sheetN.xml`. Known divergences from a full Excel
+    * reader, by design: date cells surface as raw day serials and styled
+    * numbers as stored values (no styles.xml interpretation); booleans
+    * surface as TRUE/FALSE. */
+  def parseWorkbook(bytes: Array[Byte], select: Sheet = Sheet.First): Seq[Seq[(Int, String)]] = {
+    rejectOle2(bytes)
     var shared = ""
-    val sheets = scala.collection.mutable.SortedMap.empty[Int, String]
-    val SheetName = """xl/worksheets/sheet(\d+)\.xml""".r
+    var workbook = ""
+    var rels = ""
+    val parts = scala.collection.mutable.SortedMap.empty[String, String]
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zis.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = new String(zis.readAllBytes, "UTF-8")
-          case SheetName(n) => sheets(n.toInt) = new String(zis.readAllBytes, "UTF-8")
+          case "xl/workbook.xml" => workbook = new String(zis.readAllBytes, "UTF-8")
+          case "xl/_rels/workbook.xml.rels" => rels = new String(zis.readAllBytes, "UTF-8")
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            parts(n) = new String(zis.readAllBytes, "UTF-8")
           case _ =>
         }
         e = zis.getNextEntry
       }
     } finally zis.close()
-    val sheet = sheets.headOption.map(_._2).getOrElse("")
+    // workbook.xml lists sheets in tab order; rels maps r:id -> part path
+    val relTargets = RelRe.findAllMatchIn(rels).flatMap { m =>
+      for {
+        id <- AttrIdRe.findFirstMatchIn(m.matched).map(_.group(1))
+        t <- AttrTargetRe.findFirstMatchIn(m.matched).map(_.group(1))
+      } yield id -> ("xl/" + t.stripPrefix("/xl/").stripPrefix("/"))
+    }.toMap
+    val ordered: Vector[(String, Option[String])] =
+      WbSheetRe.findAllMatchIn(workbook).map { m =>
+        val name = AttrNameRe.findFirstMatchIn(m.matched).map(m => unescape(m.group(1)))
+        val part = AttrRidRe.findFirstMatchIn(m.matched).map(_.group(1))
+          .flatMap(relTargets.get)
+        (name.getOrElse(""), part)
+      }.toVector
+    def resolve(part: Option[Option[String]]): String = part match {
+      case Some(Some(p)) => parts.getOrElse(p,
+        throw new IllegalArgumentException(s"worksheet part $p missing from workbook"))
+      case Some(None) => throw new IllegalArgumentException(
+        "sheet found in workbook.xml but its rels target is missing")
+      case None => throw new IllegalArgumentException(
+        s"sheet not found; workbook has ${ordered.map(_._1).mkString("[", ", ", "]")}")
+    }
+    val SheetNum = """xl/worksheets/sheet(\d+)\.xml""".r
+    def lowestNumbered: String = parts.toSeq
+      .flatMap { case (n, xml) => n match {
+        case SheetNum(i) => Some(i.toInt -> xml); case _ => None } }
+      .sortBy(_._1).headOption.map(_._2).getOrElse("")
+    val sheet = select match {
+      case Sheet.First =>
+        if (ordered.nonEmpty) resolve(Some(ordered.head._2)) else lowestNumbered
+      case Sheet.ByIndex(i) =>
+        if (ordered.nonEmpty) resolve(ordered.lift(i).map(_._2))
+        else throw new IllegalArgumentException(s"workbook.xml missing; cannot index sheet $i")
+      case Sheet.ByName(n) => resolve(ordered.find(_._1 == n).map(_._2))
+    }
     val strings = SiRe.findAllMatchIn(shared)
       .map(m => TRe.findAllMatchIn(m.group(1)).map(_.group(1)).mkString).toVector
     RowRe.findAllMatchIn(sheet).map { rm =>
@@ -99,15 +166,18 @@ object Xlsx {
   }
 
   /** Read .xlsx file(s) at `path` into a string-typed DataFrame; first row
-    * is the header. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * is the header. `sheet` selects the worksheet (default: first in tab
+    * order); legacy .xls files are rejected with a clear error. */
+  def read(spark: SparkSession, path: String, sheet: Sheet = Sheet.First): DataFrame = {
+    require(!path.toLowerCase.endsWith(".xls"),
+      s"legacy .xls is not supported (OLE2, not a zip) — convert $path to .xlsx")
     val files = spark.read.format("binaryFile").load(path)
     // header sniff: one file on the driver fixes the schema. Columns keep
     // their ABSOLUTE sheet positions (a gap in the header row becomes a
     // col_N placeholder) so data cells can never shift under the wrong
     // header.
     val firstBytes = files.select("content").head().getAs[Array[Byte]](0)
-    val headerCells = parseWorkbook(firstBytes).headOption.getOrElse(Seq.empty).toMap
+    val headerCells = parseWorkbook(firstBytes, sheet).headOption.getOrElse(Seq.empty).toMap
     val n = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
     val header = (0 until n).map(i => headerCells.get(i).filter(_.nonEmpty)
       .getOrElse(s"col_$i"))
@@ -115,7 +185,7 @@ object Xlsx {
     val enc = RowEncoder.encoderFor(schema)
     files.select("content").mapPartitions { rows =>
       rows.flatMap { r =>
-        parseWorkbook(r.getAs[Array[Byte]](0)).drop(1).map { cells =>
+        parseWorkbook(r.getAs[Array[Byte]](0), sheet).drop(1).map { cells =>
           val arr = Array.fill[String](n)(null)
           cells.foreach { case (i, v) => if (i < n) arr(i) = v }
           Row(arr.toIndexedSeq: _*)

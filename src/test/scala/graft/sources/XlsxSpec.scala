@@ -40,4 +40,76 @@ class XlsxSpec extends SparkSpec {
     val rows = df.as[(String, String, String)].collect().toSet
     assert(rows == Set(("Aix&Arles", "13", "52000.5"), ("Lyon", null, "513000")))
   }
+
+  /** Two-sheet workbook with workbook.xml + rels: tab order is Données
+    * (sheet2.xml part) then Résumé (sheet1.xml part) — deliberately
+    * reversed so selection must go through the rels, not part numbering. */
+  private def makeTwoSheetXlsx(): Array[Byte] = {
+    val workbook =
+      """<?xml version="1.0"?><workbook><sheets>
+        |<sheet name="Donn&#233;es" sheetId="4" r:id="rId7"/>
+        |<sheet name="Résumé" sheetId="1" r:id="rId3"/>
+        |</sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId7" Type="w" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId3" Type="w" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    val donnees =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>city</t></is></c><c r="B1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>Aix</t></is></c><c r="B2"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val resume =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>total</t></is></c></row>
+        |<row r="2"><c r="A2"><v>99</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    for ((name, content) <- Seq("xl/workbook.xml" -> workbook,
+        "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/worksheets/sheet1.xml" -> resume,
+        "xl/worksheets/sheet2.xml" -> donnees)) {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("sheet selection by name, index, and tab-order first") {
+    val dir = Files.createTempDirectory("graft-xlsx2").toString
+    val out = new FileOutputStream(s"$dir/t.xlsx")
+    out.write(makeTwoSheetXlsx()); out.close()
+    // first = tab order (Données on part sheet2.xml), not part numbering
+    assert(Xlsx.read(spark, s"$dir/*.xlsx").columns.toSeq == Seq("city", "v"))
+    // by name, entity-unescaped; second sheet readable
+    val byName = Xlsx.read(spark, s"$dir/*.xlsx", Xlsx.Sheet.ByName("Résumé"))
+    assert(byName.columns.toSeq == Seq("total"))
+    assert(byName.as[String].collect().toSeq == Seq("99"))
+    assert(Xlsx.read(spark, s"$dir/*.xlsx", Xlsx.Sheet.ByIndex(1))
+      .columns.toSeq == Seq("total"))
+    // unknown sheet: error names the available tabs
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, s"$dir/*.xlsx", Xlsx.Sheet.ByName("nope"))
+    }
+    assert(e.getMessage.contains("Données") && e.getMessage.contains("Résumé"))
+  }
+
+  test("legacy .xls is rejected with a clear error") {
+    val dir = Files.createTempDirectory("graft-xls").toString
+    val out = new FileOutputStream(s"$dir/old.xls")
+    out.write(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    out.write(new Array[Byte](512)); out.close()
+    // by extension
+    val e1 = intercept[IllegalArgumentException] { Xlsx.read(spark, s"$dir/old.xls") }
+    assert(e1.getMessage.contains("convert"))
+    // by magic bytes even when the extension lies
+    Files.move(java.nio.file.Paths.get(s"$dir/old.xls"),
+      java.nio.file.Paths.get(s"$dir/lying.xlsx"))
+    val e2 = intercept[IllegalArgumentException] { Xlsx.read(spark, s"$dir/lying.xlsx") }
+    assert(e2.getMessage.toLowerCase.contains("ole2"))
+  }
 }
