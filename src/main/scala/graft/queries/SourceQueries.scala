@@ -1,0 +1,154 @@
+package graft.queries
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.{Readers, Xlsx, Xml}
+
+/** File-format reader queries (S4 xlsx / S5 fixed-width / S7 xml) under the
+  * DuckDB oracle gate. Each query materializes a fixture FROM the sf
+  * parquet tables driver-side, reads it back through the reader under
+  * test, and aggregates; the oracle runs the same aggregate over the
+  * parquet table directly — so a parsing defect anywhere in the reader
+  * surfaces as a value mismatch, end-to-end through the driver's gate
+  * (previously these readers had ScalaTest evidence only).
+  *
+  * The fixture write is verification scaffolding, deliberately driver-side
+  * and small (nation/supplier/customer); the operator under test is the
+  * distributed READ path.
+  */
+object SourceQueries {
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Fresh per-(query, sfDir) fixture directory under java.io.tmpdir. */
+  private def fixtureDir(name: String, sfDir: String): File = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val d = new File(new File(sys.props("java.io.tmpdir")), s"graft-srcgate-$safe/$name")
+    if (d.exists()) {
+      d.listFiles().foreach(_.delete())
+    } else d.mkdirs()
+    d
+  }
+
+  /** Minimal xlsx writer (zip of OOXML parts, inlineStr cells) — the
+    * fixture-side counterpart of [[graft.sources.Xlsx]]. Sheets are
+    * (tabName, rows including header) in tab order. */
+  private[queries] def writeXlsx(file: File, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(UTF_8))
+      zos.closeEntry()
+    }
+    val wbSheets = sheets.zipWithIndex.map { case ((tab, _), i) =>
+      s"""<sheet name="${xmlEscape(tab)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook><sheets>$wbSheets</sheets></workbook>""")
+    val rels = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="w" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    put("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships>$rels</Relationships>""")
+    sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+      val body = rows.zipWithIndex.map { case (cells, r) =>
+        val cs = cells.map(v =>
+          s"""<c t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>""").mkString
+        s"""<row r="${r + 1}">$cs</row>"""
+      }.mkString
+      put(s"xl/worksheets/sheet${i + 1}.xml",
+        s"""<?xml version="1.0"?><worksheet><sheetData>$body</sheetData></worksheet>""")
+    }
+    zos.close()
+    val out = new FileOutputStream(file)
+    try out.write(bos.toByteArray) finally out.close()
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // S4: nation → two-sheet xlsx (decoy tab first, so selection must
+    // resolve the named tab) → Xlsx.read → aggregate.
+    Q("src1_xlsx_scan",
+      (s, d) => {
+        val rows = Tables.nation(s, d)
+          .orderBy("n_nationkey")
+          .select(col("n_nationkey").cast("string"), col("n_name"),
+            col("n_regionkey").cast("string"))
+          .collect()
+          .map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSeq
+        val dir = fixtureDir("src1", d)
+        writeXlsx(new File(dir, "nation.xlsx"),
+          Seq("résumé" -> Seq(Seq("decoy"), Seq("1")),
+            "data" -> (Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++ rows)))
+        Xlsx.read(s, s"$dir/nation.xlsx", Xlsx.Sheet.ByName("data"))
+          .select(col("n_regionkey").cast("long").as("region"),
+            col("n_name"), col("n_nationkey").cast("long").as("nk"))
+          .groupBy("region")
+          .agg(count(lit(1)).as("n_nations"), sum(col("nk")).as("sum_key"),
+            min(col("n_name")).as("first_nation"))
+          .orderBy("region")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS region, COUNT(*) AS n_nations,
+             |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, MIN(n_name) AS first_nation
+             |FROM nation GROUP BY 1 ORDER BY region""".stripMargin)),
+
+    // S5: supplier → left-justified fixed-width lines (key 10, name 30,
+    // nationkey 5) → Readers.fixedWidth → aggregate.
+    Q("src2_fixed_width_scan",
+      (s, d) => {
+        val lines = Tables.supplier(s, d)
+          .orderBy("s_suppkey")
+          .select(col("s_suppkey").cast("string"), col("s_name"),
+            col("s_nationkey").cast("string"))
+          .collect()
+          .map(r => r.getString(0).padTo(10, ' ') + r.getString(1).padTo(30, ' ') +
+            r.getString(2).padTo(5, ' '))
+        val dir = fixtureDir("src2", d)
+        java.nio.file.Files.write(new File(dir, "supplier.txt").toPath,
+          lines.mkString("\n").getBytes(UTF_8))
+        Readers.fixedWidth(s, s"$dir/supplier.txt",
+          Seq(("s_suppkey", 0, 10), ("s_name", 10, 30), ("s_nationkey", 40, 5)))
+          .select(col("s_nationkey").cast("long").as("nation"),
+            col("s_suppkey").cast("long").as("sk"), col("s_name"))
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n_sup"), sum(col("sk")).as("sum_key"),
+            min(col("s_name")).as("first_name"))
+          .orderBy("nation")
+      },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS nation, COUNT(*) AS n_sup,
+             |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key, MIN(s_name) AS first_name
+             |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // S7: customer → record-per-element xml (id as attribute, fields as
+    // child tags) → Xml.read → aggregate.
+    Q("src3_xml_scan",
+      (s, d) => {
+        val recs = Tables.customer(s, d)
+          .orderBy("c_custkey")
+          .select(col("c_custkey").cast("string"), col("c_name"), col("c_mktsegment"))
+          .collect()
+          .map(r => s"""<row id="${r.getString(0)}"><name>${xmlEscape(r.getString(1))}</name>""" +
+            s"""<mkt>${xmlEscape(r.getString(2))}</mkt></row>""")
+        val dir = fixtureDir("src3", d)
+        java.nio.file.Files.write(new File(dir, "customer.xml").toPath,
+          ("<rows>" + recs.mkString("\n") + "</rows>").getBytes(UTF_8))
+        Xml.read(s, s"$dir/customer.xml", "row",
+          Seq(("id", "@id"), ("name", "name"), ("mkt", "mkt")))
+          .select(col("mkt"), col("id").cast("long").as("idl"), col("name"))
+          .groupBy("mkt")
+          .agg(count(lit(1)).as("n_cust"), sum(col("idl")).as("sum_id"),
+            min(col("name")).as("first_name"))
+          .orderBy("mkt")
+      },
+      Some("""SELECT c_mktsegment AS mkt, COUNT(*) AS n_cust,
+             |  CAST(SUM(c_custkey) AS BIGINT) AS sum_id, MIN(c_name) AS first_name
+             |FROM customer GROUP BY 1 ORDER BY mkt""".stripMargin))
+  )
+}
