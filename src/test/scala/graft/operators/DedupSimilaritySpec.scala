@@ -128,4 +128,35 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, 1L, 0L, ""),
       (4L, 2L, 1L, "delta four")))
   }
+
+  test("paragraphDedup spreads a hot paragraph via the salted count join") {
+    // A hot boilerplate paragraph concentrates ALL its occurrences on one
+    // join key. AQE skew-join splitting cannot absorb this shape — probed
+    // empirically on Spark 4.1: with forced thresholds
+    // (skewedPartitionFactor=1, threshold=1k, forceOptimizeSkewedJoin) and
+    // a measured 17x-median skewed partition, OptimizeSkewedJoin never
+    // fires, because its ShuffleStage extractor requires the join child to
+    // be Sort(ShuffleQueryStage) DIRECTLY and the counts side has its
+    // final HashAggregate in between. Hence the operator salts
+    // deterministically; this test pins that shape and its correctness.
+    val hot = "HOT BOILERPLATE PARAGRAPH " + ("x" * 200)
+    val docs = (1L to 2000L).map(i => (i, Seq(hot, s"unique paragraph $i")))
+      .toDF("doc_id", "paras")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "paras", maxOccurrences = 5L)
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+    val rows = out.collect()
+    assert(rows.length == 2000)
+    assert(rows.forall { r =>
+      r.getLong(1) == 2L && r.getLong(2) == 1L &&
+        r.getString(3) == s"unique paragraph ${r.getLong(0)}" })
+    // the count join keys on (md5 paragraph key, salt): hot occurrences
+    // spread over nSalts reducers instead of hot-spotting one, and the
+    // replicated dim side carries 25-byte count rows, not paragraph text
+    val planStr = out.queryExecution.executedPlan.toString
+    // (at this fixture scale AQE may legitimately broadcast the small
+    // counts side — the KEY LIST is the scale property being pinned: when
+    // the dim side does shuffle, the exchange hashes on (__pk, __salt))
+    assert("Join \\[__pk#\\d+, __salt#\\d+\\]".r.findFirstIn(planStr).isDefined,
+      s"count join must key on (__pk, __salt):\n${planStr.take(2000)}")
+  }
 }
