@@ -33,6 +33,105 @@ object Readers {
     spark.read.text(path).select(cols: _*)
   }
 
+  /** Encoding sniff for CSV edges — the reference chardet-detects when no
+    * encoding is profiled (`schema/utils/consolidation.py:924-930`, with
+    * its Windows-1254→iso-8859-1 correction). Dependency-free version
+    * tuned to what actually arrives in French open data: BOM detection
+    * (UTF-8 / UTF-16LE / UTF-16BE), then strict UTF-8 validation of a
+    * bounded prefix, else iso-8859-1 — the same normalization target the
+    * reference corrects chardet's answer to, and one of the charsets
+    * Spark 4's CSV reader accepts without the legacy-charset flag. One
+    * bounded driver-side read of the first matching file — never a full
+    * scan of a 100 TB input.
+    */
+  def sniffEncoding(spark: SparkSession, path: String,
+                    sampleBytes: Int = 1 << 16): String = {
+    val bytes = samplePrefix(spark, path, sampleBytes)
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) "UTF-8"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      "UTF-16LE"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      "UTF-16BE"
+    else if (isValidUtf8Prefix(bytes)) "UTF-8"
+    else "iso-8859-1"
+  }
+
+  /** Separator sniff (the reference falls back to pandas' python-engine
+    * inference, `consolidation.py:931-932`): over the first sample lines,
+    * pick the candidate whose per-line count is positive and most
+    * consistent (max of min-per-line counts; ties break in candidate
+    * order, semicolon first — the dominant French-CSV convention). */
+  def sniffCsvSep(spark: SparkSession, path: String,
+                  encoding: String = "UTF-8", sampleBytes: Int = 1 << 16): String = {
+    val text = new String(samplePrefix(spark, path, sampleBytes), encoding)
+    val lines = text.split("\r?\n").iterator.filter(_.nonEmpty).take(10).toSeq
+    val full = lines.dropRight(1) // last sample line may be truncated
+    val use = if (full.nonEmpty) full else lines
+    val candidates = Seq(";", ",", "\t", "|")
+    candidates.maxBy { c =>
+      if (use.isEmpty) 0L else use.map(_.count(_ == c.head).toLong).min
+    }
+  }
+
+  /** S1/S3 with the reference's sniffing edges: encoding and separator are
+    * detected from a bounded sample when not supplied. Schema-first stays
+    * mandatory — only the byte-level edges are inferred. */
+  def csvSniffed(spark: SparkSession, path: String, schema: StructType,
+                 sep: Option[String] = None, encoding: Option[String] = None,
+                 header: Boolean = true, nullValue: String = ""): DataFrame = {
+    val enc = encoding.getOrElse(sniffEncoding(spark, path))
+    val s = sep.getOrElse(sniffCsvSep(spark, path, enc))
+    csv(spark, path, schema, s, enc, header, nullValue)
+  }
+
+  /** First `sampleBytes` of the first file matching `path` (literal, dir,
+    * or glob) through the Hadoop FS — works on any scheme. */
+  private def samplePrefix(spark: SparkSession, path: String, sampleBytes: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val first = matched.flatMap { st =>
+      if (st.isFile) Some(st.getPath)
+      else fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
+        .sortBy(_.getName).headOption
+    }.sortBy(_.getName).headOption
+      .getOrElse(throw new java.io.FileNotFoundException(s"no files match $path"))
+    val in = fs.open(first)
+    try {
+      val buf = new Array[Byte](sampleBytes)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
+  }
+
+  /** Strict UTF-8 validation; a multi-byte sequence truncated by the
+    * sample boundary does not count as invalid. */
+  private[sources] def isValidUtf8Prefix(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val need =
+        if (b < 0x80) 0
+        else if ((b & 0xe0) == 0xc0 && b >= 0xc2) 1
+        else if ((b & 0xf0) == 0xe0) 2
+        else if ((b & 0xf8) == 0xf0 && b <= 0xf4) 3
+        else return false
+      if (i + need >= bytes.length && need > 0)
+        return true // truncated tail sequence: benefit of the doubt
+      var k = 1
+      while (k <= need) {
+        if ((bytes(i + k) & 0xc0) != 0x80) return false
+        k += 1
+      }
+      i += need + 1
+    }
+    true
+  }
+
   /** S8: JSON scan with explicit schema (schema-first everywhere —
     * inference only belongs at exploratory edges). */
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -26,6 +26,37 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/nation").listFiles().exists(_.getName.endsWith(".csv.gz")))
   }
 
+  test("encoding + separator sniffing at the csv edge") {
+    val dir = tmp()
+    def write(name: String, content: String, cs: String): String = {
+      val p = s"$dir/$name"
+      Files.write(java.nio.file.Paths.get(p), content.getBytes(cs))
+      p
+    }
+    val schema = StructType(Seq(StructField("ville", StringType),
+      StructField("dept", StringType)))
+    // latin-1 semicolon CSV: é is a bare 0xE9, invalid as UTF-8
+    val w1252 = write("w.csv", "ville;dept\nNîmes;30\nSète;34\n", "ISO-8859-1")
+    assert(Readers.sniffEncoding(spark, w1252) == "iso-8859-1")
+    assert(Readers.sniffCsvSep(spark, w1252, "iso-8859-1") == ";")
+    val back = Readers.csvSniffed(spark, w1252, schema)
+    assert(back.as[(String, String)].collect().toSet ==
+      Set(("Nîmes", "30"), ("Sète", "34")))
+    // plain UTF-8 comma CSV
+    val utf8 = write("u.csv", "ville,dept\nNîmes,30\n", "UTF-8")
+    assert(Readers.sniffEncoding(spark, utf8) == "UTF-8")
+    assert(Readers.sniffCsvSep(spark, utf8) == ",")
+    assert(Readers.csvSniffed(spark, utf8, schema)
+      .as[(String, String)].collect().toSet == Set(("Nîmes", "30")))
+    // BOM'd files: detected from the mark alone
+    val bom = write("b.csv", "\uFEFFville;dept\nSète;34\n", "UTF-8")
+    assert(Readers.sniffEncoding(spark, bom) == "UTF-8")
+    assert(Readers.sniffEncoding(spark,
+      write("u16.csv", "\uFEFFville;dept\n", "UTF-16LE")) == "UTF-16LE")
+    // truncated multi-byte tail must not flip a UTF-8 file to latin-1
+    assert(Readers.isValidUtf8Prefix("Nîmes".getBytes("UTF-8").dropRight(1)))
+  }
+
   test("fixed-width scan slices byte offsets into typed fields") {
     val dir = tmp()
     // 10-char name, 3-char code, 4-char year — the INSEE deces layout shape
