@@ -51,6 +51,30 @@ case class MinhashBands(child: Expression, w: Int, k: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Signature-only sibling of [[MinhashBands]]: the k MinHash values as
+  * array<long>. Same hash family/seeds — a band hash produced by
+  * [[MinhashBands]] is the digest of a contiguous slice of this signature.
+  */
+case class MinhashSig(child: Expression, w: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinhashBands.computeSig(v.asInstanceOf[ArrayData], w, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashBands.computeSig($c, $w, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
 object MinhashBands {
   private val P = DetHash.P
   private val md = new ThreadLocal[MessageDigest] {
@@ -151,6 +175,52 @@ object MinhashBands {
   /** Column entry point matching `TextOps.minhashBandsExpr`'s shape. */
   def minhashBands(toks: Column, w: Int, k: Int, b: Int): Column =
     Bridge.column(MinhashBands(Bridge.expression(toks), w, k, b))
+
+  /** k-value MinHash signature (array<long>) — same shingling and hash
+    * family as [[compute]], exposed raw for consumers that estimate
+    * Jaccard by signature agreement (the streaming near-dup state).
+    * Null when the document is too short to shingle. */
+  def computeSig(toks: ArrayData, w: Int, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return null
+    val seen = new java.util.HashSet[String]()
+    val (sa, sb2) = seeds(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i <= n - w) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      var appended = 0
+      while (j < w) {
+        val t = toks.getUTF8String(i + j)
+        if (t != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(t.toString)
+          appended += 1
+        }
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        any = true
+        val h = md5Long60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % P
+        var q = 0
+        while (q < k) {
+          val v = (sa(q) * h + sb2(q)) % P
+          if (v < sig(q)) sig(q) = v
+          q += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else new GenericArrayData(sig.map(Long.box(_).asInstanceOf[AnyRef]))
+  }
+
+  /** Column entry point for [[computeSig]]. */
+  def minhashSig(toks: Column, w: Int, k: Int): Column =
+    Bridge.column(MinhashSig(Bridge.expression(toks), w, k))
 
   /** 60-bit SimHash of a token array: bit b is the sign of the sum of ±1
     * votes from bit b of each token's 60-bit md5 hash. One md5 + one

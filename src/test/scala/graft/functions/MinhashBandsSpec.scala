@@ -104,6 +104,29 @@ class MinhashBandsSpec extends SparkSpec {
     assert(out == Seq(Seq(0L, 0L), Seq(0L, 0L)))
   }
 
+  test("minhashSig slices digest to the exact band hashes") {
+    val docs = graft.Tables.documents(spark, sf()).limit(50)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val (w, k, b) = (3, 60, 12)
+    val both = docs.select($"doc_id",
+      MinhashBands.minhashSig($"toks", w, k).as("sig"),
+      MinhashBands.minhashBands($"toks", w, k, b).getField("bands").as("bands"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long], Seq[String])].collect()
+    assert(both.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r = k / b
+    both.foreach { case (id, sig, bands) =>
+      assert(sig.length == k && bands.length == b, s"doc $id shape")
+      (0 until b).foreach { i =>
+        val expect = md5hex(sig.slice(i * r, i * r + r).mkString("|"))
+        assert(bands(i) == expect, s"doc $id band $i")
+      }
+    }
+  }
+
   test("simhash60 null semantics match the vote formula (null array -> 0)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     assert(MinhashBands.simhash60(null) == 0L)
