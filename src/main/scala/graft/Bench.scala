@@ -42,7 +42,15 @@ object Bench {
         org.apache.spark.sql.functions.expr("count(distinct v)"))
       .orderBy("k").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local iteration aid: SPARK_GRAFT_ONLY=j2_large_join_agg,j6_join_preagg
+    // restricts the run (spread checks, drift isolation). Driver leaves it
+    // unset and benches the whole catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -63,7 +71,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver records only a bounded stdout TAIL, which used to truncate
+    // the single full JSON line (47 of 121 per-query times lost in r3). So:
+    // the complete artifact goes to a committed repo file, the full line
+    // prints first, and a compact headline (total + slowest 20) prints LAST
+    // where any tail capture is guaranteed to include it whole.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+    println(full)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"slowest20":$slowest,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -110,12 +110,12 @@ object MinhashBands {
     UTF8String.fromString(new String(out))
   }
 
-  /** JVM worker shared by interpreted eval and generated code; null when the
-    * document is too short to shingle (matching the HOF form). */
-  def compute(toks: ArrayData, w: Int, k: Int, nBands: Int): InternalRow = {
+  /** w-shingles with first-occurrence order (array_distinct semantics);
+    * null when the document is too short to shingle. Shared by the
+    * bands/signature entry points so their bit parity is structural. */
+  private def shinglesOf(toks: ArrayData, w: Int): java.util.LinkedHashSet[String] = {
     val n = toks.numElements()
     if (n < w) return null
-    // w-shingles, distinct with first-occurrence order (array_distinct)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i <= n - w) {
@@ -136,15 +136,16 @@ object MinhashBands {
       seen.add(sb.toString)
       i += 1
     }
-    if (seen.isEmpty) return null
+    if (seen.isEmpty) null else seen
+  }
+
+  /** k-value affine MinHash signature over a shingle set. */
+  private def sigOf(seen: java.util.LinkedHashSet[String], k: Int): Array[Long] = {
     val (sa, sb2) = seeds(k)
     val sig = Array.fill(k)(Long.MaxValue)
-    val shingleArr = new Array[AnyRef](seen.size)
     val it = seen.iterator()
-    var s = 0
     while (it.hasNext) {
       val sh = it.next()
-      shingleArr(s) = UTF8String.fromString(sh)
       val h = md5Long60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % P
       var q = 0
       while (q < k) {
@@ -152,6 +153,19 @@ object MinhashBands {
         if (v < sig(q)) sig(q) = v
         q += 1
       }
+    }
+    sig
+  }
+
+  def compute(toks: ArrayData, w: Int, k: Int, nBands: Int): InternalRow = {
+    val seen = shinglesOf(toks, w)
+    if (seen == null) return null
+    val sig = sigOf(seen, k)
+    val shingleArr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var s = 0
+    while (it.hasNext) {
+      shingleArr(s) = UTF8String.fromString(it.next())
       s += 1
     }
     val r = k / nBands
@@ -181,41 +195,9 @@ object MinhashBands {
     * Jaccard by signature agreement (the streaming near-dup state).
     * Null when the document is too short to shingle. */
   def computeSig(toks: ArrayData, w: Int, k: Int): ArrayData = {
-    val n = toks.numElements()
-    if (n < w) return null
-    val seen = new java.util.HashSet[String]()
-    val (sa, sb2) = seeds(k)
-    val sig = Array.fill(k)(Long.MaxValue)
-    var any = false
-    var i = 0
-    while (i <= n - w) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      var appended = 0
-      while (j < w) {
-        val t = toks.getUTF8String(i + j)
-        if (t != null) {
-          if (appended > 0) sb.append(' ')
-          sb.append(t.toString)
-          appended += 1
-        }
-        j += 1
-      }
-      val sh = sb.toString
-      if (seen.add(sh)) {
-        any = true
-        val h = md5Long60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % P
-        var q = 0
-        while (q < k) {
-          val v = (sa(q) * h + sb2(q)) % P
-          if (v < sig(q)) sig(q) = v
-          q += 1
-        }
-      }
-      i += 1
-    }
-    if (!any) null
-    else new GenericArrayData(sig.map(Long.box(_).asInstanceOf[AnyRef]))
+    val seen = shinglesOf(toks, w)
+    if (seen == null) return null
+    new GenericArrayData(sigOf(seen, k).map(Long.box(_).asInstanceOf[AnyRef]))
   }
 
   /** Column entry point for [[computeSig]]. */

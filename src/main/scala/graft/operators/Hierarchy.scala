@@ -110,6 +110,5 @@ object Hierarchy {
     * downstream tabular consumer).
     */
   def parentList(parents: DataFrame): DataFrame =
-    parents.groupBy("node")
-      .agg(array_join(array_sort(collect_set("parent")), "|").as("parents"))
+    parentArrays(parents).withColumn("parents", array_join(col("parents"), "|"))
 }

@@ -50,33 +50,63 @@ object Multimodal {
     else None
   }
 
+  /** Decompression-bomb guard: a few-hundred-KB PNG can declare 25000²
+    * pixels (~2.5 GB decoded). Dimensions are read from the HEADER only
+    * (cheap) and payloads over this pixel budget fall back to the stub
+    * instead of OOMing the executor. 64M pixels ≈ 256 MB ARGB. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Header-checked decode: None when no reader claims the payload or the
+    * declared dimensions exceed the pixel budget. */
+  private def readBounded(bytes: Array[Byte],
+                          maxPixels: Long): Option[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          if (reader.getWidth(0).toLong * reader.getHeight(0) > maxPixels) None
+          else Option(reader.read(0))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** REAL image decode — JDK `javax.imageio` (PNG/JPEG/GIF/BMP), zero
     * extra dependencies. Returns (width, height, mean Rec.601 luma in
     * [0,1]), or None when the payload is not a decodable image — callers
     * fall back to [[decodeStub]] so every row still yields a feature row. */
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+  def decodeImage(bytes: Array[Byte],
+                  maxPixels: Long = MaxDecodePixels): Option[(Int, Int, Double)] =
     if (sniffImageFormat(bytes).isEmpty) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+      readBounded(bytes, maxPixels).map { img =>
         val w = img.getWidth
         val h = img.getHeight
+        val row = new Array[Int](w)
         var sum = 0.0
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w) // bulk row read, not per-pixel
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             sum += 0.299 * ((rgb >> 16) & 0xff) +
               0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
             x += 1
           }
           y += 1
         }
-        Some((w, h, sum / (w.toLong * h) / 255.0))
+        (w, h, sum / (w.toLong * h) / 255.0)
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO readers throw unchecked
+      // exceptions on corrupt payloads (CMMException on bad ICC profiles,
+      // AIOOBE on truncated GIFs) — one bad image must not kill the job
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder for non-image payloads (no audio/video demuxers in the
     * JDK): derives deterministic fake dimensions/brightness from the
@@ -167,13 +197,12 @@ object Multimodal {
     * (targetW, targetH) preserving aspect ratio with `Graphics2D`, and
     * re-encode as PNG (lossless + deterministic within a JDK). Returns
     * None for non-image payloads. */
-  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int)
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int,
+                  maxPixels: Long = MaxDecodePixels)
       : Option[(Int, Int, Int, Int, Array[Byte])] =
     if (sniffImageFormat(bytes).isEmpty) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+      readBounded(bytes, maxPixels).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
@@ -188,9 +217,9 @@ object Multimodal {
         g.dispose()
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", baos)
-        Some((w, h, nw, nh, baos.toByteArray))
+        (w, h, nw, nh, baos.toByteArray)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Resize over the media frame: REAL decode → `Graphics2D` scale-to-fit
     * → PNG re-encode for image payloads; non-image payloads take a

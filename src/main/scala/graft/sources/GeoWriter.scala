@@ -18,16 +18,28 @@ import graft.functions.Hilbert.hilbert
   */
 object GeoWriter {
 
+  /** One min/max pass over the coordinates; None for empty/all-null. */
+  private def extent(df: DataFrame, lonCol: String, latCol: String)
+      : Option[(Double, Double, Double, Double)] = {
+    val ext = df.agg(min(lonCol), max(lonCol), min(latCol), max(latCol)).head()
+    if (ext.isNullAt(0)) None
+    else Some((ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3)))
+  }
+
   /** Adds `hilbert` (cell index on a 2^order grid over the frame's extent)
     * and a `bbox` struct per row. */
-  def withHilbert(df: DataFrame, lonCol: String, latCol: String, order: Int): DataFrame = {
-    val ext = df.agg(min(lonCol), max(lonCol), min(latCol), max(latCol)).head()
-    if (ext.isNullAt(0)) // empty or all-null coordinates: degenerate extent
+  def withHilbert(df: DataFrame, lonCol: String, latCol: String, order: Int): DataFrame =
+    withHilbertExtent(df, lonCol, latCol, order, extent(df, lonCol, latCol))
+
+  /** [[withHilbert]] with a pre-computed extent, so callers that also need
+    * the extent (the GeoParquet footer) aggregate the input ONCE. */
+  def withHilbertExtent(df: DataFrame, lonCol: String, latCol: String, order: Int,
+                        ext: Option[(Double, Double, Double, Double)]): DataFrame = {
+    if (ext.isEmpty) // empty or all-null coordinates: degenerate extent
       return df.withColumn("hilbert", lit(0L))
         .withColumn("bbox", struct(col(lonCol).as("xmin"), col(lonCol).as("xmax"),
           col(latCol).as("ymin"), col(latCol).as("ymax")))
-    val (minx, maxx, miny, maxy) =
-      (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+    val (minx, maxx, miny, maxy) = ext.get
     val n = (1L << order) - 1
     def cell(c: String, lo: Double, hi: Double) =
       if (hi > lo) least(floor((col(c) - lit(lo)) / lit(hi - lo) * n), lit(n)).cast("long")
@@ -53,7 +65,8 @@ object GeoWriter {
                        path: String, order: Int = 10, pageRows: Int = 20000,
                        blockBytes: Long = 8L * 1024 * 1024): Unit = {
     val spark = df.sparkSession
-    val out = withHilbert(df, lonCol, latCol, order)
+    val ext = extent(df, lonCol, latCol) // ONE pass, shared with the footer
+    val out = withHilbertExtent(df, lonCol, latCol, order, ext)
       .withColumn("geometry",
         struct(col(lonCol).cast("double").as("x"), col(latCol).cast("double").as("y")))
     out.repartitionByRange(col("hilbert"))
@@ -63,10 +76,8 @@ object GeoWriter {
       .option("parquet.block.size", blockBytes.toString)
       .option("parquet.page.row.count.limit", pageRows.toString)
       .parquet(path)
-    val ext = df.agg(min(lonCol), max(lonCol), min(latCol), max(latCol)).head()
-    val bbox =
-      if (ext.isNullAt(0)) (0.0, 0.0, 0.0, 0.0)
-      else (ext.getDouble(0), ext.getDouble(2), ext.getDouble(1), ext.getDouble(3))
+    val bbox = ext.map { case (minx, maxx, miny, maxy) => (minx, miny, maxx, maxy) }
+      .getOrElse((0.0, 0.0, 0.0, 0.0))
     addGeoMetadata(spark, path, "geometry", bbox)
   }
 
@@ -114,6 +125,13 @@ object GeoWriter {
     import org.apache.hadoop.fs.Path
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
+    val bak = new Path(p.getParent, s".${p.getName}.geo.bak")
+    // crash recovery: a prior attempt that died between the two renames
+    // left the original parked at .bak — restore it before re-stamping
+    // (the task is then idempotent across Spark retries; delete-then-
+    // rename would lose the part permanently)
+    if (!fs.exists(p) && fs.exists(bak)) require(fs.rename(bak, p),
+      s"could not restore $file from interrupted stamp")
     val len = fs.getFileStatus(p).getLen
     val in = fs.open(p)
     val (fmd, footerStart) =
@@ -158,7 +176,9 @@ object GeoWriter {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(footer.length).array())
       out.write("PAR1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     } finally out.close()
-    fs.delete(p, false)
+    fs.delete(bak, false) // stale leftover from an even earlier attempt
+    require(fs.rename(p, bak), s"could not park original while stamping $file")
     require(fs.rename(tmp, p), s"rename failed stamping geo footer on $file")
+    fs.delete(bak, false)
   }
 }

@@ -64,9 +64,12 @@ object Readers {
     * order, semicolon first — the dominant French-CSV convention). */
   def sniffCsvSep(spark: SparkSession, path: String,
                   encoding: String = "UTF-8", sampleBytes: Int = 1 << 16): String = {
-    val text = new String(samplePrefix(spark, path, sampleBytes), encoding)
+    val bytes = samplePrefix(spark, path, sampleBytes)
+    val text = new String(bytes, encoding)
     val lines = text.split("\r?\n").iterator.filter(_.nonEmpty).take(10).toSeq
-    val full = lines.dropRight(1) // last sample line may be truncated
+    // the last line is only suspect when the sample actually hit the limit
+    val truncated = bytes.length == sampleBytes
+    val full = if (truncated) lines.dropRight(1) else lines
     val use = if (full.nonEmpty) full else lines
     val candidates = Seq(";", ",", "\t", "|")
     candidates.maxBy { c =>
@@ -82,7 +85,18 @@ object Readers {
                  header: Boolean = true, nullValue: String = ""): DataFrame = {
     val enc = encoding.getOrElse(sniffEncoding(spark, path))
     val s = sep.getOrElse(sniffCsvSep(spark, path, enc))
-    csv(spark, path, schema, s, enc, header, nullValue)
+    if (enc.startsWith("UTF-16")) {
+      // Hadoop's line reader splits on raw 0x0A bytes, which shears every
+      // UTF-16 record one byte out of phase from line 2 on. multiLine mode
+      // hands the whole file to the parser with the declared charset —
+      // correct, at the price of per-file (not per-split) parallelism; a
+      // 100 TB input should be transcoded to UTF-8, not ingested this way.
+      spark.read.schema(schema)
+        .option("sep", s).option("encoding", enc)
+        .option("header", header.toString).option("nullValue", nullValue)
+        .option("multiLine", "true")
+        .csv(path)
+    } else csv(spark, path, schema, s, enc, header, nullValue)
   }
 
   /** First `sampleBytes` of the first file matching `path` (literal, dir,
@@ -120,10 +134,12 @@ object Readers {
         else if ((b & 0xf0) == 0xe0) 2
         else if ((b & 0xf8) == 0xf0 && b <= 0xf4) 3
         else return false
-      if (i + need >= bytes.length && need > 0)
-        return true // truncated tail sequence: benefit of the doubt
+      // validate every continuation byte that fits in the sample; only the
+      // ones cut off by the boundary get the benefit of the doubt (a bare
+      // latin-1 0xE9 followed by ASCII must still be caught near the tail)
       var k = 1
       while (k <= need) {
+        if (i + k >= bytes.length) return true // truncated tail sequence
         if ((bytes(i + k) & 0xc0) != 0x80) return false
         k += 1
       }
