@@ -42,6 +42,18 @@ object Bench {
         org.apache.spark.sql.functions.expr("count(distinct v)"))
       .orderBy("k").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Also warm the exact shape every timed query takes: parquet vectorized
+    // scan -> shuffle agg -> sort -> noop-format write. The range-based
+    // warmups above never touch the parquet reader codegen, the shuffle
+    // writer init, or the noop DataSource lookup (a ServiceLoader scan over
+    // every jar on the classpath), so the alphabetically-first catalog query
+    // absorbed them all (r4 driver run: a10 5.4s in-catalog vs 1.0s locally).
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.expr("min(c_custkey) AS k"),
+        org.apache.spark.sql.functions.expr("count(1) AS cnt"))
+      .orderBy("c_mktsegment")
+      .write.format("noop").mode("overwrite").save()
     // Local iteration aid: SPARK_GRAFT_ONLY=j2_large_join_agg,j6_join_preagg
     // restricts the run (spread checks, drift isolation). Driver leaves it
     // unset and benches the whole catalog.

@@ -53,21 +53,26 @@ object Distribution {
       .groupBy(keyCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, $qs)").as("raw_edges"))
       .withColumn("edges", repairSql("raw_edges", step)).drop("raw_edges")
-    val support = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
     // bucket(v) = #edges (excluding the last) that are <= v, clamped to >= 1
     // — native codegen'd scan, not the CodegenFallback HOF form
     val bucket = graft.functions.BucketIndex.bucketIndex(
       col("edges"), col(valueCol), nBins)
+    // Support (count per key) rides the SAME aggregation as the per-bin
+    // conditional sums: every df row joins back to exactly one edges row
+    // (edges is df's own key set), so count(1) here equals a separate
+    // groupBy-count — one scan, one shuffle, and one join cheaper than
+    // computing support on its own scan.
     val counts = df.join(edges, keyCols)
       .withColumn("bucket", bucket)
       .groupBy((keyCols.map(col) :+ col("edges")): _*)
-      .pivot("bucket", (1 to nBins).map(_.toString))
-      .agg(count(lit(1)))
-    counts.join(support, keyCols)
+      .agg(count(lit(1)).as("n"),
+        (1 to nBins).map(i =>
+          sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"c_$i")): _*)
+    counts
       .select((keyCols.map(col) :+ col("n") :+
         when(col("n") >= minSupport, col("edges")).as("edges")) ++
         (1 to nBins).map(i => when(col("n") >= minSupport,
-          coalesce(col(s"$i"), lit(0L))).as(s"bin_$i")): _*)
+          col(s"c_$i")).as(s"bin_$i")): _*)
   }
 
   /** Exact quantiles with O(1) task memory — the FEW-HUGE-GROUPS

@@ -124,6 +124,71 @@ object Similarity {
       .select("qid", "qvec", "cid", "cvec")
   }
 
+  /** Deterministic distributed k-means (Lloyd's, fixed iteration count) —
+    * the centroid-training step [[ivfTopK]] leaves to the caller, and the
+    * corpus-organization primitive (cluster-then-sample, cluster-balanced
+    * mixtures) of training-data pipelines.
+    *
+    * Every stochastic choice is pinned so an external SQL engine can replay
+    * the run bit-for-bit:
+    *  - seeds = the k vectors with the smallest (md5(id), id) — a
+    *    distributed top-k (TakeOrdered), never a global sort;
+    *  - assignment = argmin of d² = x·x + c·c − 2·x·c with ties broken by
+    *    cluster id; all three dots are the native codegen'd [[DotProduct]]
+    *    (ascending left-fold — bit-identical to list_sum oracles);
+    *  - centroid update sums FIXED-POINT values: floor(x·2²⁰) is exact for
+    *    any double (power-of-two scaling), the per-dimension sums are
+    *    DECIMAL (exact, associative — partition order cannot change them),
+    *    and the final divide runs in double the same way on any engine.
+    *    Summing raw doubles here would tie the result to partition order;
+    *    quantizing at 2⁻²⁰ trades ~1e-6 centroid precision for exactness.
+    *
+    * Scale shape per iteration: one broadcast of k centroid rows, one
+    * narrow argmin pass (window keyed by the vector id), one (cid, pos)
+    * aggregation — map-side combined, k·dim groups. Nothing global.
+    *
+    * @return (cid, n, c): final cluster id, member count, centroid.
+    */
+  def kmeansLloyd(vectors: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = vectors
+      .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .withColumn("__xx", dot(col("__v"), col("__v")))
+    val seeds = e
+      .withColumn("__h", expr(TextOps.md5LongSql("cast(__vid as string)")))
+      .orderBy(col("__h"), col("__vid")).limit(k)
+    // rank→cid over k rows (tiny frame; the single-partition window is k-sized)
+    val w0 = Window.orderBy(col("__h"), col("__vid"))
+    var centroids = seeds
+      .withColumn("cid", (row_number().over(w0) - 1).cast("int"))
+      .select(col("cid"), col("__v").as("__c"))
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+      .withColumn("n", lit(0L))
+    for (_ <- 1 to iters) {
+      val aw = Window.partitionBy("__vid")
+        .orderBy(col("__d2"), col("cid"))
+      val assigned = e.crossJoin(broadcast(centroids.select("cid", "__c", "__cc")))
+        .withColumn("__d2",
+          col("__xx") + col("__cc") - lit(2.0) * dot(col("__v"), col("__c")))
+        .withColumn("__rn", row_number().over(aw))
+        .filter(col("__rn") === 1)
+        .select(col("__vid"), col("__v"), col("cid"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .withColumn("__q", floor(col("__x") * lit(1048576.0)).cast(DecimalType(38, 0)))
+        .groupBy("cid", "__pos")
+        .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__cv", col("__s").cast("double") / col("__n") / lit(1048576.0))
+        .groupBy("cid")
+        .agg(min("__n").as("n"),
+          transform(array_sort(collect_list(struct(col("__pos"), col("__cv")))),
+            s => s.getField("__cv")).as("__c"))
+        .withColumn("__cc", dot(col("__c"), col("__c")))
+    }
+    centroids.select(col("cid"), col("n"), col("__c").as("c"))
+  }
+
   /** Multi-table LSH approximate top-k (OR-amplification): a candidate is
     * any corpus vector sharing the query's bucket in AT LEAST ONE of the
     * nTables hash tables — recall 1-(1-p^nPlanes)^nTables for per-plane

@@ -400,6 +400,35 @@ object LlmQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // Bloom-prefiltered decontamination — d7's semantics at the 100 TB
+    // shape: benchmark 4-grams aggregate into a distributed Bloom filter
+    // (Catalyst BloomFilterAggregate), the codegen'd might_contain drops
+    // non-colliding training grams BEFORE any shuffle, and an exact confirm
+    // join absorbs the false positives — so the oracle replays the plain
+    // intersection and must match byte-for-byte.
+    Q("d9_bloom_decontamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), TextOps.shinglesExpr("toks", 4).as("sh"))
+        val grams = docs.select(col("doc_id"), explode(col("sh")).as("gram"))
+        val bench = grams.filter(col("doc_id") % 37 === 0).select("gram")
+        Dedup.bloomDecontaminate(grams.filter(col("doc_id") % 37 =!= 0), bench,
+            "doc_id", "gram", expectedItems = 200000L)
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = dShingles("toks", 4)
+        s"""WITH docs AS (SELECT doc_id, $sh AS sh
+           |              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           |grams AS (SELECT doc_id, unnest(sh) AS gram FROM docs),
+           |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0)
+           |SELECT doc_id, COUNT(*) AS n_bad_grams
+           |FROM grams JOIN bench USING (gram)
+           |WHERE doc_id % 37 <> 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     // CAPSTONE — the end-to-end training-set selection every signal above
     // feeds: exact-dup canonical retention (min id per content hash),
     // near-dup removal (MinHash-LSH pairs at 0.5, larger id dropped),
@@ -597,6 +626,61 @@ object LlmQueries {
                |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // Deterministic distributed k-means over the embedding corpus (2 Lloyd
+    // iterations, hash-ranked seeds) — the centroid-training step IVF (s4)
+    // presupposes, and the cluster-then-sample primitive of corpus
+    // organization. Replayable: seeds are md5-ranked, distances decompose
+    // into left-fold dots, and centroid updates sum floor(x·2²⁰) fixed-point
+    // values through DECIMAL — so DuckDB reproduces every centroid
+    // bit-for-bit and the oracle below is the whole algorithm in SQL.
+    Q("s5_kmeans_clusters",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("vid"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        Similarity.kmeansLloyd(e, "vid", "v", k = 8, iters = 2)
+          .select(col("cid"), col("n"),
+            round(element_at(col("c"), 1), 6).as("c1"),
+            round(element_at(col("c"), 2), 6).as("c2"),
+            round(element_at(col("c"), 3), 6).as("c3"))
+          .orderBy("cid")
+      },
+      Some {
+        val h = dMd5Long("CAST(vid AS VARCHAR)")
+        def dot(a: String, b: String) =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+        val iterCtes = (1 to 2).map { it =>
+          val p = s"c${it - 1}"
+          s"""a$it AS (SELECT vid, v, cid FROM (
+             |  SELECT e2.vid, e2.v, p.cid,
+             |    row_number() OVER (PARTITION BY e2.vid
+             |      ORDER BY e2.xx + p.cc - 2.0 * ${dot("e2.v", "p.c")}, p.cid) AS rn
+             |  FROM e2 CROSS JOIN $p p) WHERE rn = 1),
+             |s$it AS (SELECT cid, pos,
+             |    CAST(SUM(CAST(floor(x * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
+             |      / COUNT(*) / 1048576.0 AS cv,
+             |    COUNT(*) AS n
+             |  FROM (SELECT cid, pos, v[pos + 1] AS x
+             |        FROM a$it, (SELECT unnest(range(0, $Dim)) AS pos))
+             |  GROUP BY cid, pos),
+             |c$it AS (SELECT cid, n, c, ${dot("c", "c")} AS cc FROM (
+             |  SELECT cid, MIN(n) AS n, list(cv ORDER BY pos) AS c
+             |  FROM s$it GROUP BY cid))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id AS vid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |e2 AS (SELECT vid, v, ${dot("v", "v")} AS xx FROM e),
+           |seeds AS (SELECT vid, v, $h AS hh FROM e ORDER BY hh, vid LIMIT 8),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
+           |         v AS c, ${dot("v", "v")} AS cc
+           |       FROM seeds),
+           |$iterCtes
+           |SELECT cid, n, ROUND(c[1], 6) AS c1, ROUND(c[2], 6) AS c2,
+           |  ROUND(c[3], 6) AS c3
+           |FROM c2 ORDER BY cid""".stripMargin
+      }),
+
     // ——— Text analysis ————————————————————————————————————————————————
 
     // Stopword-overlap language id (n-gram heuristic family): score each
@@ -756,6 +840,106 @@ object LlmQueries {
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // Stratified EXACT-quota sampling: keep exactly ceil(10% of n) docs per
+    // source stratum, chosen by deterministic hash order (md5 of doc_id) —
+    // the reservoir-equivalent subsample every mixture rebalance needs,
+    // with a replayable seed instead of rand(). One shuffle (by source);
+    // the per-stratum sort is the price of EXACT quotas — when a 10%-ish
+    // rate is enough, samp1's threshold gate is the sort-free scale path.
+    Q("samp2_stratified_exact",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = expr(TextOps.md5LongSql("cast(doc_id as string)"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), h.as("__h"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))))
+          .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("rn") <= ceil(col("n_s") * lit(0.1)))
+          .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+          .orderBy("source", "rn")
+      },
+      Some {
+        val h = dMd5Long("CAST(doc_id AS VARCHAR)")
+        s"""SELECT source, rn, doc_id FROM (
+           |  SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY source) AS n_s
+           |  FROM documents)
+           |WHERE rn <= ceil(n_s * 0.1)
+           |ORDER BY source, rn""".stripMargin
+      }),
+
+    // Deterministic global shuffle + shard manifest for training export:
+    // shard = hash(doc_id) mod 16, within-shard order = a SECOND
+    // independent hash — the export layout that decorrelates adjacent
+    // source rows without rand(). The manifest (counts, byte totals,
+    // boundary docs) is what a 1000-executor export job publishes per
+    // shard; nothing here sorts globally.
+    Q("pack2_shard_manifest",
+      (s, d) => {
+        val h = expr(TextOps.md5LongSql("cast(doc_id as string)"))
+        val h2 = expr(TextOps.md5LongLoSql("cast(doc_id as string)"))
+        // 20+12 zero-padded digits: lexicographic == numeric, so min_by /
+        // arg_min agree bit-for-bit across engines (and the doc_id suffix
+        // makes the key total even on a 60-bit hash collision).
+        val ordKey = format_string("%020d%012d", h2, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), (h % 16).as("shard"), ordKey.as("__k"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            min_by(col("doc_id"), col("__k")).as("first_doc"),
+            max_by(col("doc_id"), col("__k")).as("last_doc"))
+          .orderBy("shard")
+      },
+      Some {
+        val h = dMd5Long("CAST(doc_id AS VARCHAR)")
+        val h2 = dMd5LongLo("CAST(doc_id AS VARCHAR)")
+        s"""SELECT ($h % 16) AS shard, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  arg_min(doc_id, printf('%020d%012d', $h2, doc_id)) AS first_doc,
+           |  arg_max(doc_id, printf('%020d%012d', $h2, doc_id)) AS last_doc
+           |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+      }),
+
+    // TF-IDF top terms per document: term frequency per doc, document
+    // frequency over the WHOLE corpus, fixed-point idf score
+    // tf*1e6 div (df+1) — integer arithmetic on both engines (float idf
+    // via ln() would race transcendental libm parity), same ranking as
+    // tf/df. The doc_id gate prunes the tf side BEFORE the join; the df
+    // side aggregates the full corpus, as it must.
+    Q("t7_tfidf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.filter(col("doc_id") % 50 === 0)
+          .join(dfreq, "term")
+          .withColumn("score", expr("tf * 1000000L div (df + 1)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+            col("score"), col("tf"), col("df"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT doc_id, t AS term, COUNT(*) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          |  GROUP BY doc_id, t),
+          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |scored AS (SELECT doc_id, term, tf, df, (tf * 1000000) // (df + 1) AS score
+          |           FROM tf JOIN dfreq USING (term) WHERE doc_id % 50 = 0),
+          |ranked AS (SELECT *, row_number() OVER (
+          |             PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+          |           FROM scored)
+          |SELECT doc_id, rnk, term, CAST(score AS BIGINT) AS score,
+          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
     // ——— Multimodal ———————————————————————————————————————————————————
 

@@ -149,6 +149,30 @@ object SourceQueries {
       },
       Some("""SELECT c_mktsegment AS mkt, COUNT(*) AS n_cust,
              |  CAST(SUM(c_custkey) AS BIGINT) AS sum_id, MIN(c_name) AS first_name
-             |FROM customer GROUP BY 1 ORDER BY mkt""".stripMargin))
+             |FROM customer GROUP BY 1 ORDER BY mkt""".stripMargin)),
+
+    // ORC round-trip: orders → distributed zstd ORC write → distributed ORC
+    // read → aggregate. Unlike src1–src3 (driver-side fixtures feeding a
+    // custom reader), both sides here are Spark's native columnar path —
+    // the query proves the whole sink+source round-trip preserves values,
+    // against the parquet twin in DuckDB.
+    Q("src4_orc_roundtrip",
+      (s, d) => {
+        val dir = fixtureDir("src4", d)
+        val path = s"$dir/orders_orc"
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").option("compression", "zstd").orc(path)
+        s.read.orc(path)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            QH.moneySum(col("o_totalprice")).as("rev"),
+            min(col("o_orderkey")).as("first_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  ${QH.sqlMoneySum("o_totalprice")} AS rev,
+             |  MIN(o_orderkey) AS first_key
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
   )
 }

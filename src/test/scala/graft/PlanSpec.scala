@@ -122,4 +122,29 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
   }
+
+  test("bloom prefilter survives into the physical plan before the confirm join (d9)") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesExpr("toks", 4).as("sh"))
+    val grams = docs.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val bench = grams.filter(col("doc_id") % 37 === 0).select("gram")
+    val out = Dedup.bloomDecontaminate(
+      grams.filter(col("doc_id") % 37 =!= 0), bench, "doc_id", "gram")
+    val p = plan(out)
+    // the codegen'd membership test must not be optimized away — it is the
+    // operator's whole point (pre-shuffle pruning of the big side)
+    assert(p.contains("might_contain"), p.take(3000))
+  }
+
+  test("k-means assignment broadcasts the k centroid rows (s5)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("vid"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val out = Similarity.kmeansLloyd(e, "vid", "v", k = 4, iters = 1)
+    val p = plan(out)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }

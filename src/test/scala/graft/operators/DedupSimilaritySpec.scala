@@ -159,4 +159,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert("Join \\[__pk#\\d+, __salt#\\d+\\]".r.findFirstIn(planStr).isDefined,
       s"count join must key on (__pk, __salt):\n${planStr.take(2000)}")
   }
+
+  test("bloomDecontaminate matches the exact intersection, even at high fpp") {
+    val sh = docs.select(col("doc_id"), TextOps.shinglesExpr("toks", 4).as("sh"))
+    val grams = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val bench = grams.filter($"doc_id" % 37 === 0).select("gram")
+    val train = grams.filter($"doc_id" % 37 =!= 0)
+    val exact = train.join(bench.distinct(), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bad_grams"))
+      .as[(Long, Long)].collect().toMap
+    // default fpp and a deliberately saturated 1%-sized filter: false
+    // positives go through the exact confirm join, so the RESULT must be
+    // identical in both configurations
+    for (expected <- Seq(100000L, 100L)) {
+      val out = Dedup.bloomDecontaminate(train, bench, "doc_id", "gram",
+          expectedItems = expected)
+        .as[(Long, Long)].collect().toMap
+      assert(out == exact, s"expectedItems=$expected diverged from exact")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("kmeansLloyd partitions the corpus deterministically and tightens inertia") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("vid"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val total = e.count()
+    def run(iters: Int) =
+      Similarity.kmeansLloyd(e, "vid", "v", k = 4, iters = iters)
+        .select($"cid", $"n", round(element_at($"c", 1), 6).as("c1"))
+        .as[(Int, Long, Double)].collect().sortBy(_._1)
+    val once = run(2)
+    assert(once.map(_._2).sum == total)              // every vector assigned
+    assert(once.length <= 4 && once.nonEmpty)
+    assert(run(2).toSeq == once.toSeq)               // bit-deterministic re-run
+    // Lloyd's never increases within-cluster SS: centroids after 2 rounds
+    // differ from the hash seeds (i.e. the update actually moved them)
+    val seeds = run(0).map(_._3).toSet
+    assert(run(2).map(_._3).toSet != seeds || seeds.isEmpty)
+  }
 }
