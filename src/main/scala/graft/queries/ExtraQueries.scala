@@ -165,6 +165,36 @@ object ExtraQueries {
         .select("c_custkey", "c_name").orderBy("c_custkey").limit(20),
       Some("""SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20""")),
 
+    // Single-pass table profile: per-column nulls / distincts / extremes /
+    // exact mean in ONE aggregation over one scan — the trust-a-new-drop
+    // profiling pass. Multiple count-distincts expand map-side but still
+    // read the table once; doubles surface as doubles (data values, never
+    // engine-formatted strings).
+    Q("prof1_table_profile",
+      (s, d) => Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("key_distinct"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("cust_nulls"),
+          countDistinct(col("o_orderpriority")).as("prio_distinct"),
+          min(col("o_orderpriority")).as("prio_min"),
+          max(col("o_orderpriority")).as("prio_max"),
+          min(col("o_totalprice")).as("price_min"),
+          max(col("o_totalprice")).as("price_max"),
+          moneyAvg(col("o_totalprice")).as("price_avg"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("date_min"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("date_max")),
+      Some(s"""SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_orderkey) AS key_distinct,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_nulls,
+               COUNT(DISTINCT o_orderpriority) AS prio_distinct,
+               MIN(o_orderpriority) AS prio_min, MAX(o_orderpriority) AS prio_max,
+               MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
+               ${sqlMoneyAvg("o_totalprice")} AS price_avg,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS date_min,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS date_max
+               FROM orders""")),
+
     // F18+F19 combined: the full distribution stage (quantiles on distinct
     // values, bin rounding with collision repair, histogram over the
     // repaired non-uniform bins, support threshold). The repair fold replays

@@ -195,6 +195,36 @@ object LlmQueries {
            |${dMinhashPairsCtes("aug", 3, None, 0.5)}
            |SELECT id1, id2, jac FROM pairs ORDER BY id1, id2""".stripMargin)),
 
+    // Cross-source near-dup overlap matrix — the contamination audit a
+    // mixture designer runs before weighting sources: UNBLOCKED LSH pairs
+    // over the raw corpus (w=2 shingles, Jaccard >= 0.3), each side mapped
+    // back to its source, counted per unordered source pair. The source
+    // attach is two id equi-joins against the tiny pair set, not a payload
+    // shuffle; diagonal entries (same-source dups) stay in the matrix.
+    Q("d10_cross_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "toks",
+          k = 16, bands = 8, threshold = 0.3, w = 2)
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id1"), col("source").as("src1")), Seq("id1"))
+          .join(src.select(col("doc_id").as("id2"), col("source").as("src2")), Seq("id2"))
+          .select(least(col("src1"), col("src2")).as("s1"),
+            greatest(col("src1"), col("src2")).as("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("s1", "s2")
+      },
+      Some(
+        s"""WITH docs0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |${dMinhashPairsCtes("docs0", 2, None, 0.3)}
+           |SELECT s1, s2, COUNT(*) AS n_pairs FROM (
+           |  SELECT least(a.source, b.source) AS s1, greatest(a.source, b.source) AS s2
+           |  FROM pairs JOIN documents a ON pairs.id1 = a.doc_id
+           |             JOIN documents b ON pairs.id2 = b.doc_id)
+           |GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin)),
+
     // Per-document SimHash signatures (hamming-0 bucketing is then a plain
     // groupBy on the signature).
     Q("d3_simhash",

@@ -580,6 +580,42 @@ object RelationalQueries {
                    row_number() OVER (PARTITION BY user_id ORDER BY ts_us_long DESC, event_id DESC) AS rn
                  FROM ev WHERE value > 50) WHERE rn = 1 ORDER BY user_id""")),
 
+    // W7 (beyond survey): rolling 7-day RANGE-frame metric per event type —
+    // the sliding-window flavor of the mv family's calendar months. Daily
+    // sums first (shuffle on (type, day)), then a PARTITIONED window over
+    // the integer day number; the in-frame sum runs in DECIMAL because
+    // engines disagree on frame-accumulation order for doubles (Spark
+    // slides, DuckDB segment-trees).
+    Q("w7_rolling_7day",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+          .agg(moneySum(col("value")).as("day_value"))
+          .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+        val w = Window.partitionBy("event_type").orderBy(col("day_num"))
+          .rangeBetween(-6, 0)
+        daily
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            sum(col("day_value").cast("decimal(18,2)")).over(w).cast("double").as("roll7"),
+            count(lit(1)).over(w).as("n_days"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""${evCte},
+               |daily AS (SELECT event_type, CAST(date_trunc('day', ts_us) AS DATE) AS day,
+               |            ${sqlMoneySum("value")} AS day_value
+               |          FROM ev GROUP BY 1, 2),
+               |dn AS (SELECT event_type, day, day_value,
+               |         datediff('day', DATE '1970-01-01', day) AS day_num FROM daily)
+               |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               |  CAST(SUM(CAST(day_value AS DECIMAL(18,2))) OVER (
+               |    PARTITION BY event_type ORDER BY day_num
+               |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7,
+               |  COUNT(*) OVER (
+               |    PARTITION BY event_type ORDER BY day_num
+               |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+               |FROM dn ORDER BY event_type, day""".stripMargin)),
+
     // ——— O: sort / distinct / set ops ———————————————————————————————
 
     Q("o1_multisort_limit",

@@ -18,6 +18,23 @@ object Writers {
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
 
+  /** Bucketed managed table: pre-hash-partition the data ON DISK so that
+    * every later equi-join or aggregation on `bucketCol` reads already
+    * co-located data and skips its shuffle entirely — the standing answer
+    * to a fact-fact join that would otherwise re-shuffle 100 TB on every
+    * run. Join sides must agree on bucket column and count; `sortCols`
+    * additionally pre-sorts each bucket file so sort-merge joins can skip
+    * their sort when files-per-bucket is 1. PlanSpec pins the no-Exchange
+    * join plan.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S16: zstd parquet sink (`utils/conversions.py:8-36`). */
   def parquetZstd(df: DataFrame, path: String,
                   partitionBy: Seq[String] = Nil): Unit = {

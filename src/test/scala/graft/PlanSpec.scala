@@ -138,6 +138,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.take(3000))
   }
 
+  test("bucketed tables equi-join with ZERO exchanges (co-located join)") {
+    import graft.sources.Writers
+    // the warehouse dir outlives the in-memory catalog: saveAsTable refuses
+    // an orphaned location from a previous JVM, so clear it first
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    Writers.bucketedTable(
+      Tables.orders(spark, sf()).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8, Seq("o_orderkey"))
+    Writers.bucketedTable(
+      Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must read co-located buckets, not shuffle:\n${p.take(3000)}")
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      // and the result is actually correct, not just well-planned
+      val n = j.count()
+      val ref = Tables.orders(spark, sf()).join(Tables.lineitem(spark, sf()),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(n == ref)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("k-means assignment broadcasts the k centroid rows (s5)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())
