@@ -166,14 +166,7 @@ object Similarity {
       .withColumn("__cc", dot(col("__c"), col("__c")))
       .withColumn("n", lit(0L))
     for (_ <- 1 to iters) {
-      val aw = Window.partitionBy("__vid")
-        .orderBy(col("__d2"), col("cid"))
-      val assigned = e.crossJoin(broadcast(centroids.select("cid", "__c", "__cc")))
-        .withColumn("__d2",
-          col("__xx") + col("__cc") - lit(2.0) * dot(col("__v"), col("__c")))
-        .withColumn("__rn", row_number().over(aw))
-        .filter(col("__rn") === 1)
-        .select(col("__vid"), col("__v"), col("cid"))
+      val assigned = assignStep(e, centroids)
       centroids = assigned
         .select(col("cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .withColumn("__q", floor(col("__x") * lit(1048576.0)).cast(DecimalType(38, 0)))
@@ -187,6 +180,33 @@ object Similarity {
         .withColumn("__cc", dot(col("__c"), col("__c")))
     }
     centroids.select(col("cid"), col("n"), col("__c").as("c"))
+  }
+
+  /** One Lloyd assignment pass: nearest centroid per vector, ties broken by
+    * cluster id. `e` carries (__vid, __v, __xx); centroids carry
+    * (cid, __c, __cc). Shared by the training loop and [[assignClusters]]. */
+  private def assignStep(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val aw = Window.partitionBy("__vid").orderBy(col("__d2"), col("cid"))
+    e.crossJoin(broadcast(centroids.select("cid", "__c", "__cc")))
+      .withColumn("__d2",
+        col("__xx") + col("__cc") - lit(2.0) * dot(col("__v"), col("__c")))
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") === 1)
+      .select(col("__vid"), col("__v"), col("cid"))
+  }
+
+  /** Assign every vector to its nearest centroid from a [[kmeansLloyd]]
+    * result — the inference half of k-means (same distance decomposition
+    * and tie rule as training, so an external oracle replays it).
+    * @return (idCol, cid) */
+  def assignClusters(vectors: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
+    val e = vectors
+      .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .withColumn("__xx", dot(col("__v"), col("__v")))
+    val c = centroids.select(col("cid"), col("c").as("__c"))
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+    assignStep(e, c).select(col("__vid").as(idCol), col("cid"))
   }
 
   /** Multi-table LSH approximate top-k (OR-amplification): a candidate is

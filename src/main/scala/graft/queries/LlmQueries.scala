@@ -158,6 +158,46 @@ object LlmQueries {
 
   private val Dim = 64
 
+  /** DuckDB left-fold dot product over `Dim` dims (same accumulation order
+    * as the native DotProduct expression). */
+  private def dDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+
+  /** DuckDB twin of `Similarity.kmeansLloyd(k, iters)` as a WITH-body
+    * fragment over `embeddings`, ending in CTE c{iters} = (cid, n, c, cc).
+    * Exposes e2 = (vid, v, xx) for further assignment CTEs. The single
+    * source of truth for every k-means oracle (s5, llm_corpus_organize). */
+  private def dKmeansCtes(k: Int, iters: Int): String = {
+    val h = dMd5Long("CAST(vid AS VARCHAR)")
+    val iterCtes = (1 to iters).map { it =>
+      val p = s"c${it - 1}"
+      s"""a$it AS (SELECT vid, v, cid FROM (
+         |  SELECT e2.vid, e2.v, p.cid,
+         |    row_number() OVER (PARTITION BY e2.vid
+         |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
+         |  FROM e2 CROSS JOIN $p p) WHERE rn = 1),
+         |s$it AS (SELECT cid, pos,
+         |    CAST(SUM(CAST(floor(x * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / COUNT(*) / 1048576.0 AS cv,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cid, pos, v[pos + 1] AS x
+         |        FROM a$it, (SELECT unnest(range(0, $Dim)) AS pos))
+         |  GROUP BY cid, pos),
+         |c$it AS (SELECT cid, n, c, ${dDot("c", "c")} AS cc FROM (
+         |  SELECT cid, MIN(n) AS n, list(cv ORDER BY pos) AS c
+         |  FROM s$it GROUP BY cid))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e2 AS (SELECT vid, v, ${dDot("v", "v")} AS xx FROM e),
+       |seeds AS (SELECT vid, v, $h AS hh FROM e ORDER BY hh, vid LIMIT $k),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
+       |         v AS c, ${dDot("v", "v")} AS cc
+       |       FROM seeds),
+       |$iterCtes""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ——— Deduplication ————————————————————————————————————————————————
@@ -675,40 +715,59 @@ object LlmQueries {
             round(element_at(col("c"), 3), 6).as("c3"))
           .orderBy("cid")
       },
-      Some {
-        val h = dMd5Long("CAST(vid AS VARCHAR)")
-        def dot(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
-        val iterCtes = (1 to 2).map { it =>
-          val p = s"c${it - 1}"
-          s"""a$it AS (SELECT vid, v, cid FROM (
-             |  SELECT e2.vid, e2.v, p.cid,
-             |    row_number() OVER (PARTITION BY e2.vid
-             |      ORDER BY e2.xx + p.cc - 2.0 * ${dot("e2.v", "p.c")}, p.cid) AS rn
-             |  FROM e2 CROSS JOIN $p p) WHERE rn = 1),
-             |s$it AS (SELECT cid, pos,
-             |    CAST(SUM(CAST(floor(x * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
-             |      / COUNT(*) / 1048576.0 AS cv,
-             |    COUNT(*) AS n
-             |  FROM (SELECT cid, pos, v[pos + 1] AS x
-             |        FROM a$it, (SELECT unnest(range(0, $Dim)) AS pos))
-             |  GROUP BY cid, pos),
-             |c$it AS (SELECT cid, n, c, ${dot("c", "c")} AS cc FROM (
-             |  SELECT cid, MIN(n) AS n, list(cv ORDER BY pos) AS c
-             |  FROM s$it GROUP BY cid))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id AS vid,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |e2 AS (SELECT vid, v, ${dot("v", "v")} AS xx FROM e),
-           |seeds AS (SELECT vid, v, $h AS hh FROM e ORDER BY hh, vid LIMIT 8),
-           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
-           |         v AS c, ${dot("v", "v")} AS cc
-           |       FROM seeds),
-           |$iterCtes
+      Some(
+        s"""WITH ${dKmeansCtes(8, 2)}
            |SELECT cid, n, ROUND(c[1], 6) AS c1, ROUND(c[2], 6) AS c2,
            |  ROUND(c[3], 6) AS c3
-           |FROM c2 ORDER BY cid""".stripMargin
+           |FROM c2 ORDER BY cid""".stripMargin)),
+
+    // CAPSTONE 2 — corpus ORGANIZATION, the step after corpus FILTERING
+    // (llm_corpus_filter): cluster the embedding space (1 Lloyd iteration),
+    // sample each cluster to an exact 20% quota by deterministic hash order
+    // (cluster-balanced subsampling — rare clusters keep representation a
+    // uniform sample would dilute), then lay the keepers out in hash shards
+    // and publish the per-shard manifest. Every stage replays in the oracle.
+    Q("llm_corpus_organize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d).select(col("vec_id").as("vid"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val cents = Similarity.kmeansLloyd(e, "vid", "v", k = 8, iters = 1)
+        val assigned = Similarity.assignClusters(e, cents, "vid", "v")
+        val dj = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+          .join(assigned.withColumnRenamed("vid", "doc_id"), "doc_id")
+        val ranked = dj
+          .withColumn("__h", expr(TextOps.md5LongSql("cast(doc_id as string)")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cid").orderBy(col("__h"), col("doc_id"))))
+          .withColumn("n_c", count(lit(1)).over(Window.partitionBy("cid")))
+          .filter(col("rn") <= ceil(col("n_c") * lit(0.2)))
+        ranked
+          .select(col("cid"), col("n_chars"), (col("__h") % 8).as("shard"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), countDistinct("cid").as("n_clusters"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("shard")
+      },
+      Some {
+        val h = dMd5Long("CAST(doc_id AS VARCHAR)")
+        s"""WITH ${dKmeansCtes(8, 1)},
+           |af AS (SELECT vid, cid FROM (
+           |  SELECT e2.vid, p.cid,
+           |    row_number() OVER (PARTITION BY e2.vid
+           |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
+           |  FROM e2 CROSS JOIN c1 p) WHERE rn = 1),
+           |dj AS (SELECT d.doc_id, d.n_chars, af.cid
+           |       FROM documents d JOIN af ON d.doc_id = af.vid),
+           |ranked AS (SELECT doc_id, n_chars, cid, $h AS hh,
+           |    row_number() OVER (PARTITION BY cid ORDER BY $h, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY cid) AS n_c
+           |  FROM dj)
+           |SELECT (hh % 8) AS shard, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT cid) AS n_clusters,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM ranked WHERE rn <= ceil(n_c * 0.2)
+           |GROUP BY shard ORDER BY shard""".stripMargin
       }),
 
     // ——— Text analysis ————————————————————————————————————————————————
