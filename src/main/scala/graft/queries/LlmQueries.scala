@@ -237,7 +237,9 @@ object LlmQueries {
 
     // Cross-source near-dup overlap matrix — the contamination audit a
     // mixture designer runs before weighting sources: UNBLOCKED LSH pairs
-    // over the raw corpus (w=2 shingles, Jaccard >= 0.3), each side mapped
+    // over the raw corpus (w=3 shingles, Jaccard >= 0.3 — 2-word shingles
+    // are low-entropy and blow up band collisions ~2x at bench scale,
+    // growing worse with corpus size), each side mapped
     // back to its source, counted per unordered source pair. The source
     // attach is two id equi-joins against the tiny pair set, not a payload
     // shuffle; diagonal entries (same-source dups) stay in the matrix.
@@ -246,7 +248,7 @@ object LlmQueries {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         val pairs = Dedup.minhashLshPairs(docs, "doc_id", "toks",
-          k = 16, bands = 8, threshold = 0.3, w = 2)
+          k = 16, bands = 8, threshold = 0.3, w = 3)
         val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
         pairs
           .join(src.select(col("doc_id").as("id1"), col("source").as("src1")), Seq("id1"))
@@ -258,7 +260,7 @@ object LlmQueries {
       },
       Some(
         s"""WITH docs0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |${dMinhashPairsCtes("docs0", 2, None, 0.3)}
+           |${dMinhashPairsCtes("docs0", 3, None, 0.3)}
            |SELECT s1, s2, COUNT(*) AS n_pairs FROM (
            |  SELECT least(a.source, b.source) AS s1, greatest(a.source, b.source) AS s2
            |  FROM pairs JOIN documents a ON pairs.id1 = a.doc_id
