@@ -75,6 +75,29 @@ object Distribution {
           col(s"c_$i")).as(s"bin_$i")): _*)
   }
 
+  /** Sketch-based table profile — the 100 TB complement of the exact
+    * single-pass profile (prof1): HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, mergeable fixed-size registers) and
+    * KLL-family quantiles (`approx_percentile`, bounded sketch buffers)
+    * for every requested numeric column, in ONE aggregation. Exact
+    * count-distinct holds the value set per column; exact percentile
+    * buffers the multiset — both grow with the data, while this profile's
+    * task memory is fixed regardless of corpus size. No oracle (the sketch
+    * estimates are engine-specific); the spec pins the error envelope
+    * against the exact answers instead.
+    *
+    * @return one row: per column c, `c_ndv` (approx) and `c_p50` (approx
+    *         median), plus the exact `n_rows`.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+                    accuracy: Int = 10000): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      approx_count_distinct(col(c), rsd).as(s"${c}_ndv"),
+      expr(s"approx_percentile($c, 0.5, $accuracy)").cast("double").as(s"${c}_p50"))
+    }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** Exact quantiles with O(1) task memory — the FEW-HUGE-GROUPS
     * complement to `percentile` (whose aggregation buffer holds one group's
     * whole value multiset; see the scale note on [[priceDistribution]]).

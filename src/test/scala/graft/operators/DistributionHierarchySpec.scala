@@ -14,6 +14,25 @@ class DistributionHierarchySpec extends SparkSpec {
       Seq(100.0, 500.0, 900.0)) // no collisions, plain rounding
   }
 
+  test("approxProfile sketch estimates stay inside the error envelope") {
+    val df = graft.Tables.lineitem(spark, sf())
+    val out = Distribution.approxProfile(df, Seq("l_extendedprice", "l_quantity")).head()
+    val exact = df.agg(
+      org.apache.spark.sql.functions.countDistinct("l_extendedprice"),
+      org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
+    val (ndvE, p50E, nE) = (exact.getLong(0), exact.getDouble(1), exact.getLong(2))
+    assert(out.getAs[Long]("n_rows") == nE)                     // exact by construction
+    val ndvA = out.getAs[Long]("l_extendedprice_ndv")
+    assert(math.abs(ndvA - ndvE).toDouble / ndvE < 0.10, s"ndv $ndvA vs $ndvE")
+    val p50A = out.getAs[Double]("l_extendedprice_p50")
+    // approx_percentile returns a VALUE FROM THE DATA whose rank error is
+    // bounded by 1/accuracy — compare by rank, not by value distance
+    val rankLo = df.filter(org.apache.spark.sql.functions.col("l_extendedprice") <= p50A).count()
+    assert(math.abs(rankLo.toDouble / nE - 0.5) < 0.02, s"p50 $p50A rank ${rankLo.toDouble / nE}")
+    assert(p50E > 0.0)
+  }
+
   test("priceDistribution: bins sum to group size; small groups are nulled") {
     val df = Tables.lineitem(spark, sf())
     val out = Distribution.priceDistribution(df, Seq("l_returnflag"),
