@@ -144,8 +144,12 @@ object Similarity {
     *    quantizing at 2⁻²⁰ trades ~1e-6 centroid precision for exactness.
     *
     * Scale shape per iteration: one broadcast of k centroid rows, one
-    * narrow argmin pass (window keyed by the vector id), one (cid, pos)
-    * aggregation — map-side combined, k·dim groups. Nothing global.
+    * argmin hash-aggregation keyed by the vector id (min_by — map-side
+    * partial agg collapses the k candidate rows per vector before any
+    * exchange), one (cid, pos) aggregation — also map-side combined,
+    * k·dim groups. Nothing global. The k-row centroid frame is
+    * localCheckpoint'ed each iteration so plan depth (and re-scans of the
+    * vector set) stay constant in `iters` instead of growing linearly.
     *
     * @return (cid, n, c): final cluster id, member count, centroid.
     */
@@ -178,22 +182,31 @@ object Similarity {
           transform(array_sort(collect_list(struct(col("__pos"), col("__cv")))),
             s => s.getField("__cv")).as("__c"))
         .withColumn("__cc", dot(col("__c"), col("__c")))
+        // k tiny rows: materialize and cut the lineage so iteration i+1's
+        // plan does not embed (and re-execute) iteration i's full subtree
+        .localCheckpoint()
     }
     centroids.select(col("cid"), col("n"), col("__c").as("c"))
   }
 
   /** One Lloyd assignment pass: nearest centroid per vector, ties broken by
     * cluster id. `e` carries (__vid, __v, __xx); centroids carry
-    * (cid, __c, __cc). Shared by the training loop and [[assignClusters]]. */
-  private def assignStep(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val aw = Window.partitionBy("__vid").orderBy(col("__d2"), col("cid"))
+    * (cid, __c, __cc). Shared by the training loop and [[assignClusters]].
+    *
+    * The argmin is a min_by hash-aggregation on the vector id, NOT a
+    * window: partial aggregation collapses the k candidate rows per vector
+    * map-side, so the exchange carries ~N rows instead of sorting k·N.
+    * Ordering by struct(__d2, cid) reproduces the (distance, cluster-id)
+    * tie rule exactly — the struct comparison is lexicographic and unique
+    * per (vector, cluster). */
+  private def assignStep(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids.select("cid", "__c", "__cc")))
       .withColumn("__d2",
         col("__xx") + col("__cc") - lit(2.0) * dot(col("__v"), col("__c")))
-      .withColumn("__rn", row_number().over(aw))
-      .filter(col("__rn") === 1)
-      .select(col("__vid"), col("__v"), col("cid"))
-  }
+      .groupBy("__vid")
+      .agg(min_by(struct(col("cid"), col("__v")),
+        struct(col("__d2"), col("cid"))).as("__best"))
+      .select(col("__vid"), col("__best.__v").as("__v"), col("__best.cid").as("cid"))
 
   /** Assign every vector to its nearest centroid from a [[kmeansLloyd]]
     * result — the inference half of k-means (same distance decomposition

@@ -91,7 +91,7 @@ object GeoQueries {
     // NormAdresseFullSpec replaying all 41 published golden pairs.
     Q("f9b_normadresse_full",
       (s, d) => {
-        val addrs = NormAdresseFixtures.cases.map(_._1)
+        val addrs = NormAdresseFixtures.inputs
         val arr = array(addrs.map(lit): _*)
         Tables.nation(s, d)
           .select(col("n_nationkey"),
@@ -101,12 +101,12 @@ object GeoQueries {
       },
       Some {
         def q(s: String) = s.replace("'", "''")
-        val ins = NormAdresseFixtures.cases.map(c => s"'${q(c._1)}'")
+        val ins = NormAdresseFixtures.inputs.map(c => s"'${q(c)}'")
           .mkString("[", ", ", "]")
-        val outs = NormAdresseFixtures.cases
-          .map(c => s"'${q(NormAdresseFull.abrev(c._1))}'")
+        val outs = NormAdresseFixtures.inputs
+          .map(c => s"'${q(NormAdresseFull.abrev(c))}'")
           .mkString("[", ", ", "]")
-        val idx = s"n_nationkey % ${NormAdresseFixtures.cases.size} + 1"
+        val idx = s"n_nationkey % ${NormAdresseFixtures.inputs.size} + 1"
         s"""SELECT n_nationkey, ($ins)[$idx] AS addr, ($outs)[$idx] AS norm
            |FROM nation ORDER BY n_nationkey""".stripMargin
       }),

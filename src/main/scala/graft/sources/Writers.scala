@@ -45,16 +45,13 @@ object Writers {
   /** S20/St3: delete-date-then-reload (`dgv/metrics/task.py:199-221`) as
     * dynamic partition overwrite — only the partitions present in `df` are
     * replaced; the rest of the table is untouched. Idempotent day re-runs. */
-  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    // Per-write option, NOT a session-conf toggle: concurrent writers in the
+    // same session (two streaming queries' foreachBatch, or a parallel batch
+    // job) must never race each other into static-overwrite semantics.
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
 
   /** S19/St5: upsert sink as read-merge-write
     * (`dgv/tabular_metrics/task_functions.py:145-172`: INSERT ... ON

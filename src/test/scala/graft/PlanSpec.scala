@@ -146,9 +146,10 @@ class PlanSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
       if (dir.exists()) {
-        java.nio.file.Files.walk(dir.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(dir.toPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
       }
     }
     Writers.bucketedTable(
@@ -180,8 +181,15 @@ class PlanSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf())
       .select(col("vec_id").as("vid"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val out = Similarity.kmeansLloyd(e, "vid", "v", k = 4, iters = 1)
+    // the trained frame is localCheckpoint'ed (lineage deliberately cut), so
+    // pin the assignment plan through assignClusters, which shares assignStep
+    val centroids = Similarity.kmeansLloyd(e, "vid", "v", k = 4, iters = 1)
+    val out = Similarity.assignClusters(e, centroids, "vid", "v")
     val p = plan(out)
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // and the argmin must be a partial-agg min_by, not a window sort
+    assert(p.contains("partial_min_by") || p.contains("partial_min") ||
+      p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
   }
 }

@@ -12,7 +12,7 @@ class NormAdresseFullSpec extends SparkSpec {
   import spark.implicits._
 
   test("reproduces all 41 reference golden fixtures exactly") {
-    val bad = NormAdresseFixtures.cases.filter { case (in, exp) =>
+    val bad = NormAdresseGoldens.cases.filter { case (in, exp) =>
       NormAdresseFull.abrev(in) != exp
     }
     assert(bad.isEmpty, bad.map { case (in, exp) =>
@@ -21,7 +21,7 @@ class NormAdresseFullSpec extends SparkSpec {
   }
 
   test("budget invariant: every golden fixture abbreviates to <= 32 chars") {
-    NormAdresseFixtures.cases.foreach { case (in, _) =>
+    NormAdresseGoldens.cases.foreach { case (in, _) =>
       val out = NormAdresseFull.abrev(in)
       assert(out.length <= 32, s"'$in' -> '$out' (${out.length})")
     }
@@ -33,13 +33,13 @@ class NormAdresseFullSpec extends SparkSpec {
   }
 
   test("expression matches driver-side abrev with codegen on and off") {
-    val df = NormAdresseFixtures.cases.map(_._1).toDF("addr")
+    val df = NormAdresseGoldens.cases.map(_._1).toDF("addr")
     for (codegen <- Seq("true", "false")) {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen)
       try {
         val got = df.select(NormAdresseFull.normadresseFull($"addr").as("n"))
           .as[String].collect().toSeq
-        val want = NormAdresseFixtures.cases.map(c => NormAdresseFull.abrev(c._1))
+        val want = NormAdresseGoldens.cases.map(c => NormAdresseFull.abrev(c._1))
         assert(got == want, s"codegen=$codegen")
       } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
