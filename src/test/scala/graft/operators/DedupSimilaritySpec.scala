@@ -93,6 +93,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.groupBy("qid").count().filter($"count" =!= 3).count() == 0)
   }
 
+  test("ivfTopK multi-probe: p=3 strictly beats p=1 on cross-boundary neighbors") {
+    // Planted 2-D fixture: four unit centroids at 0/30/90/180 degrees. Each
+    // query sits just inside one cell's boundary while its TRUE nearest
+    // neighbor sits just across it (assigned to the adjacent cell), and a
+    // decoy inside the query's own cell is second-best. Single-probe must
+    // return the decoy; probing the 3 nearest cells must recover the truth.
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val centroids = Seq((0, v(0)), (1, v(30)), (2, v(90)), (3, v(180)))
+      .toDF("cent_id", "centvec")
+    // corpus: decoys 8deg(cell0) / 120deg(cell2); true NNs 16deg(cell1) / 136deg(cell3)
+    val corpus = Seq((1L, v(8)), (2L, v(16)), (3L, v(120)), (4L, v(136)),
+      (5L, v(45)), (6L, v(170))).toDF("cid", "cvec")
+    // q1=14deg assigned cell0 (NN at 16deg lives in cell1);
+    // q2=134deg assigned cell2 (NN at 136deg lives in cell3)
+    val queries = Seq((101L, v(14)), (102L, v(134))).toDF("qid", "qvec")
+
+    def top1(nProbe: Int): Map[Long, Long] =
+      Similarity.ivfTopK(queries, corpus, centroids, k = 1, nProbe = nProbe)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val truth = Similarity.bruteForceTopK(queries, corpus, 1)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toMap
+
+    assert(truth == Map(101L -> 2L, 102L -> 4L), s"fixture broken: $truth")
+    val p1 = top1(1)
+    val p3 = top1(3)
+    assert(p1 == Map(101L -> 1L, 102L -> 3L), s"p=1 should hit the in-cell decoys: $p1")
+    assert(p3 == truth, s"p=3 should recover the cross-boundary truth: $p3")
+    val recall1 = p1.count { case (q, c) => truth(q) == c }
+    val recall3 = p3.count { case (q, c) => truth(q) == c }
+    assert(recall3 > recall1, s"recall@1: p3=$recall3 must beat p1=$recall1")
+
+    // cost stays cell-join-shaped: the search join is keyed on the cell id,
+    // never a corpus-sized cartesian
+    val p = Similarity.ivfTopK(queries, corpus, centroids, k = 1, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cell"), p.take(2000))
+  }
+
   test("jaccard is exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(TextOps.jaccard($"x", $"y")).as[Double].head()
