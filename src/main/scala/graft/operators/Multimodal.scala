@@ -160,26 +160,158 @@ object Multimodal {
     new String(out)
   }
 
+  /** Byte offset of every frame (image descriptor, 0x2C) in a GIF
+    * container — a minimal pure-JDK demux of the GIF87a/89a block
+    * structure: header + logical screen descriptor (+ global color table),
+    * then a walk over extension blocks (0x21, length-prefixed sub-blocks)
+    * and image descriptors (+ local color table + LZW data sub-blocks)
+    * until the 0x3B trailer. Truncated/corrupt containers return the
+    * frames found so far — the demux never throws. */
+  def gifFrameOffsets(bytes: Array[Byte]): Seq[Long] = {
+    def u(i: Int) = bytes(i) & 0xff
+    if (bytes.length < 14 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return Nil
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      var p = 13
+      if ((u(10) & 0x80) != 0) p += 3 * (1 << ((u(10) & 7) + 1))
+      def skipSubBlocks(): Unit = {
+        var len = u(p); p += 1
+        while (len != 0) { p += len; len = u(p); p += 1 }
+      }
+      var done = false
+      while (!done && p < bytes.length) {
+        u(p) match {
+          case 0x21 => p += 2; skipSubBlocks() // extension introducer + label
+          case 0x2c =>
+            out += p.toLong
+            val packed = u(p + 9)
+            p += 10
+            if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
+            p += 1 // LZW minimum code size
+            skipSubBlocks()
+          case 0x3b => done = true
+          case _ => done = true // out-of-spec block: stop cleanly
+        }
+      }
+    } catch { case _: IndexOutOfBoundsException => }
+    out.toSeq
+  }
+
+  /** Byte offset of every JPEG SOI marker (FF D8 FF) in a concatenated-JPEG
+    * (MJPEG-style) stream. A marker inside an EXIF-embedded thumbnail would
+    * also match — acceptable for frame sampling (the slice still decodes);
+    * real video containers are out of pure-JDK reach and take the stub. */
+  def mjpegFrameOffsets(bytes: Array[Byte]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i + 2 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8 &&
+        (bytes(i + 2) & 0xff) == 0xff) { out += i.toLong; i += 2 }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** SHA-256 over the decoded ARGB pixel rows (big-endian ints) — the
+    * frame digest is of decoded CONTENT, not container bytes, so two
+    * encodings of the same frame hash alike. */
+  private def pixelSha(img: java.awt.image.BufferedImage): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val w = img.getWidth
+    val h = img.getHeight
+    val row = new Array[Int](w)
+    val buf = java.nio.ByteBuffer.allocate(w * 4)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      buf.clear()
+      var x = 0
+      while (x < w) { buf.putInt(row(x)); x += 1 }
+      md.update(buf.array(), 0, w * 4)
+      y += 1
+    }
+    hexLower(md.digest())
+  }
+
+  /** Decode ONE frame of a multi-frame container: GIF frames by ImageIO
+    * reader index (each frame's own raster, not the composited animation);
+    * MJPEG frames by slicing SOI..next-SOI and decoding the slice. */
+  private def decodeFrameSha(bytes: Array[Byte], isGif: Boolean,
+                             offsets: Seq[Long], idx: Int): Option[String] =
+    try {
+      if (isGif) {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (reader.getWidth(idx).toLong * reader.getHeight(idx) > MaxDecodePixels) None
+              else Option(reader.read(idx)).map(pixelSha)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } else {
+        val from = offsets(idx).toInt
+        val until = if (idx + 1 < offsets.size) offsets(idx + 1).toInt else bytes.length
+        readBounded(java.util.Arrays.copyOfRange(bytes, from, until), MaxDecodePixels)
+          .map(pixelSha)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Frame sampling for video-like payloads: each media row yields k
     * evenly-spaced frames (frame_idx, byte offset, frame digest). Same
     * mapPartitions batch shape as [[decodeFeatures]] — one codec init per
-    * partition, rows stream lazily, output fan-out k per row. The frame
-    * "content" is a STUB digest (md5 of payload-sha:idx) so the plumbing is
-    * externally replayable; a real deployment swaps in the demuxer. */
+    * partition, rows stream lazily, output fan-out k per row.
+    *
+    * REAL demux + decode for the two containers pure JDK can handle:
+    *  - animated GIF — container walked for true frame byte offsets
+    *    ([[gifFrameOffsets]]), sampled frames decoded via ImageIO reader
+    *    index, digest = SHA-256 of the decoded pixels;
+    *  - MJPEG / concatenated JPEG — SOI-marker scan ([[mjpegFrameOffsets]]),
+    *    sampled slices decoded, same pixel digest.
+    * With n real frames, sample j (0-based) maps to container frame
+    * floor(j·n/k) — frame_idx is the CONTAINER index and offset its true
+    * byte position. True video codecs (and non-media payloads) take the
+    * STUB digest path — md5(payload-sha:idx) with synthetic offsets — so
+    * the operator stays total and externally replayable. */
   def sampleFrames(media: DataFrame, k: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     media.select("media_id", "media").mapPartitions { rows =>
-      // real pipeline: val demux = Demuxer.init() — once per partition
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
         val id = r.getAs[Long]("media_id")
         val bytes = r.getAs[Array[Byte]]("media")
-        val payloadSha = hexLower(sha.digest(bytes))
-        (0 until k).iterator.map { i =>
-          val frameSha = hexLower(md5.digest(
-            s"$payloadSha:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          Row(id, i, (i.toLong * bytes.length) / k, frameSha)
+        val fmt = sniffImageFormat(bytes)
+        val isGif = fmt.contains("gif")
+        val offsets =
+          if (isGif) gifFrameOffsets(bytes)
+          else if (fmt.contains("jpeg")) mjpegFrameOffsets(bytes)
+          else Nil
+        if (offsets.nonEmpty) {
+          val n = offsets.size
+          (0 until k).iterator.map { j =>
+            val idx = (j * n) / k
+            val digest = decodeFrameSha(bytes, isGif, offsets, idx).getOrElse {
+              val payloadSha = hexLower(sha.digest(bytes))
+              hexLower(md5.digest(
+                s"$payloadSha:$idx".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+            Row(id, idx, offsets(idx), digest)
+          }
+        } else {
+          val payloadSha = hexLower(sha.digest(bytes))
+          (0 until k).iterator.map { i =>
+            val frameSha = hexLower(md5.digest(
+              s"$payloadSha:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            Row(id, i, (i.toLong * bytes.length) / k, frameSha)
+          }
         }
       }
     }(enc)

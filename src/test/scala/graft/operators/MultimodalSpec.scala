@@ -89,6 +89,99 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).getInt(3) == stub._1 && feats(3L).getInt(4) == stub._2)
   }
 
+  /** Solid-color RGB frame. */
+  private def frame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  /** Real animated GIF via the JDK's own GIF sequence writer. */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** MJPEG-style stream: concatenated baseline JPEGs. */
+  private def mjpeg(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    frames.foreach(f => javax.imageio.ImageIO.write(f, "jpeg", baos))
+    baos.toByteArray
+  }
+
+  test("sampleFrames REALLY demuxes and decodes an animated GIF") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val gif = animatedGif(colors.map(frame(8, 6, _)))
+    // the container demux finds all 5 image descriptors, each at a 0x2C byte
+    val offs = Multimodal.gifFrameOffsets(gif)
+    assert(offs.size == 5, s"expected 5 frames, demuxed ${offs.size}")
+    offs.foreach(o => assert((gif(o.toInt) & 0xff) == 0x2c, s"offset $o is not 0x2C"))
+
+    val media = Seq((1L, gif)).toDF("media_id", "media")
+    val out = Multimodal.sampleFrames(media, 3)
+      .orderBy("frame_idx").collect()
+    // k=3 over n=5 frames: container indices floor(j*5/3) = 0, 1, 3
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 3), out.mkString("; "))
+    // true byte offsets from the demux, strictly increasing
+    assert(out.map(_.getLong(2)).toSeq == Seq(offs(0), offs(1), offs(3)))
+    // digests are of DECODED pixels: distinct colors → distinct digests,
+    // and none equal the stub's md5(payload-sha:idx) formula
+    val shas = out.map(_.getString(3)).toSeq
+    assert(shas.distinct.size == 3, shas.mkString(", "))
+    assert(shas.forall(_.length == 64), "pixel digest is sha-256 hex")
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(media, 3).orderBy("frame_idx").collect()
+    assert(again.map(_.getString(3)).toSeq == shas)
+  }
+
+  test("sampleFrames REALLY demuxes a concatenated-JPEG (MJPEG) stream") {
+    val frames = Seq(frame(16, 12, 0x112233), frame(16, 12, 0xddeeff),
+      frame(16, 12, 0x808080), frame(16, 12, 0x203040))
+    val stream = mjpeg(frames)
+    val offs = Multimodal.mjpegFrameOffsets(stream)
+    assert(offs.size == 4, s"expected 4 SOI markers, found ${offs.size}")
+    assert(offs.head == 0L)
+
+    val media = Seq((9L, stream)).toDF("media_id", "media")
+    val out = Multimodal.sampleFrames(media, 2).orderBy("frame_idx").collect()
+    // k=2 over n=4: container indices 0 and 2
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(out.map(_.getLong(2)).toSeq == Seq(offs(0), offs(2)))
+    // each sampled slice decodes: distinct frame colors → distinct digests
+    val shas = out.map(_.getString(3)).toSeq
+    assert(shas.distinct.size == 2 && shas.forall(_.length == 64))
+    // cross-check digest against an independent slice decode
+    val slice = java.util.Arrays.copyOfRange(stream, offs(2).toInt, stream.length)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(slice))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+  }
+
+  test("non-container payloads keep the replayable stub digest path (m2 oracle)") {
+    val bytes = "definitely not media".getBytes("UTF-8")
+    val media = Seq((5L, bytes)).toDF("media_id", "media")
+    val out = Multimodal.sampleFrames(media, 4).orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getLong(2)).toSeq ==
+      (0 until 4).map(i => (i.toLong * bytes.length) / 4))
+    // digest = md5(sha256-hex(payload) ':' idx) — the exact formula the
+    // DuckDB oracle for m2_frame_sample replays
+    val psha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val want0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$psha:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.head.getString(3) == want0)
+  }
+
   test("resizeMedia really rescales image payloads (decode-back check)") {
     val media = Seq((7L, pngBytes(80, 40))).toDF("media_id", "media")
     val out = Multimodal.resizeMedia(media, 32, 32).collect().head
