@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 import graft.functions.Hilbert.hilbert
 
@@ -79,6 +80,165 @@ object GeoWriter {
     val bbox = ext.map { case (minx, maxx, miny, maxy) => (minx, miny, maxx, maxy) }
       .getOrElse((0.0, 0.0, 0.0, 0.0))
     addGeoMetadata(spark, path, "geometry", bbox)
+  }
+
+  /** Approximate France bounding boxes — métropole (incl. Corsica) plus the
+    * five DROM — as axis-aligned (lon, lat) rectangles, mirroring the intent
+    * of the reference's `france_bbox.geojson` (`schema/irve/geo_utils/
+    * geo.py:14-29`: point-in-any-bbox). */
+  val FranceBboxes: Seq[Seq[(Double, Double)]] = Seq(
+    Seq((-5.45, 41.26), (9.87, 41.26), (9.87, 51.33), (-5.45, 51.33)),
+    Seq((-61.95, 15.80), (-60.95, 15.80), (-60.95, 16.60), (-61.95, 16.60)),
+    Seq((-61.30, 14.30), (-60.70, 14.30), (-60.70, 15.00), (-61.30, 15.00)),
+    Seq((-54.70, 2.10), (-51.50, 2.10), (-51.50, 6.00), (-54.70, 6.00)),
+    Seq((55.10, -21.50), (55.90, -21.50), (55.90, -20.80), (55.10, -20.80)),
+    Seq((44.95, -13.10), (45.40, -13.10), (45.40, -12.50), (44.95, -12.50)))
+
+  private val CoordsTokens = "^\\s*\\[\\s*(.+?)\\s*,\\s*(.+?)\\s*\\]\\s*$"
+
+  /** Coordinate-order repair (`geo.py:32-55` fix_coordinates_order): when
+    * the REVERSED pair lands inside France, the source published lat-first
+    * and the column is rewritten lon-first; `consolidated_coordinates_
+    * reordered` records the fix. The swap reorders the original NUMBER
+    * TOKENS textually (regexp on the JSON string) — no double is ever
+    * re-rendered, so canonical inputs round-trip byte-identically. The
+    * containment test runs through the codegen'd
+    * [[graft.functions.PolygonContains]] — all column ops, no UDF. */
+  def fixCoordinatesOrder(df: DataFrame, coordsCol: String = "coordonneesXY",
+                          bboxes: Seq[Seq[(Double, Double)]] = FranceBboxes): DataFrame = {
+    val parsed = from_json(col(coordsCol), ArrayType(DoubleType))
+    // reversed pair = (second, first); Point(x=lon, y=lat) takes x from
+    // the reversed head = original second element
+    val inFrance = bboxes.map(b => graft.functions.PolygonContains
+        .pointInPolygon(element_at(parsed, 2), element_at(parsed, 1), b))
+      .reduce(_ || _)
+    val swapped = concat(lit("["),
+      regexp_extract(col(coordsCol), CoordsTokens, 2), lit(", "),
+      regexp_extract(col(coordsCol), CoordsTokens, 1), lit("]"))
+    df.withColumn("consolidated_coordinates_reordered", coalesce(inFrance, lit(false)))
+      .withColumn(coordsCol,
+        when(col("consolidated_coordinates_reordered"), swapped).otherwise(col(coordsCol)))
+  }
+
+  /** `geo.py:58-66` create_lon_lat_cols: longitude/latitude extracted from
+    * the (lon-first) coordinates JSON string. */
+  def createLonLatCols(df: DataFrame, coordsCol: String = "coordonneesXY"): DataFrame = {
+    val parsed = from_json(col(coordsCol), ArrayType(DoubleType))
+    df.withColumn("consolidated_longitude", element_at(parsed, 1))
+      .withColumn("consolidated_latitude", element_at(parsed, 2))
+  }
+
+  /** String escaping matching Python's `json.dumps` default
+    * (ensure_ascii=True): two-char escapes for the JSON shorthands, \\uXXXX
+    * for every other control or non-ASCII UTF-16 code unit (non-BMP chars
+    * escape as their surrogate pair, exactly as CPython does). */
+  private[sources] def pyJsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jsonScalar(v: Any, dt: DataType): String = v match {
+    case null => "null"
+    case s: String => "\"" + pyJsonEscape(s) + "\""
+    case b: Boolean => if (b) "true" else "false"
+    case d: Double => d.toString
+    case f: Float => f.toDouble.toString
+    case other => dt match {
+      case StringType => "\"" + pyJsonEscape(other.toString) + "\""
+      case _ => other.toString
+    }
+  }
+
+  /** S17-companion GeoJSON FeatureCollection export (`geo.py:69-96`
+    * export_to_geojson): every row becomes a Point feature — geometry
+    * coordinates `[lon, lat]` lifted verbatim from the coordinates JSON
+    * string (the number TOKENS are re-emitted, never re-rendered through a
+    * double), properties = the full record — wrapped as a pretty-printed
+    * (indent=2) FeatureCollection with Python-`json.dumps` byte semantics
+    * (ensure_ascii escapes, `", "` / `": "` separators).
+    *
+    * Shape: per-feature text renders DISTRIBUTED (mapPartitions over the
+    * sorted frame); the single consumer-facing file is then stream-
+    * assembled on the driver like [[Writers.csvExportContract]] — the one
+    * inherently one-stream step. Doubles in properties render via JDK
+    * shortest-repr: byte parity with CPython holds across the plain-decimal
+    * range (|x| in [1e-3, 1e7)), which covers lon/lat and the reference's
+    * all-string CSV frames. */
+  def geojsonFeatureCollection(df: DataFrame, dest: String,
+                               coordsCol: String = "coordonneesXY",
+                               sortCols: Seq[String] = Nil): Unit = {
+    val schema = df.schema
+    val coordsIdx = schema.fieldIndex(coordsCol)
+    val names = schema.fieldNames.toSeq
+    val types = schema.fields.map(_.dataType).toSeq
+    require(types(coordsIdx) == StringType, s"$coordsCol must be a JSON string column")
+    val ordered = (if (sortCols.nonEmpty) df.orderBy(sortCols.map(col): _*) else df)
+      .coalesce(1)
+    val features = ordered.mapPartitions { rows =>
+      val pat = java.util.regex.Pattern.compile(CoordsTokens)
+      rows.map { r =>
+        val coordsText = r.get(coordsIdx)
+        val m = pat.matcher(if (coordsText == null) "" else coordsText.toString)
+        require(m.matches(), s"unparseable $coordsCol: $coordsText")
+        val props = names.indices.map { i =>
+          s"""        "${pyJsonEscape(names(i))}": ${jsonScalar(r.get(i), types(i))}"""
+        }.mkString(",\n")
+        "    {\n      \"type\": \"Feature\",\n      \"geometry\": {\n" +
+          "        \"type\": \"Point\",\n        \"coordinates\": [\n" +
+          s"          ${m.group(1)},\n          ${m.group(2)}\n" +
+          "        ]\n      },\n" +
+          (if (names.isEmpty) "      \"properties\": {}\n"
+           else s"      \"properties\": {\n$props\n      }\n") +
+          "    },"
+      }
+    }(Encoders.STRING)
+    val tmp = java.nio.file.Files.createTempDirectory("geojson")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(dest, false))
+    try {
+      features.write.mode(SaveMode.Overwrite).text(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing
+        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst()
+      finally listing.close()
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val size = if (part.isPresent) java.nio.file.Files.size(part.get()) else 0L
+      if (size == 0L)
+        out.write("{\n  \"type\": \"FeatureCollection\",\n  \"features\": []\n}".getBytes(ascii))
+      else {
+        out.write("{\n  \"type\": \"FeatureCollection\",\n  \"features\": [\n".getBytes(ascii))
+        // copy all but the trailing ",\n" — the last feature has no comma
+        val in = new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(part.get()))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var remaining = size - 2
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            require(n > 0, "unexpected EOF assembling geojson")
+            out.write(buf, 0, n)
+            remaining -= n
+          }
+        } finally in.close()
+        out.write("\n  ]\n}".getBytes(ascii))
+      }
+    } finally {
+      out.close()
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   /** GeoParquet 1.1 `geo` footer JSON: native point encoding, global bbox,
