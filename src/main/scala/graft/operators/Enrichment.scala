@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** External-service enrichment as cache-table joins (SURVEY §7.4.5): the
@@ -52,5 +52,64 @@ object Enrichment {
     }
     val updated = cache.select(col(keyCol), col(valueCol)).unionByName(fetched)
     (input.join(updated, Seq(keyCol), "left"), updated)
+  }
+
+  /** Pluggable page transport for cursor-paginated APIs: cursor in (None =
+    * first page), (record batch, next cursor) out. Production wires an HTTP
+    * client; tests wire a stub. Records ride as raw strings — downstream
+    * parsing is `from_json` over the resulting frame, fully distributed. */
+  type PageFetch = Option[String] => (Seq[String], Option[String])
+
+  /** Field-mask header value in the datagouv API's `X-Fields` syntax
+    * (`data{f1,f2},next_page`) — the transport passes it so the server only
+    * serializes the needed fields; pagination metadata must stay unmasked
+    * or the cursor walk dies after page one. */
+  def fieldMaskHeader(fields: Seq[String]): String =
+    s"data{${fields.mkString(",")}},next_page"
+
+  /** Lazy cursor walk: pages are fetched one at a time AS CONSUMED, so a
+    * downstream early-stop (`lastItems`) never touches the pages after its
+    * break point — the property that makes "latest items since yesterday"
+    * O(new items), not O(catalog). `maxPages` guards a transport that never
+    * returns a null cursor. */
+  def pageWalk(fetch: PageFetch, maxPages: Int = 100000): Iterator[String] =
+    new Iterator[String] {
+      private var cursor: Option[String] = None
+      private var first = true
+      private var pages = 0
+      private var batch: Iterator[String] = Iterator.empty
+      private def pull(): Unit =
+        while (!batch.hasNext && (first || cursor.isDefined) && pages < maxPages) {
+          val (items, next) = fetch(cursor)
+          require(!(next.isDefined && next == cursor), s"cursor loop at $cursor")
+          first = false
+          pages += 1
+          cursor = next
+          batch = items.iterator
+        }
+      def hasNext: Boolean = { pull(); batch.hasNext }
+      def next(): String = { pull(); batch.next() }
+    }
+
+  /** The reference's get_last_items (`utils/datagouv.py:134-151`) as an
+    * engine source: the endpoint is sorted DESCENDING by creation date, so
+    * items newer than `endTs` are SKIPPED (continue) and the walk BREAKS at
+    * the first item older than `startTs` — nothing after it can qualify,
+    * and the lazy [[pageWalk]] guarantees those pages are never fetched.
+    *
+    * The cursor walk is inherently sequential (each page names the next),
+    * so it runs on the driver exactly like the reference; the result is
+    * API-bounded (items in the date window), never data-scale. Everything
+    * downstream — parse, join, aggregate — is a distributed frame.
+    *
+    * @param createdOf creation timestamp (epoch micros) extracted from a
+    *                  raw record — the date_key of the reference, nested
+    *                  keys included, supplied by the caller. */
+  def lastItems(spark: SparkSession, fetch: PageFetch, createdOf: String => Long,
+                startTs: Long, endTs: Option[Long] = None): DataFrame = {
+    val kept = pageWalk(fetch)
+      .takeWhile(r => createdOf(r) >= startTs)
+      .filter(r => endTs.forall(e => createdOf(r) <= e))
+    spark.createDataset(kept.toSeq)(Encoders.STRING).toDF("record")
   }
 }

@@ -50,6 +50,64 @@ class EnrichmentSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/fetched").count() == 2)
   }
 
+  /** Stub paginated endpoint: `nPages` pages of `perPage` records, sorted
+    * DESCENDING by created ts (page p record i has ts = top - (p*perPage+i)),
+    * counting every page served. Record format "id:<n>;created:<ts>". */
+  private class StubApi(nPages: Int, perPage: Int, top: Long) {
+    var pagesServed = 0
+    val fetch: Enrichment.PageFetch = cursor => {
+      val p = cursor.map(_.toInt).getOrElse(0)
+      pagesServed += 1
+      val items = (0 until perPage).map { i =>
+        val n = p * perPage + i
+        s"id:$n;created:${top - n}"
+      }
+      (items, if (p + 1 < nPages) Some((p + 1).toString) else None)
+    }
+  }
+  private def createdOf(r: String): Long = r.split(";created:")(1).toLong
+
+  test("pageWalk streams every record across cursor pages, lazily") {
+    val api = new StubApi(nPages = 5, perPage = 10, top = 1000L)
+    val it = Enrichment.pageWalk(api.fetch)
+    // laziness: building the iterator fetches nothing
+    assert(api.pagesServed == 0)
+    // consuming only the first page's worth touches one page
+    assert(it.take(10).size == 10)
+    assert(api.pagesServed == 1)
+    // full drain sees all 50, 5 pages total
+    val all = Enrichment.pageWalk({ c => api.fetch(c) }).toSeq
+    assert(all.size == 50 && all.distinct.size == 50)
+  }
+
+  test("lastItems early-stops on the sorted created date: later pages never fetched") {
+    val api = new StubApi(nPages = 100, perPage = 10, top = 10000L)
+    // want items created >= 9985 — the first 16 records, i.e. within 2 pages
+    val out = Enrichment.lastItems(spark, api.fetch, createdOf, startTs = 9985L)
+    assert(out.count() == 16)
+    // the break fired inside page 2: pages 3..100 were never served
+    assert(api.pagesServed == 2, s"served ${api.pagesServed} pages")
+    // frame is a real distributed source downstream
+    val ids = out.selectExpr("cast(split(record, ';')[0] as string) AS id")
+    assert(ids.distinct().count() == 16)
+  }
+
+  test("lastItems skips items newer than endTs without breaking (continue semantics)") {
+    val api = new StubApi(nPages = 10, perPage = 10, top = 1000L)
+    // window [985, 995]: skips the first 5 (too new), keeps 11, breaks after
+    val out = Enrichment.lastItems(spark, api.fetch, createdOf,
+      startTs = 985L, endTs = Some(995L))
+    val created = out.as[String].collect().map(createdOf).sorted.toSeq
+    assert(created == (985L to 995L))
+    // break still bounds the walk: only 2 pages served
+    assert(api.pagesServed == 2)
+  }
+
+  test("fieldMaskHeader formats the datagouv X-Fields mask with pagination kept") {
+    assert(Enrichment.fieldMaskHeader(Seq("id", "created_at", "internal{last_modified}"))
+      == "data{id,created_at,internal{last_modified}},next_page")
+  }
+
   test("DST switch day parses unambiguously under the UTC session tz (§7.4.6)") {
     // Europe/Paris fell back on 2024-10-27: 02:30 exists at +02:00 AND +01:00.
     // With offsets in the data and a UTC session, the two map to distinct
