@@ -22,16 +22,22 @@ import graft.sources.Writers
 object StreamEnrich {
 
   /** Drain available input once; enriched batches land under `outPath`
-    * partitioned by batch id. Returns after the drain completes. */
+    * partitioned by batch id. Returns after the drain completes.
+    * @param batchHook invoked AFTER the batch's write, BEFORE the
+    *                  checkpoint commit — a throwing hook simulates the
+    *                  worst crash window (output landed, commit lost) so
+    *                  specs can prove the replay is idempotent. No-op in
+    *                  production. */
   def run(spark: SparkSession, inPath: String, schemaSource: DataFrame,
           dim: DataFrame, joinCol: String, outPath: String,
-          checkpoint: String): Unit = {
+          checkpoint: String, batchHook: Long => Unit = _ => ()): Unit = {
     val stream = spark.readStream.schema(schemaSource.schema).parquet(inPath)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val enriched = batch.join(broadcast(dim), Seq(joinCol), "left")
           .withColumn("batch_id", lit(batchId))
         Writers.overwritePartitions(enriched, outPath, Seq("batch_id"))
+        batchHook(batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)
