@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the dedup/ANN scale probe
+  * (VERDICT r5 item 2): synthesizes a `mult`× documents + embeddings pair
+  * from an existing SF directory so the LSH/SimHash/k-means family can be
+  * measured at 1× vs 10× and its scaling exponents recorded (PLANS.md).
+  *
+  * Every derived row is a pure function of (source row, variant index) —
+  * no RNG — so repeated runs are byte-identical:
+  *  - documents: variant 0 is the original; variants 1..4 churn ~6% of
+  *    tokens (hash-gated substitution) → planted NEAR-DUPS the MinHash /
+  *    SimHash family must keep finding at scale; variants 5+ churn ~60%
+  *    → far texts that only grow the corpus. Duplicate-density per row
+  *    therefore stays constant as the corpus grows — candidate-pair count
+  *    should scale linearly for a bucketed pipeline, and that is exactly
+  *    the property the probe measures.
+  *  - embeddings: per-dimension multiplicative jitter, small for variants
+  *    1..4 (near vectors) and large for 5+ (spread), all hash-derived.
+  *
+  * Other tables are hard-linked (fallback: copied) so the output dir is a
+  * drop-in SPARK_GRAFT_SF_DIR.
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [mult=10]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val variants = spark.range(mult).select(col("id").cast("int").as("__v"))
+
+    // documents: token-level hash-gated churn; churn rate by variant tier
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(broadcast(variants))
+      .withColumn("__rate", when(col("__v") === 0, 0)
+        .when(col("__v") <= 4, 6).otherwise(60))
+      .withColumn("text", concat_ws(" ",
+        expr("""transform(split(text, ' '), (t, i) ->
+                 IF(pmod(hash(doc_id, __v, i), 100) < __rate,
+                    concat('w', conv(substring(md5(concat(t, '|', __v)), 1, 8), 16, 10)),
+                    t))""")))
+      .select((col("doc_id") * mult + col("__v")).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+    docs.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/documents.parquet")
+
+    // embeddings: deterministic per-dimension jitter, tiered by variant
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(broadcast(variants))
+      .withColumn("__amp", when(col("__v") === 0, 0.0)
+        .when(col("__v") <= 4, 0.01).otherwise(0.2))
+      .select((col("vec_id") * mult + col("__v")).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                 cast(x * (1.0d + __amp * (pmod(hash(vec_id, __v, i), 7) - 3) / 3.0d)
+                      as float))""").as("embedding"),
+        col("label"))
+    embs.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
+
+    // remaining tables ride along untouched
+    val others = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    for (t <- others) {
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      val to = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (java.nio.file.Files.exists(from) && !java.nio.file.Files.exists(to)) {
+        try java.nio.file.Files.createSymbolicLink(to, from)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(from, to)
+        }
+      }
+    }
+    println(s"""{"documents": ${docs.count()}, "embeddings": ${embs.count()}, "mult": $mult}""")
+    spark.stop()
+  }
+}

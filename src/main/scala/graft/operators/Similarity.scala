@@ -82,9 +82,28 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
   }
 
+  /** Hyperplane count sized to the corpus — THE knob that keeps LSH
+    * dedup linear. With `p` planes a table has 2^p buckets, so expected
+    * occupancy is n/2^p and within-bucket candidate pairs grow as
+    * n²/2^p per table: hold occupancy CONSTANT (planes ~ log2(n/target))
+    * and candidates grow linearly with n; hold PLANES constant and they
+    * grow quadratically. Measured (PLANS.md round 6): the fixed-4-plane
+    * d5 pipeline went 2.4 s → 154 s on a 10× corpus (exponent 1.8);
+    * re-sized planes restore ~linear. More planes lower per-table recall
+    * (p_agree^planes), so production compensates with more OR-amplified
+    * tables: recall = 1-(1-p^planes)^tables. */
+  def lshPlanesFor(corpusSize: Long, targetOccupancy: Int = 64): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val buckets = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    math.max(1, math.min(48, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Embedding-cosine near-duplicate removal: multi-table LSH candidate
     * pairs, cosine-verified at `threshold`, then drop the larger id of
     * every verified pair (min-id retention). No all-pairs comparison.
+    * Callers at scale MUST size `nPlanes` with [[lshPlanesFor]] — a fixed
+    * plane count makes bucket occupancy (and with it candidate pairs)
+    * grow quadratically in corpus size.
     */
   def cosineDedupRemoved(vectors: DataFrame, threshold: Double,
                          nPlanes: Int, dim: Int, nTables: Int): DataFrame = {

@@ -131,6 +131,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p.contains("cell"), p.take(2000))
   }
 
+  test("lshPlanesFor holds bucket occupancy constant as the corpus grows") {
+    // exact powers: n = target * 2^k → k planes
+    assert(Similarity.lshPlanesFor(64, 64) == 1)
+    assert(Similarity.lshPlanesFor(128, 64) == 1)
+    assert(Similarity.lshPlanesFor(64 * 1024, 64) == 10)
+    // monotone in corpus size, and occupancy n/2^planes stays within 2x
+    // of target (ceil rounds planes UP, so occupancy never exceeds target)
+    var prev = 0
+    for (k <- 6 to 30) {
+      val n = 1L << k
+      val p = Similarity.lshPlanesFor(n, 64)
+      assert(p >= prev, s"not monotone at n=$n")
+      prev = p
+      val occupancy = n.toDouble / (1L << p)
+      assert(occupancy <= 64.0 + 1e-9, s"occupancy $occupancy exceeds target at n=$n")
+    }
+    // clamped: never more than 48 planes (bucket id stays a long), never 0
+    assert(Similarity.lshPlanesFor(Long.MaxValue, 1) == 48)
+    assert(Similarity.lshPlanesFor(1, 1000000) == 1)
+  }
+
   test("jaccard is exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(TextOps.jaccard($"x", $"y")).as[Double].head()
