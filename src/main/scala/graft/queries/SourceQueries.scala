@@ -173,6 +173,38 @@ object SourceQueries {
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
              |  ${QH.sqlMoneySum("o_totalprice")} AS rev,
              |  MIN(o_orderkey) AS first_key
-             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // S4 legacy: region → a REAL BIFF8 .xls inside an OLE2 compound file
+    // (decoy tab first, numbers as NUMBER records, names via the shared
+    // string table) → magic-dispatched pure-JDK Xls reader → aggregate.
+    Q("src5_xls_scan",
+      (s, d) => {
+        import graft.sources.XlsWriter
+        val rows = Tables.region(s, d)
+          .orderBy("r_regionkey")
+          .select(col("r_regionkey").cast("double"), col("r_name"))
+          .collect()
+          .map(r => (r.getDouble(0), r.getString(1))).toSeq
+        val dir = fixtureDir("src5", d)
+        val names = rows.map(_._2)
+        val header = XlsWriter.label(0, 0, "r_regionkey") ++ XlsWriter.label(0, 1, "r_name")
+        val body = rows.zipWithIndex.flatMap { case ((k, _), i) =>
+          XlsWriter.number(i + 1, 0, k) ++ XlsWriter.labelSst(i + 1, 1, i)
+        }.toArray
+        val bytes = XlsWriter.xlsFile(
+          Seq("decoy" -> XlsWriter.label(0, 0, "x"), "data" -> (header ++ body)),
+          sst = names)
+        java.nio.file.Files.write(new File(dir, "region.xls").toPath, bytes)
+        Xlsx.read(s, s"$dir/region.xls", Xlsx.Sheet.ByName("data"))
+          .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+          .groupBy((col("rk") % 2).as("parity"))
+          .agg(count(lit(1)).as("n_regions"), sum(col("rk")).as("sum_key"),
+            min(col("r_name")).as("first_region"))
+          .orderBy("parity")
+      },
+      Some("""SELECT CAST(r_regionkey % 2 AS BIGINT) AS parity, COUNT(*) AS n_regions,
+             |  CAST(SUM(r_regionkey) AS BIGINT) AS sum_key, MIN(r_name) AS first_region
+             |FROM region GROUP BY 1 ORDER BY parity""".stripMargin))
   )
 }

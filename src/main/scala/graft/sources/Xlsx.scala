@@ -67,23 +67,18 @@ object Xlsx {
   private val AttrIdRe = """\sId="([^"]*)"""".r
   private val AttrTargetRe = """\sTarget="([^"]*)"""".r
 
-  /** Legacy .xls is an OLE2 compound document, not a zip — unreadable here. */
-  private def rejectOle2(bytes: Array[Byte]): Unit =
-    require(bytes.length < 8 ||
-      !(bytes.take(8).map(_ & 0xff) sameElements
-        Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)),
-      "legacy .xls (OLE2 compound document) is not supported — convert to .xlsx")
-
   /** Parse one workbook's bytes into rows of (colIdx -> value) strings for
-    * the selected sheet. Selection resolves `xl/workbook.xml` sheet order /
-    * tab names through the rels part to the worksheet entry; workbooks
-    * missing those parts fall back to the lowest-numbered
-    * `xl/worksheets/sheetN.xml`. Known divergences from a full Excel
-    * reader, by design: date cells surface as raw day serials and styled
-    * numbers as stored values (no styles.xml interpretation); booleans
-    * surface as TRUE/FALSE. */
+    * the selected sheet. Legacy .xls payloads (OLE2 magic) dispatch to the
+    * pure-JDK BIFF8 reader ([[Xls]]) — the reference's engine sniff
+    * (`schema/utils/consolidation.py:905-947`). For .xlsx, selection
+    * resolves `xl/workbook.xml` sheet order / tab names through the rels
+    * part to the worksheet entry; workbooks missing those parts fall back
+    * to the lowest-numbered `xl/worksheets/sheetN.xml`. Known divergences
+    * from a full Excel reader, by design: date cells surface as raw day
+    * serials and styled numbers as stored values (no styles.xml
+    * interpretation); booleans surface as TRUE/FALSE. */
   def parseWorkbook(bytes: Array[Byte], select: Sheet = Sheet.First): Seq[Seq[(Int, String)]] = {
-    rejectOle2(bytes)
+    if (Xls.isOle2(bytes)) return Xls.parseWorkbook(bytes, select)
     var shared = ""
     var workbook = ""
     var rels = ""
@@ -165,12 +160,13 @@ object Xlsx {
     }.toSeq
   }
 
-  /** Read .xlsx file(s) at `path` into a string-typed DataFrame; first row
-    * is the header. `sheet` selects the worksheet (default: first in tab
-    * order); legacy .xls files are rejected with a clear error. */
+  /** Read .xlsx / legacy .xls file(s) at `path` into a string-typed
+    * DataFrame; first row is the header. `sheet` selects the worksheet
+    * (default: first in tab order). The format is dispatched per file by
+    * magic bytes — zip container → XML parse, OLE2 container → BIFF8
+    * ([[Xls]]) — so a mixed directory of old and new uploads reads in one
+    * pass, like the reference's engine-sniffing consolidation. */
   def read(spark: SparkSession, path: String, sheet: Sheet = Sheet.First): DataFrame = {
-    require(!path.toLowerCase.endsWith(".xls"),
-      s"legacy .xls is not supported (OLE2, not a zip) — convert $path to .xlsx")
     val files = spark.read.format("binaryFile").load(path)
     // header sniff: one file on the driver fixes the schema. Columns keep
     // their ABSOLUTE sheet positions (a gap in the header row becomes a

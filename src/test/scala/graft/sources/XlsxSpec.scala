@@ -98,18 +98,21 @@ class XlsxSpec extends SparkSpec {
     assert(e.getMessage.contains("Données") && e.getMessage.contains("Résumé"))
   }
 
-  test("legacy .xls is rejected with a clear error") {
+  test("OLE2 magic dispatches to the BIFF8 reader regardless of extension") {
+    // a real .xls whose extension LIES: magic wins, it still parses
     val dir = Files.createTempDirectory("graft-xls").toString
-    val out = new FileOutputStream(s"$dir/old.xls")
-    out.write(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
-    out.write(new Array[Byte](512)); out.close()
-    // by extension
-    val e1 = intercept[IllegalArgumentException] { Xlsx.read(spark, s"$dir/old.xls") }
-    assert(e1.getMessage.contains("convert"))
-    // by magic bytes even when the extension lies
-    Files.move(java.nio.file.Paths.get(s"$dir/old.xls"),
-      java.nio.file.Paths.get(s"$dir/lying.xlsx"))
-    val e2 = intercept[IllegalArgumentException] { Xlsx.read(spark, s"$dir/lying.xlsx") }
-    assert(e2.getMessage.toLowerCase.contains("ole2"))
+    val bytes = XlsWriter.xlsFile(
+      Seq("s" -> (XlsWriter.label(0, 0, "h") ++ XlsWriter.label(1, 0, "v"))))
+    val out = new FileOutputStream(s"$dir/lying.xlsx")
+    out.write(bytes); out.close()
+    val df = Xlsx.read(spark, s"$dir/lying.xlsx")
+    assert(df.columns.toSeq == Seq("h") && df.count() == 1)
+    // an empty OLE2 shell still fails with a clear structural error
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.parseWorkbook(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+        .map(_.toByte) ++ new Array[Byte](512))
+    }
+    assert(e.getMessage.toLowerCase.contains("ole2") ||
+      e.getMessage.toLowerCase.contains("directory"))
   }
 }
