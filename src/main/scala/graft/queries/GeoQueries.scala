@@ -16,10 +16,11 @@ object GeoQueries {
   /** Test pentagon (x: 0–330 value axis, y: 0–100 user axis). */
   private val Poly = Seq((50.0, 10.0), (300.0, 5.0), (320.0, 80.0), (150.0, 95.0), (20.0, 60.0))
 
-  private def dPointInPoly(x: String, y: String): String = {
-    val px = Poly.map(_._1).mkString("[", ", ", "]")
-    val py = Poly.map(_._2).mkString("[", ", ", "]")
-    val n = Poly.size
+  private def dPointInPoly(x: String, y: String,
+                           poly: Seq[(Double, Double)] = Poly): String = {
+    val px = poly.map(_._1).mkString("[", ", ", "]")
+    val py = poly.map(_._2).mkString("[", ", ", "]")
+    val n = poly.size
     s"""(len(list_filter(range(1, ${n + 1}), i ->
        |  (($py[i] > $y) <> ($py[(i % $n) + 1] > $y)) AND
        |  ($x < ($px[(i % $n) + 1] - $px[i]) * ($y - $py[i])
@@ -109,6 +110,54 @@ object GeoQueries {
         val idx = s"n_nationkey % ${NormAdresseFixtures.inputs.size} + 1"
         s"""SELECT n_nationkey, ($ins)[$idx] AS addr, ($outs)[$idx] AS norm
            |FROM nation ORDER BY n_nationkey""".stripMargin
+      }),
+
+    // Coordinate-order repair (geo.py:32-66): synthetic [lat, lon] /
+    // [lon, lat] JSON strings from nation keys; the operator swaps exactly
+    // the pairs whose REVERSAL lands in a France bbox (ray-cast through the
+    // codegen'd PolygonContains) and extracts lon/lat. The oracle replays
+    // the textual token swap AND the same ray-cast (dPointInPoly over every
+    // bbox) — number tokens are integer-derived text, lon/lat parse to
+    // exact dyadic doubles on both engines (per-row, no aggregation).
+    Q("geo1_fix_coordinates",
+      (s, d) => {
+        val nk = col("n_nationkey")
+        val latTxt = concat((lit(42) + nk % 8).cast("string"), lit(".25"))
+        val lonTxt = concat((nk % 5).cast("string"), lit(".5"))
+        val coords = when(nk % 2 === 1,
+          concat(lit("["), latTxt, lit(", "), lonTxt, lit("]")))
+          .otherwise(concat(lit("["), lonTxt, lit(", "), latTxt, lit("]")))
+        val raw = Tables.nation(s, d).select(nk.as("nk"), coords.as("coordonneesXY"))
+        graft.sources.GeoWriter.createLonLatCols(
+          graft.sources.GeoWriter.fixCoordinatesOrder(raw))
+          .select(col("nk"), col("coordonneesXY"),
+            col("consolidated_coordinates_reordered").as("reordered"),
+            col("consolidated_longitude").as("lon"),
+            col("consolidated_latitude").as("lat"))
+          .orderBy("nk")
+      },
+      Some {
+        val inFrance = graft.sources.GeoWriter.FranceBboxes
+          .map(b => dPointInPoly("c2", "c1", b)).mkString("(", " OR ", ")")
+        s"""WITH n AS (SELECT n_nationkey AS nk,
+           |    CAST(42 + n_nationkey % 8 AS VARCHAR) || '.25' AS lat_txt,
+           |    CAST(n_nationkey % 5 AS VARCHAR) || '.5' AS lon_txt FROM nation),
+           |raw AS (SELECT nk, CASE WHEN nk % 2 = 1
+           |    THEN '[' || lat_txt || ', ' || lon_txt || ']'
+           |    ELSE '[' || lon_txt || ', ' || lat_txt || ']' END AS coords FROM n),
+           |parsed AS (SELECT nk, coords,
+           |    regexp_extract(coords, '^\\s*\\[\\s*(.+?)\\s*,\\s*(.+?)\\s*\\]\\s*$$', 1) AS t1,
+           |    regexp_extract(coords, '^\\s*\\[\\s*(.+?)\\s*,\\s*(.+?)\\s*\\]\\s*$$', 2) AS t2 FROM raw),
+           |flag AS (SELECT nk, coords, t1, t2,
+           |    CAST(t1 AS DOUBLE) AS c1, CAST(t2 AS DOUBLE) AS c2,
+           |    $inFrance AS reordered FROM parsed)
+           |SELECT nk,
+           |  CASE WHEN reordered THEN '[' || t2 || ', ' || t1 || ']' ELSE coords END
+           |    AS "coordonneesXY",
+           |  reordered,
+           |  CASE WHEN reordered THEN c2 ELSE c1 END AS lon,
+           |  CASE WHEN reordered THEN c1 ELSE c2 END AS lat
+           |FROM flag ORDER BY nk""".stripMargin
       }),
 
     // Geozones closest-exported-parent (`geozones/task_functions.py:149-164`)
