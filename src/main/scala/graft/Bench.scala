@@ -54,14 +54,34 @@ object Bench {
         org.apache.spark.sql.functions.expr("count(1) AS cnt"))
       .orderBy("c_mktsegment")
       .write.format("noop").mode("overwrite").save()
+    // Touch the text/vector tables too: in a RESTRICTED run
+    // (SPARK_GRAFT_ONLY) the alphabetically-first d*/s* query otherwise
+    // absorbs the first documents/embeddings scan + string-kernel codegen
+    // (r6 isolated-run probe: d7 swung 4.8-14.7 s as first-in-set).
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("count(distinct substring(text, 1, 8))").collect()
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("sum(aggregate(embedding, 0d, (a, x) -> a + x))").collect()
     // Local iteration aid: SPARK_GRAFT_ONLY=j2_large_join_agg,j6_join_preagg
     // restricts the run (spread checks, drift isolation). Driver leaves it
     // unset and benches the whole catalog.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // SPARK_GRAFT_WARM=1: run each selected query once UNTIMED first.
+    // Restricted runs (SPARK_GRAFT_ONLY) measure steady state this way —
+    // without it, the first execution absorbs that query's own codegen
+    // JIT, which the full catalog amortizes across neighbors (r6: d7
+    // isolated swung 2.2-14.7 s cold vs tight warm).
+    if (sys.env.get("SPARK_GRAFT_WARM").contains("1"))
+      selected.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        System.gc()
+      }
+    val results = selected
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
