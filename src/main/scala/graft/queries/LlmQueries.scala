@@ -662,6 +662,41 @@ object LlmQueries {
            |ORDER BY removed_id""".stripMargin
       }),
 
+    // d5 at the PRODUCTION parameterization: planes sized for the corpus
+    // (lshPlanesFor(2200, 64) = 6 → bounded bucket occupancy — the r6
+    // scale-probe fix) with recall compensated by 8 OR-amplified tables.
+    // Literal 6/8 so the static oracle replays the exact same planes.
+    Q("d5b_embedding_dedup_scaled",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("vid"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val aug = e.unionByName(e.filter(col("vid") % 10 === 0)
+          .select((col("vid") + 100000).as("vid"),
+            expr("transform(v, x -> x + 0.05d)").as("v")))
+        Similarity.cosineDedupRemoved(aug, threshold = 0.85, nPlanes = 6,
+          dim = Dim, nTables = 8).orderBy("removed_id")
+      },
+      Some {
+        val buckets = (0 until 8).map(t => dBucket("v", 6, Dim, t)).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |          FROM embeddings),
+           |aug AS (SELECT vid, v FROM e
+           |        UNION ALL
+           |        SELECT vid + 100000, list_transform(v, x -> x + 0.05) FROM e
+           |        WHERE vid % 10 = 0),
+           |b AS (SELECT vid, v, $buckets AS bs FROM aug),
+           |x AS (SELECT vid, v, ti, bs[ti] AS bucket
+           |      FROM b, (SELECT unnest(range(1, 9)) AS ti)),
+           |pairs AS (SELECT DISTINCT a.vid AS id1, b.vid AS id2
+           |          FROM x a JOIN x b ON a.ti = b.ti AND a.bucket = b.bucket
+           |          WHERE a.vid < b.vid)
+           |SELECT DISTINCT id2 AS removed_id
+           |FROM pairs JOIN aug p ON pairs.id1 = p.vid JOIN aug q ON pairs.id2 = q.vid
+           |WHERE ${dCos("p.v", "q.v", Dim)} >= 0.85
+           |ORDER BY removed_id""".stripMargin
+      }),
+
     // IVF-style ANN: nearest-centroid cells (deterministic seed centroids),
     // queries probe their 2 nearest cells only.
     Q("s4_ivf_topk",
