@@ -110,10 +110,13 @@ object Bench {
     // the complete artifact goes to a committed repo file, the full line
     // prints first, and a compact headline (total + slowest 20) prints LAST
     // where any tail capture is guaranteed to include it whole.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
-    }
+    // Restricted runs (SPARK_GRAFT_ONLY) are adjudication probes, never the
+    // catalog record — only a full run may overwrite the committed artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+      }
     println(full)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
