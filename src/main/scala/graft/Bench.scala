@@ -76,9 +76,13 @@ object Bench {
     // JIT, which the full catalog amortizes across neighbors (r6: d7
     // isolated swung 2.2-14.7 s cold vs tight warm).
     if (sys.env.get("SPARK_GRAFT_WARM").contains("1"))
-      selected.foreach { case (_, fn) =>
+      selected.foreach { case (name, fn) =>
+        // NonFatal only: a query that dies in warmup will die timed too —
+        // log it as the early signal — and fatal errors (OOM) must escape.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup failed for $name: ${e.getMessage}")
+        }
         System.gc()
       }
     val results = selected

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *  - embeddings: per-dimension multiplicative jitter, small for variants
   *    1..4 (near vectors) and large for 5+ (spread), all hash-derived.
   *
-  * Other tables are hard-linked (fallback: copied) so the output dir is a
-  * drop-in SPARK_GRAFT_SF_DIR.
+  * Other tables are symlinked (fallback: copied recursively — parquet
+  * "files" are directories) so the output dir is a drop-in
+  * SPARK_GRAFT_SF_DIR.
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [mult=10]
   */
@@ -77,12 +78,22 @@ object ScaleGen {
       val to = java.nio.file.Paths.get(s"$out/$t.parquet")
       if (java.nio.file.Files.exists(from) && !java.nio.file.Files.exists(to)) {
         try java.nio.file.Files.createSymbolicLink(to, from)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(from, to)
-        }
+        catch { case _: Exception => copyTree(from, to) }
       }
     }
     println(s"""{"documents": ${docs.count()}, "embeddings": ${embs.count()}, "mult": $mult}""")
     spark.stop()
+  }
+
+  /** Recursive copy: a parquet table path is a DIRECTORY, and a flat
+    * Files.copy would create an empty dir — a silently broken table. */
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    val stream = Files.walk(from)
+    try stream.forEach { (p: Path) =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else Files.copy(p, dest)
+    } finally stream.close()
   }
 }

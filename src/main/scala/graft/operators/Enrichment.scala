@@ -78,10 +78,15 @@ object Enrichment {
       private var first = true
       private var pages = 0
       private var batch: Iterator[String] = Iterator.empty
+      // Cursors an API hands out are bounded in count (one per page), so a
+      // seen-set is O(pages walked); it catches any revisit — A→B→A cycles
+      // included — not just an immediately self-repeating cursor.
+      private val seen = scala.collection.mutable.HashSet.empty[String]
       private def pull(): Unit =
         while (!batch.hasNext && (first || cursor.isDefined) && pages < maxPages) {
           val (items, next) = fetch(cursor)
-          require(!(next.isDefined && next == cursor), s"cursor loop at $cursor")
+          next.foreach(c =>
+            require(seen.add(c), s"cursor cycle: revisited $c after $pages pages"))
           first = false
           pages += 1
           cursor = next

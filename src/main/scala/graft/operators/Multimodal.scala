@@ -144,6 +144,7 @@ object Multimodal {
 
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
+    StructField("sample_idx", IntegerType),
     StructField("frame_idx", IntegerType),
     StructField("offset", LongType),
     StructField("frame_sha", StringType)))
@@ -275,11 +276,19 @@ object Multimodal {
     *  - MJPEG / concatenated JPEG — SOI-marker scan ([[mjpegFrameOffsets]]),
     *    sampled slices decoded, same pixel digest.
     * With n real frames, sample j (0-based) maps to container frame
-    * floor(j·n/k) — frame_idx is the CONTAINER index and offset its true
-    * byte position. True video codecs (and non-media payloads) take the
-    * STUB digest path — md5(payload-sha:idx) with synthetic offsets — so
-    * the operator stays total and externally replayable. */
-  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    * floor(j·n/k) — frame_idx is the CONTAINER index (repeats when n < k)
+    * and offset its true byte position; sample_idx is j, so
+    * (media_id, sample_idx) is ALWAYS a unique key. True video codecs (and
+    * non-media payloads) take the STUB digest path — md5(payload-sha:idx)
+    * with synthetic offsets — so the operator stays total and externally
+    * replayable.
+    *
+    * `forceStub = true` pins EVERY row to the stub path. Oracle-replayed
+    * queries over text payloads (m2) need this guard: without it, a text
+    * that happens to start with a media magic ("GIF8…") and demuxes would
+    * fork Spark onto the pixel-digest path while the SQL oracle replays
+    * the stub formula. */
+  def sampleFrames(media: DataFrame, k: Int, forceStub: Boolean = false): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     media.select("media_id", "media").mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
@@ -288,7 +297,7 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getAs[Long]("media_id")
         val bytes = r.getAs[Array[Byte]]("media")
-        val fmt = sniffImageFormat(bytes)
+        val fmt = if (forceStub) None else sniffImageFormat(bytes)
         val isGif = fmt.contains("gif")
         val offsets =
           if (isGif) gifFrameOffsets(bytes)
@@ -303,14 +312,14 @@ object Multimodal {
               hexLower(md5.digest(
                 s"$payloadSha:$idx".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             }
-            Row(id, idx, offsets(idx), digest)
+            Row(id, j, idx, offsets(idx), digest)
           }
         } else {
           val payloadSha = hexLower(sha.digest(bytes))
           (0 until k).iterator.map { i =>
             val frameSha = hexLower(md5.digest(
               s"$payloadSha:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-            Row(id, i, (i.toLong * bytes.length) / k, frameSha)
+            Row(id, i, i, (i.toLong * bytes.length) / k, frameSha)
           }
         }
       }

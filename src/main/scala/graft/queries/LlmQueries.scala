@@ -1092,16 +1092,20 @@ object LlmQueries {
       (s, d) => {
         val media = graft.operators.Multimodal.fromText(s,
           Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id", "text")
-        graft.operators.Multimodal.sampleFrames(media, 4)
-          .orderBy("media_id", "frame_idx")
+        // forceStub: payloads are document TEXT — the stub formula is what
+        // the SQL oracle replays, and the guard keeps a text that happens
+        // to start with a media magic from forking onto the pixel path.
+        graft.operators.Multimodal.sampleFrames(media, 4, forceStub = true)
+          .orderBy("media_id", "sample_idx")
       },
       Some("""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS psha,
                            octet_length(encode(text)) AS n
                          FROM documents WHERE doc_id % 20 = 0)
-              SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+              SELECT media_id, CAST(i AS INTEGER) AS sample_idx,
+                CAST(i AS INTEGER) AS frame_idx,
                 CAST((i * n) // 4 AS BIGINT) AS "offset",
                 md5(psha || ':' || CAST(i AS VARCHAR)) AS frame_sha
               FROM m, (SELECT unnest(range(0, 4)) AS i)
-              ORDER BY media_id, frame_idx"""))
+              ORDER BY media_id, sample_idx"""))
   )
 }

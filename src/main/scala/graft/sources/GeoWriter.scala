@@ -106,7 +106,11 @@ object GeoWriter {
     * [[graft.functions.PolygonContains]] — all column ops, no UDF. */
   def fixCoordinatesOrder(df: DataFrame, coordsCol: String = "coordonneesXY",
                           bboxes: Seq[Seq[(Double, Double)]] = FranceBboxes): DataFrame = {
-    val parsed = from_json(col(coordsCol), ArrayType(DoubleType))
+    // Let-bind the parsed array ONCE: inlining from_json into every bbox
+    // term would re-parse the JSON 2×bboxes times per row (the multi-stage
+    // let-bind invariant, CLAUDE.md).
+    val parsedCol = "__coords_parsed"
+    val parsed = col(parsedCol)
     // reversed pair = (second, first); Point(x=lon, y=lat) takes x from
     // the reversed head = original second element
     val inFrance = bboxes.map(b => graft.functions.PolygonContains
@@ -115,9 +119,11 @@ object GeoWriter {
     val swapped = concat(lit("["),
       regexp_extract(col(coordsCol), CoordsTokens, 2), lit(", "),
       regexp_extract(col(coordsCol), CoordsTokens, 1), lit("]"))
-    df.withColumn("consolidated_coordinates_reordered", coalesce(inFrance, lit(false)))
+    df.withColumn(parsedCol, from_json(col(coordsCol), ArrayType(DoubleType)))
+      .withColumn("consolidated_coordinates_reordered", coalesce(inFrance, lit(false)))
       .withColumn(coordsCol,
         when(col("consolidated_coordinates_reordered"), swapped).otherwise(col(coordsCol)))
+      .drop(parsedCol)
   }
 
   /** `geo.py:58-66` create_lon_lat_cols: longitude/latitude extracted from
