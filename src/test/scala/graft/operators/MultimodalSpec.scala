@@ -128,20 +128,55 @@ class MultimodalSpec extends SparkSpec {
     offs.foreach(o => assert((gif(o.toInt) & 0xff) == 0x2c, s"offset $o is not 0x2C"))
 
     val media = Seq((1L, gif)).toDF("media_id", "media")
+    // read by NAME, not ordinal — the schema grew a sample_idx column once
+    // already and positional accessors broke silently
     val out = Multimodal.sampleFrames(media, 3)
-      .orderBy("frame_idx").collect()
+      .orderBy("sample_idx").collect()
+    assert(out.map(_.getAs[Int]("sample_idx")).toSeq == Seq(0, 1, 2))
     // k=3 over n=5 frames: container indices floor(j*5/3) = 0, 1, 3
-    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 3), out.mkString("; "))
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 3),
+      out.mkString("; "))
     // true byte offsets from the demux, strictly increasing
-    assert(out.map(_.getLong(2)).toSeq == Seq(offs(0), offs(1), offs(3)))
+    assert(out.map(_.getAs[Long]("offset")).toSeq == Seq(offs(0), offs(1), offs(3)))
     // digests are of DECODED pixels: distinct colors → distinct digests,
     // and none equal the stub's md5(payload-sha:idx) formula
-    val shas = out.map(_.getString(3)).toSeq
+    val shas = out.map(_.getAs[String]("frame_sha")).toSeq
     assert(shas.distinct.size == 3, shas.mkString(", "))
     assert(shas.forall(_.length == 64), "pixel digest is sha-256 hex")
     // deterministic across runs
-    val again = Multimodal.sampleFrames(media, 3).orderBy("frame_idx").collect()
-    assert(again.map(_.getString(3)).toSeq == shas)
+    val again = Multimodal.sampleFrames(media, 3).orderBy("sample_idx").collect()
+    assert(again.map(_.getAs[String]("frame_sha")).toSeq == shas)
+  }
+
+  test("(media_id, sample_idx) stays a unique key when n < k repeats frame_idx") {
+    val gif = animatedGif(Seq(frame(8, 6, 0xff0000), frame(8, 6, 0x0000ff)))
+    val media = Seq((3L, gif)).toDF("media_id", "media")
+    val out = Multimodal.sampleFrames(media, 4).orderBy("sample_idx").collect()
+    // k=4 over n=2 frames: container index floor(j*2/4) repeats — 0,0,1,1
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 0, 1, 1))
+    // …but sample_idx never does: that uniqueness is the column's reason to exist
+    assert(out.map(_.getAs[Int]("sample_idx")).toSeq == Seq(0, 1, 2, 3))
+    val keys = out.map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("sample_idx")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("forceStub pins GIF-sniffing payloads to the replayable stub formula") {
+    // a TEXT payload that happens to start with the GIF magic — without the
+    // guard this would demux (or try to) and fork off the oracle's formula
+    val bytes = "GIF87a — actually just a document that starts this way"
+      .getBytes("UTF-8")
+    assert(Multimodal.sniffImageFormat(bytes).contains("gif"))
+    val media = Seq((11L, bytes)).toDF("media_id", "media")
+    val out = Multimodal.sampleFrames(media, 3, forceStub = true)
+      .orderBy("sample_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getAs[Long]("offset")).toSeq ==
+      (0 until 3).map(i => (i.toLong * bytes.length) / 3))
+    val psha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val want = (0 until 3).map(i => java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$psha:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out.map(_.getAs[String]("frame_sha")).toSeq == want)
   }
 
   test("sampleFrames REALLY demuxes a concatenated-JPEG (MJPEG) stream") {
@@ -153,12 +188,12 @@ class MultimodalSpec extends SparkSpec {
     assert(offs.head == 0L)
 
     val media = Seq((9L, stream)).toDF("media_id", "media")
-    val out = Multimodal.sampleFrames(media, 2).orderBy("frame_idx").collect()
+    val out = Multimodal.sampleFrames(media, 2).orderBy("sample_idx").collect()
     // k=2 over n=4: container indices 0 and 2
-    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2))
-    assert(out.map(_.getLong(2)).toSeq == Seq(offs(0), offs(2)))
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(out.map(_.getAs[Long]("offset")).toSeq == Seq(offs(0), offs(2)))
     // each sampled slice decodes: distinct frame colors → distinct digests
-    val shas = out.map(_.getString(3)).toSeq
+    val shas = out.map(_.getAs[String]("frame_sha")).toSeq
     assert(shas.distinct.size == 2 && shas.forall(_.length == 64))
     // cross-check digest against an independent slice decode
     val slice = java.util.Arrays.copyOfRange(stream, offs(2).toInt, stream.length)
@@ -169,9 +204,9 @@ class MultimodalSpec extends SparkSpec {
   test("non-container payloads keep the replayable stub digest path (m2 oracle)") {
     val bytes = "definitely not media".getBytes("UTF-8")
     val media = Seq((5L, bytes)).toDF("media_id", "media")
-    val out = Multimodal.sampleFrames(media, 4).orderBy("frame_idx").collect()
-    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
-    assert(out.map(_.getLong(2)).toSeq ==
+    val out = Multimodal.sampleFrames(media, 4).orderBy("sample_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getAs[Long]("offset")).toSeq ==
       (0 until 4).map(i => (i.toLong * bytes.length) / 4))
     // digest = md5(sha256-hex(payload) ':' idx) — the exact formula the
     // DuckDB oracle for m2_frame_sample replays
@@ -179,14 +214,14 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     val want0 = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$psha:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(out.head.getString(3) == want0)
+    assert(out.head.getAs[String]("frame_sha") == want0)
   }
 
   test("resizeMedia really rescales image payloads (decode-back check)") {
     val media = Seq((7L, pngBytes(80, 40))).toDF("media_id", "media")
     val out = Multimodal.resizeMedia(media, 32, 32).collect().head
-    assert(out.getInt(1) == 80 && out.getInt(2) == 40)   // source dims
-    assert(out.getInt(3) == 32 && out.getInt(4) == 16)   // fit 32x32, aspect kept
+    assert(out.getAs[Int]("src_width") == 80 && out.getAs[Int]("src_height") == 40)
+    assert(out.getAs[Int]("width") == 32 && out.getAs[Int]("height") == 16) // fit 32x32, aspect kept
     // the resized payload is a real PNG with exactly those dimensions
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("resized")))
