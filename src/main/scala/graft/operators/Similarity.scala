@@ -98,15 +98,38 @@ object Similarity {
     math.max(1, math.min(48, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
-  /** Embedding-cosine near-duplicate removal: multi-table LSH candidate
-    * pairs, cosine-verified at `threshold`, then drop the larger id of
-    * every verified pair (min-id retention). No all-pairs comparison.
-    * Callers at scale MUST size `nPlanes` with [[lshPlanesFor]] — a fixed
-    * plane count makes bucket occupancy (and with it candidate pairs)
-    * grow quadratically in corpus size.
-    */
+  /** Plane count for a concrete corpus frame: one count() job, then
+    * [[lshPlanesFor]]. The count is the price of a scale-safe default —
+    * cheap on parquet-backed frames (footer metadata), one streaming pass
+    * on computed ones — and it is what keeps the default API linear at any
+    * corpus size. Oracle-replaying callers that must inline the plane
+    * literals into generated SQL compute this once and pass it to the
+    * `…Pinned` variants. */
+  def lshPlanesForCorpus(vectors: DataFrame, targetOccupancy: Int = 64): Int =
+    lshPlanesFor(vectors.count(), targetOccupancy)
+
+  /** Embedding-cosine near-duplicate removal — the DEFAULT, scale-safe
+    * entry point: multi-table LSH candidate pairs, cosine-verified at
+    * `threshold`, then drop the larger id of every verified pair (min-id
+    * retention). No all-pairs comparison. The hyperplane count is sized
+    * FROM THE CORPUS ([[lshPlanesForCorpus]]) so bucket occupancy — and
+    * with it candidate-pair volume — stays constant as the corpus grows;
+    * hand-picking a fixed plane count is the measured-quadratic shape
+    * (exponent 1.8 at 10×, PLANS.md r6) and now requires the explicitly
+    * named [[cosineDedupRemovedPinned]]. */
   def cosineDedupRemoved(vectors: DataFrame, threshold: Double,
-                         nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+                         dim: Int, nTables: Int): DataFrame =
+    cosineDedupRemovedPinned(vectors, threshold,
+      lshPlanesForCorpus(vectors), dim, nTables)
+
+  /** Fixed-plane variant of [[cosineDedupRemoved]] — for callers that must
+    * PIN the plane count externally: oracle-replayed queries (the generated
+    * SQL inlines the plane literals, so the count has to be known at
+    * SQL-build time) and probe tooling that sweeps plane counts. At scale
+    * the pinned count MUST come from [[lshPlanesFor]]; a corpus-independent
+    * constant makes candidate pairs grow quadratically. */
+  def cosineDedupRemovedPinned(vectors: DataFrame, threshold: Double,
+                               nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
     val q = vectors.select(col("vid").as("qid"), col("v").as("qvec"))
     val c = vectors.select(col("vid").as("cid"), col("v").as("cvec"))
     // Self-dedup: BOTH sides are the full corpus, so the bucket equi-join
@@ -241,13 +264,24 @@ object Similarity {
     assignStep(e, c).select(col("__vid").as(idCol), col("cid"))
   }
 
-  /** Multi-table LSH approximate top-k (OR-amplification): a candidate is
+  /** Multi-table LSH approximate top-k — the DEFAULT, scale-safe entry
+    * point: planes are sized from the CORPUS ([[lshPlanesForCorpus]]) so
+    * bucket occupancy stays constant as it grows. Recall is
+    * 1-(1-p^nPlanes)^nTables for per-plane agreement p — more tables
+    * compensate for the deeper buckets a bigger corpus gets. Fixed plane
+    * counts (oracle replay, recall sweeps) take [[lshTopKPinned]]. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int, nTables: Int = 8): DataFrame =
+    lshTopKPinned(queries, corpus, k, lshPlanesForCorpus(corpus), dim, nTables)
+
+  /** Fixed-plane variant of [[lshTopK]] (OR-amplification): a candidate is
     * any corpus vector sharing the query's bucket in AT LEAST ONE of the
-    * nTables hash tables — recall 1-(1-p^nPlanes)^nTables for per-plane
-    * agreement p. The shuffle key is (table, bucket); per-pair dedup happens
-    * before scoring so each candidate is scored once. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
-              dim: Int, nTables: Int = 8): DataFrame = {
+    * nTables hash tables. The shuffle key is (table, bucket); per-pair dedup
+    * happens before scoring so each candidate is scored once. Pin the plane
+    * count only when it must be known outside the engine (generated oracle
+    * SQL, probe sweeps) — and size it with [[lshPlanesFor]] at scale. */
+  def lshTopKPinned(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
+                    dim: Int, nTables: Int = 8): DataFrame = {
     val cand = lshTopKCandidates(queries, corpus, nPlanes, dim, nTables)
     val scored = cand.withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))

@@ -604,7 +604,9 @@ object LlmQueries {
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
         val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
-        Similarity.lshTopK(q, c, 1, nPlanes = 4, dim = Dim, nTables = 4)
+        // Pinned plane count: the static oracle SQL below inlines these
+        // exact plane literals, so the count must be fixed at build time.
+        Similarity.lshTopKPinned(q, c, 1, nPlanes = 4, dim = Dim, nTables = 4)
           .orderBy("qid", "rank")
       },
       Some {
@@ -639,7 +641,7 @@ object LlmQueries {
         val aug = e.unionByName(e.filter(col("vid") % 10 === 0)
           .select((col("vid") + 100000).as("vid"),
             expr("transform(v, x -> x + 0.05d)").as("v")))
-        Similarity.cosineDedupRemoved(aug, threshold = 0.85, nPlanes = 4,
+        Similarity.cosineDedupRemovedPinned(aug, threshold = 0.85, nPlanes = 4,
           dim = Dim, nTables = 4).orderBy("removed_id")
       },
       Some {
@@ -674,7 +676,7 @@ object LlmQueries {
         val aug = e.unionByName(e.filter(col("vid") % 10 === 0)
           .select((col("vid") + 100000).as("vid"),
             expr("transform(v, x -> x + 0.05d)").as("v")))
-        Similarity.cosineDedupRemoved(aug, threshold = 0.85, nPlanes = 6,
+        Similarity.cosineDedupRemovedPinned(aug, threshold = 0.85, nPlanes = 6,
           dim = Dim, nTables = 8).orderBy("removed_id")
       },
       Some {

@@ -29,7 +29,7 @@ object D5Probe {
     for ((planes, tables) <- Seq((Similarity.lshPlanesFor(n, 64), 4),
                                  (Similarity.lshPlanesFor(n, 64), 8))) {
       val t0 = System.nanoTime()
-      val removed = Similarity.cosineDedupRemoved(aug, threshold = 0.85,
+      val removed = Similarity.cosineDedupRemovedPinned(aug, threshold = 0.85,
         nPlanes = planes, dim = 64, nTables = tables).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"n": $n, "planes": $planes, "tables": $tables, "removed": $removed, "secs": $secs%.2f}""")

@@ -59,7 +59,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val c = e.select($"vec_id".as("cid"), $"v".as("cvec"))
     val exact = Similarity.bruteForceTopK(q, c, 1)
       .select($"qid", $"cid".as("exact_cid"))
-    val approx = Similarity.lshTopK(q, c, 1, nPlanes = 3, dim = 64, nTables = 8)
+    val approx = Similarity.lshTopKPinned(q, c, 1, nPlanes = 3, dim = 64, nTables = 8)
       .select($"qid", $"cid".as("approx_cid"))
     val hits = exact.join(approx, Seq("qid"))
       .filter($"exact_cid" === $"approx_cid").count()
@@ -73,10 +73,50 @@ class DedupSimilaritySpec extends SparkSpec {
         expr("transform(embedding, x -> cast(x as double))").as("v"))
     val aug = e.unionByName(e.filter($"vid" % 10 === 0)
       .select(($"vid" + 100000).as("vid"), expr("transform(v, x -> x + 0.05d)").as("v")))
-    val removed = Similarity.cosineDedupRemoved(aug, threshold = 0.85,
+    val removed = Similarity.cosineDedupRemovedPinned(aug, threshold = 0.85,
       nPlanes = 4, dim = 64, nTables = 4).as[Long].collect().toSet
     assert(removed.forall(_ >= 100000), s"an original was removed: $removed")
     assert(removed.size >= 45, s"recall too low: ${removed.size}/50 planted dups found")
+  }
+
+  test("default cosineDedupRemoved sizes planes from the corpus (scale-safe path)") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("vid"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val aug = e.unionByName(e.filter($"vid" % 10 === 0)
+      .select(($"vid" + 100000).as("vid"), expr("transform(v, x -> x + 0.05d)").as("v")))
+    // the plane count the default computes is exactly lshPlanesFor(count):
+    // occupancy-constant, so a 10x corpus gets log2(10) ≈ 3-4 more planes
+    // instead of 100x the candidate pairs (the r6 measured quadratic)
+    val n = aug.count()
+    val sized = Similarity.lshPlanesForCorpus(aug)
+    assert(sized == Similarity.lshPlanesFor(n))
+    assert(Similarity.lshPlanesFor(n * 10) - sized >= 3)
+    // the default API is the pinned path at that computed count — same
+    // removals, no hand-picked arity anywhere in the call
+    val byDefault = Similarity.cosineDedupRemoved(aug, threshold = 0.85,
+      dim = 64, nTables = 4).as[Long].collect().toSet
+    val byPinned = Similarity.cosineDedupRemovedPinned(aug, threshold = 0.85,
+      nPlanes = sized, dim = 64, nTables = 4).as[Long].collect().toSet
+    assert(byDefault == byPinned)
+    assert(byDefault.forall(_ >= 100000), "an original was removed")
+    assert(byDefault.size >= 45, s"recall too low: ${byDefault.size}/50")
+  }
+
+  test("default lshTopK sizes planes from the corpus and keeps recall via tables") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"v".as("qvec"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val exact = Similarity.bruteForceTopK(q, c, 1)
+      .select($"qid", $"cid".as("exact_cid"))
+    val approx = Similarity.lshTopK(q, c, 1, dim = 64, nTables = 16)
+      .select($"qid", $"cid".as("approx_cid"))
+    val hits = exact.join(approx, Seq("qid"))
+      .filter($"exact_cid" === $"approx_cid").count()
+    // corpus-sized planes cut per-table recall; 16 OR-amplified tables
+    // compensate — the production tradeoff the default encodes
+    assert(hits >= 20, s"recall@1 too low: $hits/50")
   }
 
   test("ivfTopK returns k probed-cell neighbors per query with valid sims") {
