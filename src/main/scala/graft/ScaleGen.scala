@@ -74,7 +74,9 @@ object ScaleGen {
     val others = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
     for (t <- others) {
-      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      // absolute target: a relative src arg would otherwise make the link
+      // resolve relative to the OUTPUT dir — silently broken table
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet").toAbsolutePath.normalize
       val to = java.nio.file.Paths.get(s"$out/$t.parquet")
       if (java.nio.file.Files.exists(from) && !java.nio.file.Files.exists(to)) {
         try java.nio.file.Files.createSymbolicLink(to, from)
@@ -86,14 +88,32 @@ object ScaleGen {
   }
 
   /** Recursive copy: a parquet table path is a DIRECTORY, and a flat
-    * Files.copy would create an empty dir — a silently broken table. */
+    * Files.copy would create an empty dir — a silently broken table.
+    * Copies into a temp sibling and moves into place on success, so an
+    * interrupted run never leaves a partial table dir that the
+    * !exists(to) guard above would then skip as "done". */
   private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val tmp = to.resolveSibling(to.getFileName.toString + ".__tmp")
+    deleteTree(tmp) // leftover from a previous interrupted run
     val stream = Files.walk(from)
     try stream.forEach { (p: Path) =>
-      val dest = to.resolve(from.relativize(p))
+      val dest = tmp.resolve(from.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(dest)
-      else Files.copy(p, dest)
+      else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
     } finally stream.close()
+    try Files.move(tmp, to, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, to) }
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach((p: java.nio.file.Path) => Files.delete(p))
+      finally stream.close()
+    }
   }
 }
