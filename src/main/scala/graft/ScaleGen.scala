@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   *    the property the probe measures.
   *  - embeddings: per-dimension multiplicative jitter, small for variants
   *    1..4 (near vectors) and large for 5+ (spread), all hash-derived.
+  *  - orders/lineitem: orderkey remapped CONSISTENTLY on both sides
+  *    (key·mult+v) so per-order join fan-out is constant and the j2-family
+  *    join output scales exactly ×mult; customer/part keys stay, so
+  *    per-dimension-key density grows ×mult — the realistic fact-vs-dim
+  *    scale-up. Lineitem prices shift v cents per variant so DISTINCT
+  *    price sets (f18-family) grow with the corpus too.
+  *  - events: event_id remapped (·mult+v), timestamps/users untouched —
+  *    ×mult denser event stream over the same window, which is what a
+  *    10× traffic scale-up looks like to the metrics DAG (mv-family).
   *
-  * Other tables are symlinked (fallback: copied recursively — parquet
+  * Dimension tables are symlinked (fallback: copied recursively — parquet
   * "files" are directories) so the output dir is a drop-in
   * SPARK_GRAFT_SF_DIR.
   *
@@ -70,9 +79,37 @@ object ScaleGen {
     embs.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/embeddings.parquet")
 
-    // remaining tables ride along untouched
-    val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+    // relational facts: orderkey remapped identically on both join sides,
+    // so every scaled order keeps exactly its original lineitems
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+      .crossJoin(broadcast(variants))
+      .withColumn("o_orderkey", col("o_orderkey") * mult + col("__v"))
+      .drop("__v")
+    orders.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/orders.parquet")
+
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+      .crossJoin(broadcast(variants))
+      .withColumn("l_orderkey", col("l_orderkey") * mult + col("__v"))
+      // v-cent shift: distinct price values (quantile-over-distinct
+      // pipelines) grow with the corpus instead of staying 1x-sized
+      .withColumn("l_extendedprice",
+        round(col("l_extendedprice") + col("__v") * lit(0.01), 2))
+      .drop("__v")
+    lineitem.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/lineitem.parquet")
+
+    // events: nanos ride as raw longs (graft.Tables reads them the same way)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+      .crossJoin(broadcast(variants))
+      .withColumn("event_id", col("event_id") * mult + col("__v"))
+      .drop("__v")
+    events.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/events.parquet")
+
+    // dimension tables ride along untouched
+    val others = Seq("region", "nation", "customer", "supplier", "part")
     for (t <- others) {
       // absolute target: a relative src arg would otherwise make the link
       // resolve relative to the OUTPUT dir — silently broken table
@@ -83,7 +120,9 @@ object ScaleGen {
         catch { case _: Exception => copyTree(from, to) }
       }
     }
-    println(s"""{"documents": ${docs.count()}, "embeddings": ${embs.count()}, "mult": $mult}""")
+    println(s"""{"documents": ${docs.count()}, "embeddings": ${embs.count()}, """ +
+      s""""orders": ${orders.count()}, "lineitem": ${lineitem.count()}, """ +
+      s""""events": ${events.count()}, "mult": $mult}""")
     spark.stop()
   }
 
