@@ -275,6 +275,11 @@ object Multimodal {
     *    index, digest = SHA-256 of the decoded pixels;
     *  - MJPEG / concatenated JPEG — SOI-marker scan ([[mjpegFrameOffsets]]),
     *    sampled slices decoded, same pixel digest.
+    * MP4-family containers get a REAL demux but a stub decode: the
+    * [[Mp4]] box walk (moov→trak→mdia→minf→stbl) yields each sample's
+    * true byte offset from stsz/stsc/stco, so frame_idx and offset are
+    * genuine container coordinates; the frame digest takes the stub
+    * formula because the JDK ships no video codec to decode the sample.
     * With n real frames, sample j (0-based) maps to container frame
     * floor(j·n/k) — frame_idx is the CONTAINER index (repeats when n < k)
     * and offset its true byte position; sample_idx is j, so
@@ -299,15 +304,20 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("media")
         val fmt = if (forceStub) None else sniffImageFormat(bytes)
         val isGif = fmt.contains("gif")
-        val offsets =
-          if (isGif) gifFrameOffsets(bytes)
-          else if (fmt.contains("jpeg")) mjpegFrameOffsets(bytes)
-          else Nil
+        // canDecode: only the image-family containers have a JDK codec;
+        // MP4 samples get real offsets but skip the doomed decode attempt
+        val (offsets, canDecode) =
+          if (isGif) (gifFrameOffsets(bytes), true)
+          else if (fmt.contains("jpeg")) (mjpegFrameOffsets(bytes), true)
+          else if (!forceStub && Mp4.isMp4(bytes))
+            (Mp4.sampleTable(bytes).map(_.offsets).getOrElse(Nil), false)
+          else (Nil, false)
         if (offsets.nonEmpty) {
           val n = offsets.size
           (0 until k).iterator.map { j =>
             val idx = (j * n) / k
-            val digest = decodeFrameSha(bytes, isGif, offsets, idx).getOrElse {
+            val digest = (if (canDecode) decodeFrameSha(bytes, isGif, offsets, idx)
+                          else None).getOrElse {
               val payloadSha = hexLower(sha.digest(bytes))
               hexLower(md5.digest(
                 s"$payloadSha:$idx".getBytes(java.nio.charset.StandardCharsets.UTF_8)))

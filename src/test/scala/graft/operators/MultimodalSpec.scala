@@ -217,6 +217,83 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.getAs[String]("frame_sha") == want0)
   }
 
+  /** ISO-BMFF box: [size:u32][type:4cc][payload]. */
+  private def mp4box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+    buf.putInt(8 + body.length)
+    buf.put(typ.getBytes("ISO-8859-1"))
+    buf.put(body)
+    buf.array()
+  }
+  private def u32(vs: Long*): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => buf.putInt(v.toInt))
+    buf.array()
+  }
+
+  /** Minimal playable-shaped MP4: ftyp, mdat with 3 samples in 2 chunks
+    * (sizes 5/7 then 11, with a 2-byte gap between chunks so chunk-2's
+    * offset is NOT chunk-1's end — that distinction is what stco carries),
+    * then moov/trak/mdia/minf/stbl with stsd(avc1)+stts+stsc+stsz+stco. */
+  private def minimalMp4(): (Array[Byte], Seq[Long]) = {
+    val ftyp = mp4box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0),
+      "isom".getBytes("ISO-8859-1"))
+    val samples = Array.tabulate(5 + 7)(i => (0x40 + i).toByte) ++
+      Array[Byte](0x7e, 0x7e) ++ Array.tabulate(11)(i => (0x60 + i).toByte)
+    val mdat = mp4box("mdat", samples)
+    val c1 = ftyp.length + 8L            // first sample of chunk 1
+    val c2 = c1 + 5 + 7 + 2              // chunk 2 skips the 2-byte gap
+    val stsd = mp4box("stsd", u32(0, 1),
+      mp4box("avc1", new Array[Byte](8))) // entry: size+fourcc+opaque body
+    val stts = mp4box("stts", u32(0, 1, 3, 1000))
+    val stsc = mp4box("stsc", u32(0, 2, /*run1*/ 1, 2, 1, /*run2*/ 2, 1, 1))
+    val stsz = mp4box("stsz", u32(0, 0, 3, 5, 7, 11))
+    val stco = mp4box("stco", u32(0, 2, c1, c2))
+    val moov = mp4box("moov", mp4box("trak", mp4box("mdia", mp4box("minf",
+      mp4box("stbl", stsd, stts, stsc, stsz, stco)))))
+    (ftyp ++ mdat ++ moov, Seq(c1, c1 + 5, c2))
+  }
+
+  test("Mp4 box walk yields the true sample offsets, sizes and codec fourcc") {
+    val (mp4, wantOffs) = minimalMp4()
+    assert(Mp4.isMp4(mp4))
+    val track = Mp4.sampleTable(mp4).get
+    assert(track.codec == "avc1")
+    assert(track.sizes == Seq(5L, 7L, 11L))
+    assert(track.offsets == wantOffs)
+    // the offsets really point at the planted sample bytes
+    assert(mp4(wantOffs(0).toInt) == 0x40.toByte)
+    assert(mp4(wantOffs(1).toInt) == 0x45.toByte) // after the 5-byte sample
+    assert(mp4(wantOffs(2).toInt) == 0x60.toByte) // chunk 2, past the gap
+    // truncated containers never throw, they demux to None
+    assert(Mp4.sampleTable(mp4.take(mp4.length - 40)).isEmpty)
+    assert(Mp4.sampleTable(mp4.take(10)).isEmpty)
+    assert(Mp4.sampleTable("ftypnot really".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFrames demuxes MP4 sample offsets; digests stay on the stub path") {
+    val (mp4, offs) = minimalMp4()
+    val media = Seq((21L, mp4)).toDF("media_id", "media")
+    val out = Multimodal.sampleFrames(media, 2).orderBy("sample_idx").collect()
+    // k=2 over n=3 samples: container indices floor(j*3/2) = 0, 1
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1))
+    // REAL byte offsets from the stsz/stsc/stco walk, not i*len/k synthetics
+    assert(out.map(_.getAs[Long]("offset")).toSeq == Seq(offs(0), offs(1)))
+    // no JDK video codec: digest is the replayable stub formula on the
+    // CONTAINER frame index
+    val psha = java.security.MessageDigest.getInstance("SHA-256").digest(mp4)
+      .map("%02x".format(_)).mkString
+    val want = Seq(0, 1).map(i => java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$psha:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out.map(_.getAs[String]("frame_sha")).toSeq == want)
+    // forceStub ignores the container entirely (oracle-parity guard)
+    val stub = Multimodal.sampleFrames(media, 2, forceStub = true)
+      .orderBy("sample_idx").collect()
+    assert(stub.map(_.getAs[Long]("offset")).toSeq ==
+      Seq(0L, mp4.length / 2L))
+  }
+
   test("resizeMedia really rescales image payloads (decode-back check)") {
     val media = Seq((7L, pngBytes(80, 40))).toDF("media_id", "media")
     val out = Multimodal.resizeMedia(media, 32, 32).collect().head
