@@ -133,7 +133,14 @@ object Xls {
     private def boundary(): Unit =
       while (seg < segs.size && pos == segs(seg).len) { seg += 1; pos = 0 }
     def hasMore: Boolean = { boundary(); seg < segs.size }
-    def u8c(): Int = { boundary(); val v = u8(s, segs(seg).off + pos); pos += 1; v }
+    def u8c(): Int = {
+      boundary()
+      // a truncated stream (SST declaring more strings/chars than its
+      // records carry) must fail loudly here, not as an arbitrary
+      // IndexOutOfBounds from whatever bytes follow the last segment
+      require(seg < segs.size, "BIFF: truncated record stream")
+      val v = u8(s, segs(seg).off + pos); pos += 1; v
+    }
     def u16c(): Int = u8c() | (u8c() << 8)
     def i32c(): Int = u16c() | (u16c() << 16)
     def skip(n: Int): Unit = (0 until n).foreach(_ => u8c())
