@@ -1108,6 +1108,32 @@ object LlmQueries {
                 CAST((i * n) // 4 AS BIGINT) AS "offset",
                 md5(psha || ':' || CAST(i AS VARCHAR)) AS frame_sha
               FROM m, (SELECT unnest(range(0, 4)) AS i)
-              ORDER BY media_id, sample_idx"""))
+              ORDER BY media_id, sample_idx""")),
+
+    // ——— Corpus layout ———————————————————————————————————————————————————
+
+    // Partition-pruned corpus layout: land the corpus hive-partitioned by
+    // lang with bounded files per directory (Writers.corpusLayout), then
+    // read it back through a partition-key filter — the scan prunes to 2 of
+    // the 5 lang directories at PLANNING time, before any file opens
+    // (PlanSpec pins PartitionFilters and the file-count bound; this query
+    // pins that the pruned read computes the right answer).
+    Q("layout1_partition_pruned",
+      (s, d) => {
+        val path = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir")),
+          s"graft-layout-${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+        graft.sources.Writers.corpusLayout(
+          Tables.documents(s, d), path, Seq("lang"))
+        s.read.parquet(path)
+          .filter(col("lang").isin("fr", "de"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM documents WHERE lang IN ('fr', 'de')
+              GROUP BY lang, source ORDER BY lang, source"""))
   )
 }

@@ -42,6 +42,25 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** 100 TB corpus layout: hive-partitioned zstd parquet with BOUNDED file
+    * counts. A naive `partitionBy` write lets every upstream task open a
+    * writer for every partition value it sees — tasks × partitions files,
+    * the classic small-files explosion at scale. Repartitioning on
+    * (partition cols, spread) first routes each output directory to exactly
+    * `filesPerPartition` tasks, so the landed layout is
+    * nPartitionValues × filesPerPartition files regardless of upstream
+    * parallelism. Partition-keyed readers then prune whole directories at
+    * PLANNING time (PartitionFilters, before any file is opened) — PlanSpec
+    * pins both the file-count bound and the pruned scan. */
+  def corpusLayout(df: DataFrame, path: String, partitionCols: Seq[String],
+                   filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty, "corpusLayout needs partition columns")
+    val spread = pmod(hash(df.columns.map(col): _*), lit(filesPerPartition))
+    df.repartition((partitionCols.map(col) :+ spread): _*)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** S20/St3: delete-date-then-reload (`dgv/metrics/task.py:199-221`) as
     * dynamic partition overwrite — only the partitions present in `df` are
     * replaced; the rest of the table is untouched. Idempotent day re-runs. */

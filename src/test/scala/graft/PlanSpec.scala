@@ -176,6 +176,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("corpus layout: bounded files per partition dir, scan prunes at planning time") {
+    import graft.sources.Writers
+    val root = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val docs = Tables.documents(spark, sf())
+    Writers.corpusLayout(docs, root, Seq("lang"), filesPerPartition = 2)
+    // file-count bound: exactly filesPerPartition data files per lang dir,
+    // however many tasks wrote the corpus (the anti-small-files contract)
+    val langDirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.length == 5, langDirs.map(_.getName).mkString(", "))
+    langDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 2, s"${dir.getName}: ${files.length} files")
+      assert(files.nonEmpty, s"${dir.getName} is empty")
+    }
+    // planning-time pruning: the lang predicate lands in PartitionFilters
+    // (directory pruning) and is NOT a data filter pushed into the files
+    val pruned = spark.read.parquet(root).filter(col("lang") === "fr")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters:") && p.contains("(lang"),
+      s"lang filter did not become a partition filter:\n${p.take(2000)}")
+    // the scan touches ONLY lang=fr files: 2 of the 10 on disk
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata.get("Location").forall(_.contains(root)))
+    pruned.collect() // populate metrics
+    val numFiles = scans.head.metrics("numFiles").value
+    assert(numFiles <= 2, s"pruned scan read $numFiles files, want <= 2")
+    // and the pruned read is the right answer
+    assert(pruned.count() == docs.filter(col("lang") === "fr").count())
+  }
+
   test("k-means assignment broadcasts the k centroid rows (s5)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())
