@@ -235,6 +235,45 @@ object LlmQueries {
            |${dMinhashPairsCtes("aug", 3, None, 0.5)}
            |SELECT id1, id2, jac FROM pairs ORDER BY id1, id2""".stripMargin)),
 
+    // INCREMENTAL near-dup — the daily-ingest shape: the corpus is indexed
+    // once (minhashBandIndex — the persisted artifact), then a new batch
+    // pairs against the index and within itself WITHOUT recomputing one
+    // corpus signature. Plant: every 10th doc re-arrives near-duplicated
+    // (id+1e6, last two words dropped), every 20th doc TWICE (also id+2e6,
+    // same transform) — so the batch has both cross pairs (vs the corpus)
+    // and within-batch pairs (the two identical variants of one base doc).
+    // Semantics pinned equal to full-corpus LSH restricted to new-doc
+    // pairs (DedupSpec); this oracle replays exactly that restriction.
+    Q("d11_incremental_neardup",
+      (s, d) => {
+        val corpus = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val newBatch = corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), expr(dropTwoSql).as("toks"))
+          .unionByName(corpus.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"), expr(dropTwoSql).as("toks")))
+        val index = Dedup.minhashBandIndex(corpus, "doc_id", "toks",
+          k = 16, bands = 8, w = 3)
+        Dedup.incrementalMinhashPairs(newBatch, index, corpus, "doc_id", "toks",
+            k = 16, bands = 8, threshold = 0.5, w = 3)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val dropTwo = "list_slice(toks, 1, greatest(len(toks) - 2, 0))"
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |newb AS (SELECT doc_id + 1000000 AS doc_id, $dropTwo AS toks
+           |         FROM docs WHERE doc_id % 10 = 0
+           |         UNION ALL
+           |         SELECT doc_id + 2000000 AS doc_id, $dropTwo AS toks
+           |         FROM docs WHERE doc_id % 20 = 0),
+           |allu AS (SELECT doc_id, toks FROM docs UNION ALL SELECT doc_id, toks FROM newb),
+           |${dMinhashPairsCtes("allu", 3, None, 0.5)}
+           |SELECT id1, id2, jac,
+           |  CASE WHEN id1 >= 1000000 AND id2 >= 1000000 THEN 'new' ELSE 'cross' END AS src
+           |FROM pairs WHERE id1 >= 1000000 OR id2 >= 1000000
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
     // Cross-source near-dup overlap matrix — the contamination audit a
     // mixture designer runs before weighting sources: UNBLOCKED LSH pairs
     // over the raw corpus (w=3 shingles, Jaccard >= 0.3 — 2-word shingles

@@ -32,6 +32,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.filter($"jac" < 0.5).count() == 0)
   }
 
+  test("incrementalMinhashPairs == full-corpus LSH restricted to new-doc pairs (d11)") {
+    // the d11 plant: every 10th doc re-arrives near-duplicated, every 20th
+    // twice (two identical variants → within-batch pairs exist too)
+    val dropTwo = expr("slice(toks, 1, greatest(size(toks) - 2, 0))")
+    val newBatch = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), dropTwo.as("toks"))
+      .unionByName(docs.filter($"doc_id" % 20 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"), dropTwo.as("toks")))
+    val index = Dedup.minhashBandIndex(docs, "doc_id", "toks", k = 16, bands = 8, w = 3)
+    val inc = Dedup.incrementalMinhashPairs(newBatch, index, docs,
+      "doc_id", "toks", k = 16, bands = 8, threshold = 0.5, w = 3).cache()
+    // the semantic contract: identical pair set to running the full batch
+    // operator over corpus ∪ batch and keeping pairs that touch a new doc
+    // (id2 is the greater id, so "touches a new doc" ⟺ id2 >= 1e6)
+    val full = Dedup.minhashLshPairs(docs.unionByName(newBatch), "doc_id", "toks",
+        k = 16, bands = 8, threshold = 0.5, w = 3)
+      .filter($"id2" >= 1000000)
+    assert(inc.select("id1", "id2", "jac").exceptAll(
+      full.select("id1", "id2", "jac")).count() == 0)
+    assert(full.select("id1", "id2", "jac").exceptAll(
+      inc.select("id1", "id2", "jac")).count() == 0)
+    // both pair kinds are present and labeled by side
+    val cross = inc.filter($"src" === "cross")
+    val within = inc.filter($"src" === "new")
+    assert(cross.count() > 0 && within.count() > 0)
+    assert(cross.filter($"id1" >= 1000000).count() == 0, "cross id1 is the corpus side")
+    assert(within.filter($"id1" < 1000000).count() == 0)
+    // the two identical variants of each 20th doc pair at jaccard 1.0
+    assert(within.filter($"id2" === $"id1" + 1000000 && $"jac" === 1.0).count() ==
+      docs.filter($"doc_id" % 20 === 0).count())
+    inc.unpersist()
+  }
+
   test("simhash signatures are equal for identical docs and close for near-dups") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "toks")
     val dup = Dedup.simhashSignatures(
