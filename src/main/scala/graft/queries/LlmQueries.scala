@@ -235,6 +235,37 @@ object LlmQueries {
            |${dMinhashPairsCtes("aug", 3, None, 0.5)}
            |SELECT id1, id2, jac FROM pairs ORDER BY id1, id2""".stripMargin)),
 
+    // INCREMENTAL exact dedup — d1 against a persisted content-hash index:
+    // a new batch keeps only never-seen content (anti-join on the index),
+    // collapsed to first occurrence within the batch. Plant: every 5th doc
+    // re-arrives verbatim (dropped by the index), every 4th arrives with
+    // fresh content, every 8th TWICE (within-batch collapse to n_copies=2).
+    Q("d12_incremental_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val newBatch = docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(col("text"), lit(" fresh")).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 8 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              concat(col("text"), lit(" fresh")).as("text")))
+        val index = Dedup.contentHashIndex(docs, "doc_id", "text")
+        Dedup.incrementalExactDedup(newBatch, index, "doc_id", "text")
+          .orderBy("kept_id")
+      },
+      Some("""WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash FROM documents),
+             |newb AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+             |         UNION ALL
+             |         SELECT doc_id + 2000000, text || ' fresh' FROM documents WHERE doc_id % 4 = 0
+             |         UNION ALL
+             |         SELECT doc_id + 3000000, text || ' fresh' FROM documents WHERE doc_id % 8 = 0)
+             |SELECT content_hash, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+             |FROM (SELECT md5(text) AS content_hash, doc_id FROM newb)
+             |WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
+             |GROUP BY content_hash ORDER BY kept_id""".stripMargin)),
+
     // INCREMENTAL near-dup — the daily-ingest shape: the corpus is indexed
     // once (minhashBandIndex — the persisted artifact), then a new batch
     // pairs against the index and within itself WITHOUT recomputing one

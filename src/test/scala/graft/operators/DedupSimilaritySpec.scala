@@ -32,6 +32,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.filter($"jac" < 0.5).count() == 0)
   }
 
+  test("incrementalExactDedup == full exactDedup restricted to new content (d12)") {
+    val texts = Tables.documents(spark, sf()).select("doc_id", "text")
+    val newBatch = texts.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      .unionByName(texts.filter($"doc_id" % 4 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"), concat($"text", lit(" fresh")).as("text")))
+      .unionByName(texts.filter($"doc_id" % 8 === 0)
+        .select(($"doc_id" + 3000000).as("doc_id"), concat($"text", lit(" fresh")).as("text")))
+    val index = Dedup.contentHashIndex(texts, "doc_id", "text")
+    val inc = Dedup.incrementalExactDedup(newBatch, index, "doc_id", "text").cache()
+    // corpus re-sends never survive; fresh content collapses within-batch
+    assert(inc.filter($"kept_id" < 2000000).count() == 0)
+    assert(inc.count() == texts.filter($"doc_id" % 4 === 0).count())
+    assert(inc.filter($"n_copies" === 2).count() ==
+      texts.filter($"doc_id" % 8 === 0).count())
+    // semantic contract: identical to full exactDedup over corpus ∪ batch
+    // restricted to groups whose retained id is a new doc (min id >= 1e6
+    // ⟺ the content never appeared in the corpus)
+    val full = Dedup.exactDedup(texts.unionByName(newBatch), "doc_id", "text")
+      .filter($"kept_id" >= 1000000)
+    assert(inc.select("kept_id", "n_copies")
+      .exceptAll(full.select("kept_id", "n_copies")).count() == 0)
+    assert(full.select("kept_id", "n_copies")
+      .exceptAll(inc.select("kept_id", "n_copies")).count() == 0)
+    inc.unpersist()
+  }
+
   test("incrementalMinhashPairs == full-corpus LSH restricted to new-doc pairs (d11)") {
     // the d11 plant: every 10th doc re-arrives near-duplicated, every 20th
     // twice (two identical variants → within-batch pairs exist too)
