@@ -1139,6 +1139,34 @@ object LlmQueries {
           |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
           |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
+    // Bigram-LM quality score — the perplexity-proxy filter: every doc
+    // scored under the corpus' own bigram LM as the average fixed-point
+    // Laplace-smoothed conditional probability (integers end to end —
+    // ln() is libm-bound and would break engine parity). Zipf-hot bigrams
+    // ride the salted LM join (Relational.saltedJoin).
+    Q("t8_lm_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        graft.operators.LanguageModel.bigramLmScore(docs, "doc_id", "toks")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bi AS (SELECT doc_id,
+             |         unnest(t[1:len(t)-1]) AS w1,
+             |         unnest(t[2:len(t)]) AS w2
+             |       FROM toks WHERE len(t) >= 2),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT w1) AS v FROM bi),
+             |lm AS (SELECT w1, w2, ((c12 + 1) * 1000000) // (c1 + v) AS p
+             |       FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+             |scored AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p) AS s
+             |           FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             |  CAST(s // n_bigrams AS BIGINT) AS lm_score
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level
