@@ -40,7 +40,11 @@ class DedupSimilaritySpec extends SparkSpec {
         .select(($"doc_id" + 2000000).as("doc_id"), concat($"text", lit(" fresh")).as("text")))
       .unionByName(texts.filter($"doc_id" % 8 === 0)
         .select(($"doc_id" + 3000000).as("doc_id"), concat($"text", lit(" fresh")).as("text")))
-    val index = Dedup.contentHashIndex(texts, "doc_id", "text")
+    // persisted-artifact round trip, same as the band index
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-hashidx").toString
+    Dedup.contentHashIndex(texts, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
     val inc = Dedup.incrementalExactDedup(newBatch, index, "doc_id", "text").cache()
     // corpus re-sends never survive; fresh content collapses within-batch
     assert(inc.filter($"kept_id" < 2000000).count() == 0)
@@ -67,7 +71,12 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(($"doc_id" + 1000000).as("doc_id"), dropTwo.as("toks"))
       .unionByName(docs.filter($"doc_id" % 20 === 0)
         .select(($"doc_id" + 2000000).as("doc_id"), dropTwo.as("toks")))
-    val index = Dedup.minhashBandIndex(docs, "doc_id", "toks", k = 16, bands = 8, w = 3)
+    // the index is a PERSISTED artifact: round-trip it through parquet so
+    // the claim is disk-real, not a same-plan shortcut
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    Dedup.minhashBandIndex(docs, "doc_id", "toks", k = 16, bands = 8, w = 3)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
     val inc = Dedup.incrementalMinhashPairs(newBatch, index, docs,
       "doc_id", "toks", k = 16, bands = 8, threshold = 0.5, w = 3).cache()
     // the semantic contract: identical pair set to running the full batch
