@@ -51,14 +51,18 @@ object LanguageModel {
     // bigram. The c12⋈c1 join keys on the history token — its skew is
     // bounded by DISTINCT successors per token (vocab-ish), not
     // occurrences, so it stays un-salted.
+    // NUL-separated key: a space-joined key is ambiguous the moment tokens
+    // themselves contain spaces (word-shingle inputs) — ("a b","c") and
+    // ("a","b c") would collide and double-count
+    val bgKey = concat_ws("\u0000", col("__w1"), col("__w2"))
     val lm = c12.join(c1, "__w1").crossJoin(broadcast(v))
       .withColumn("__p", expr(s"((__c12 + 1L) * ${scale}L) div (__c1 + __v)"))
-      .withColumn("__bg", concat_ws(" ", col("__w1"), col("__w2")))
+      .withColumn("__bg", bgKey)
       .select("__bg", "__p")
     // per-doc bigram multiset, then the salted LM join (occurrence-skewed)
     val perDoc = bi.groupBy(col(idCol), col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__k"))
-      .withColumn("__bg", concat_ws(" ", col("__w1"), col("__w2")))
+      .withColumn("__bg", bgKey)
       .select(col(idCol), col("__bg"), col("__k"))
     // salt from hash(id): type-agnostic and deterministic (a salt never
     // changes results, only the shuffle spread)

@@ -101,7 +101,12 @@ object Mp4 {
       else {
         val fixed = be32(b, s + 4)
         val n = be32(b, s + 8).toInt
-        if (fixed != 0L) Some(Seq.fill(n)(fixed))
+        // every sample occupies >= 1 byte of the container, so a declared
+        // count beyond the file size is corrupt — without this cap a
+        // 100-byte payload declaring 2^31 fixed-size samples would OOM the
+        // executor (the per-sample branch below is bounded by its table)
+        if (n < 0 || n > b.length) None
+        else if (fixed != 0L) Some(Seq.fill(n)(fixed))
         else if (e - s < 12 + 4L * n) None // truncated size table
         else Some((0 until n).map(i => be32(b, s + 12 + 4 * i)))
       }

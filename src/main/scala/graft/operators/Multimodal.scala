@@ -314,11 +314,13 @@ object Multimodal {
           else (Nil, false)
         if (offsets.nonEmpty) {
           val n = offsets.size
+          // one full-payload hash per ROW, not per sample — MP4 payloads
+          // are the largest media and always take the stub digest
+          lazy val payloadSha = hexLower(sha.digest(bytes))
           (0 until k).iterator.map { j =>
             val idx = (j * n) / k
             val digest = (if (canDecode) decodeFrameSha(bytes, isGif, offsets, idx)
                           else None).getOrElse {
-              val payloadSha = hexLower(sha.digest(bytes))
               hexLower(md5.digest(
                 s"$payloadSha:$idx".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             }
