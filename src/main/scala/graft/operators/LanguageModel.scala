@@ -36,13 +36,18 @@ object LanguageModel {
     *         lm_score = floor(sum(k·floor((c12+1)·scale/(c1+V))) / n_bigrams). */
   def bigramLmScore(docs: DataFrame, idCol: String, toksCol: String,
                     scale: Long = 1000000L, nSalts: Int = 8): DataFrame = {
-    val bi = docs.select(col(idCol), explode(expr(
-        s"""if(size($toksCol) < 2, array(),
-           |   transform(sequence(1, size($toksCol) - 1),
-           |     i -> struct(element_at($toksCol, i) as w1,
-           |                 element_at($toksCol, i + 1) as w2)))""".stripMargin))
-        .as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    // slice + arrays_zip, not transform(sequence, λ): this runs per token
+    // of every document, and higher-order functions are CodegenFallback
+    // (a boxed lambda per element) while Slice/ArraysZip are codegen'd —
+    // the hot-kernel invariant (CLAUDE.md). <2-token docs have no bigrams
+    // and are filtered rather than special-cased in the expression.
+    val t = col(toksCol)
+    val bi = docs.filter(size(t) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1))).as("__bg"))
+      .select(col(idCol), col("__bg").getField("0").as("__w1"),
+        col("__bg").getField("1").as("__w2"))
     val c12 = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
     val c1 = bi.groupBy("__w1").agg(count(lit(1)).as("__c1"))
     // history vocabulary size: one scalar row, broadcast into the LM build
