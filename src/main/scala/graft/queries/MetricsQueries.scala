@@ -186,10 +186,36 @@ object MetricsQueries {
       |resources_total AS (
       |  SELECT MIN(__id) AS __id, resource_id, dataset_id,
       |         CAST(SUM(nb_visit) AS BIGINT) AS download_resource
-      |  FROM visits_resources GROUP BY resource_id, dataset_id)""".stripMargin
+      |  FROM visits_resources GROUP BY resource_id, dataset_id),
+      |datasets_total AS (
+      |  SELECT MIN(__id) AS __id, dataset_id,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS visit,
+      |         CAST(SUM(nb_outlink) AS BIGINT) AS outlink,
+      |         CAST(SUM(resource_nb_download) AS BIGINT) AS download_resource
+      |  FROM metrics_datasets GROUP BY dataset_id),
+      |reuses_total AS (
+      |  SELECT MIN(__id) AS __id, reuse_id,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS visit,
+      |         CAST(SUM(nb_outlink) AS BIGINT) AS outlink
+      |  FROM metrics_reuses GROUP BY reuse_id),
+      |dataservices_total AS (
+      |  SELECT MIN(__id) AS __id, dataservice_id,
+      |         CAST(SUM(nb_visit) AS BIGINT) AS visit
+      |  FROM visits_dataservices GROUP BY dataservice_id)""".stripMargin
 
   private def oracle(finalSelect: String): String =
     s"WITH $baseCte,\n$viewsCte\n$finalSelect"
+
+  /** Catalog entry selecting one composed view with a deterministic
+    * unique-tiebreak ORDER BY applied identically on both engines. */
+  private def view(qName: String, viewName: String, order: String*): Q =
+    Q(qName,
+      (s, d) => {
+        val views = MetricsViews.compose(MetricsViews.deriveBase(s, d))
+        views(viewName).orderBy(order.head, order.tail: _*)
+      },
+      Some(oracle(
+        s"SELECT * FROM $viewName ORDER BY ${order.mkString(", ")}")))
 
   val all: Seq[Q] = Seq(
     Q("mv1_metrics_datasets",
@@ -237,5 +263,19 @@ object MetricsQueries {
         views("resources_total").orderBy("resource_id", "dataset_id")
       },
       Some(oracle(
-        "SELECT * FROM resources_total ORDER BY resource_id, dataset_id"))))
+        "SELECT * FROM resources_total ORDER BY resource_id, dataset_id"))),
+
+    view("mv7_metrics_reuses", "metrics_reuses", "date_metric", "reuse_id"),
+    view("mv8_metrics_dataservices", "metrics_dataservices",
+      "date_metric", "dataservice"),
+    view("mv9_reuses_monthly", "reuses", "metric_month", "reuse_id"),
+    view("mv10_organizations_monthly", "organizations",
+      "metric_month", "organization_id"),
+    view("mv11_resources_monthly", "resources",
+      "metric_month", "resource_id", "dataset_id"),
+    view("mv12_dataservices_monthly", "dataservices",
+      "metric_month", "dataservice_id"),
+    view("mv13_datasets_total", "datasets_total", "dataset_id"),
+    view("mv14_reuses_total", "reuses_total", "reuse_id"),
+    view("mv15_dataservices_total", "dataservices_total", "dataservice_id"))
 }
