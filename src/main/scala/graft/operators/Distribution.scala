@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** The reference's price-distribution stage
@@ -39,20 +40,52 @@ object Distribution {
   /** Per-key distribution: repaired bin edges + per-bin counts; keys with
     * fewer than `minSupport` rows keep a null distribution.
     *
-    * Scale note: exact `percentile` holds one buffer of the group's DISTINCT
-    * values. In the reference workload the groups are geographic units
-    * (communes/EPCI/départements — many groups, each bounded), so buffers
-    * stay small at any corpus size; the few-huge-groups shape (like the
-    * 3-flag TPC-H demo) is where exact quantiles stop scaling and
-    * `approx_percentile` or distributed selection takes over. */
+    * Scale note — the quantile envelope is chosen AUTOMATICALLY: exact
+    * `percentile` holds one buffer of the group's DISTINCT values, which is
+    * right for the reference workload (communes/EPCI/départements — many
+    * groups, each bounded) but melts on the few-huge-groups shape. Rather
+    * than leave that to caller discipline, the operator probes the largest
+    * per-key distinct-value count (one O(1)-task-memory count+max pass over
+    * the distinct set, single-long collect) and routes bin-edge computation
+    * to the buffered `percentile` or to [[distributedQuantiles]]'s two-pass
+    * selection (O(1) task memory). The two engines are bit-identical
+    * (DistributedQuantilesSpec), so routing never changes results — only
+    * the memory envelope. The routed path compares keys via their string
+    * cast (injective per column type; NaN keys collapse as groupBy already
+    * does); null keys drop in the edges join on BOTH routes, matching the
+    * reference's inner join-back.
+    *
+    * @param maxBufferedNdv largest per-group distinct-value count the
+    *        buffered percentile may hold (default 1M ≈ tens of MB per
+    *        aggregation buffer); above it the distributed path takes over.
+    */
   def priceDistribution(df: DataFrame, keyCols: Seq[String], valueCol: String,
                         nBins: Int = 10, step: Double = 100.0,
-                        minSupport: Long = 100L): DataFrame = {
-    val qs = (0 to nBins).map(i => i.toDouble / nBins).mkString("array(", ", ", ")")
-    val edges = df.select((keyCols :+ valueCol).map(col): _*).distinct()
-      .groupBy(keyCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $qs)").as("raw_edges"))
-      .withColumn("edges", repairSql("raw_edges", step)).drop("raw_edges")
+                        minSupport: Long = 100L,
+                        maxBufferedNdv: Long = 1000000L): DataFrame = {
+    val dv = df.select((keyCols :+ valueCol).map(col): _*).distinct()
+    val probe = dv.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("ndv"))
+      .agg(max("ndv")).first()
+    val maxNdv = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val probs = (0 to nBins).map(i => i.toDouble / nBins)
+    val joined =
+      if (maxNdv <= maxBufferedNdv) {
+        val arr = probs.mkString("array(", ", ", ")")
+        val edges = dv.groupBy(keyCols.map(col): _*)
+          .agg(expr(s"percentile($valueCol, $arr)").as("raw_edges"))
+          .withColumn("edges", repairSql("raw_edges", step)).drop("raw_edges")
+        df.join(edges, keyCols)
+      } else {
+        val strKeys = keyCols.map(c => s"__k_$c")
+        val edges = distributedQuantileRows(dv, keyCols, valueCol, probs)
+          .withColumn("edges", repairSql("qs", step))
+          .select(keyCols.zip(strKeys).map { case (c, s) => col(c).as(s) } :+
+            col("edges"): _*)
+        val cond = keyCols.zip(strKeys)
+          .map { case (c, s) => col(c).cast("string") === col(s) }
+          .reduce(_ && _)
+        df.join(edges, cond).drop(strKeys: _*)
+      }
     // bucket(v) = #edges (excluding the last) that are <= v, clamped to >= 1
     // — native codegen'd scan, not the CodegenFallback HOF form
     val bucket = graft.functions.BucketIndex.bucketIndex(
@@ -62,7 +95,7 @@ object Distribution {
     // (edges is df's own key set), so count(1) here equals a separate
     // groupBy-count — one scan, one shuffle, and one join cheaper than
     // computing support on its own scan.
-    val counts = df.join(edges, keyCols)
+    val counts = joined
       .withColumn("bucket", bucket)
       .groupBy((keyCols.map(col) :+ col("edges")): _*)
       .agg(count(lit(1)).as("n"),
@@ -123,47 +156,57 @@ object Distribution {
     * @return one row per key: (keyCol: string, n: long, qs: array<double>)
     */
   def distributedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
-                           probs: Seq[Double]): DataFrame = {
+                           probs: Seq[Double]): DataFrame =
+    distributedQuantileRows(df, Seq(keyCol), valueCol, probs)
+
+  /** Multi-key core of [[distributedQuantiles]] (same algorithm, same
+    * bit-parity guarantee); key columns come back string-cast under their
+    * original names. Shared by the auto-routed [[priceDistribution]]. */
+  private[operators] def distributedQuantileRows(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probs must be within [0, 1], got $probs")
     val spark = df.sparkSession
-    import spark.implicits._
+    val nk = keyCols.size
     val base = df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("_1"), col(valueCol).cast("double").as("_2"))
-      .as[(String, Double)]
+      .select(keyCols.map(c => col(c).cast("string").as(c)) :+
+        col(valueCol).cast("double").as("__v"): _*)
+    val ordCols = keyCols.map(col) :+ col("__v")
     val sorted = base
-      .repartitionByRange(col("_1"), col("_2"))
-      .sortWithinPartitions("_1", "_2")
+      .repartitionByRange(ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    def keyOf(r: Row): List[String] = List.tabulate(nk)(r.getString)
     try {
       // pass 1: per-partition per-key counts, in partition order
-      val counts: Array[(Int, String, Long)] = sorted
+      val counts: Array[(Int, List[String], Long)] = sorted
         .mapPartitionsWithIndex { (pid, it) =>
-          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-          var cur: String = null
-          var started = false
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, List[String], Long)]
+          var cur: List[String] = null
           var n = 0L
-          it.foreach { case (k, _) =>
-            if (started && java.util.Objects.equals(cur, k)) n += 1
+          it.foreach { r =>
+            val k = keyOf(r)
+            if (cur != null && cur == k) n += 1
             else {
-              if (started) runs += ((pid, cur, n))
-              cur = k; n = 1L; started = true
+              if (cur != null) runs += ((pid, cur, n))
+              cur = k; n = 1L
             }
           }
-          if (started) runs += ((pid, cur, n))
+          if (cur != null) runs += ((pid, cur, n))
           runs.iterator
         }.collect()
       // driver: totals, target ranks (0-based), per-(pid,key) start offsets
-      val totals: Map[String, Long] =
+      val totals: Map[List[String], Long] =
         counts.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
-      val targets: Map[String, Set[Long]] = totals.map { case (k, n) =>
+      val targets: Map[List[String], Set[Long]] = totals.map { case (k, n) =>
         k -> probs.flatMap { p =>
           val pos = p * (n - 1)
           Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
         }.toSet
       }
-      val offsets: Map[(Int, String), Long] = {
-        val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val offsets: Map[(Int, List[String]), Long] = {
+        val running = scala.collection.mutable.HashMap.empty[List[String], Long]
         counts.sortBy(_._1).map { case (pid, k, n) =>
           val off = running.getOrElse(k, 0L)
           running(k) = off + n
@@ -173,20 +216,21 @@ object Distribution {
       val bcOff = spark.sparkContext.broadcast(offsets)
       val bcTgt = spark.sparkContext.broadcast(targets)
       // pass 2: emit only rows at target ranks
-      val picked: Array[(String, Long, Double)] = sorted
+      val picked: Array[(List[String], Long, Double)] = sorted
         .mapPartitionsWithIndex { (pid, it) =>
           val off = bcOff.value
           val tgt = bcTgt.value
-          var cur: String = null
-          var started = false
+          var cur: List[String] = null
           var idx = 0L
-          it.flatMap { case (k, v) =>
-            if (!started || !java.util.Objects.equals(cur, k)) {
-              cur = k; started = true
+          it.flatMap { r =>
+            val k = keyOf(r)
+            if (cur == null || cur != k) {
+              cur = k
               idx = off.getOrElse((pid, k), 0L)
             }
             val out =
-              if (tgt.getOrElse(k, Set.empty[Long]).contains(idx)) Iterator.single((k, idx, v))
+              if (tgt.getOrElse(k, Set.empty[Long]).contains(idx))
+                Iterator.single((k, idx, r.getDouble(nk)))
               else Iterator.empty
             idx += 1
             out
@@ -206,9 +250,14 @@ object Distribution {
           if (lo == hi || vals(lo) == vals(hi)) vals(lo)
           else (hi - pos) * vals(lo) + (pos - lo) * vals(hi)
         }
-        (k, n, qs)
+        Row.fromSeq(k ++ Seq(n, qs))
       }
-      rows.toDF(keyCol, "n", "qs")
+      val schema = StructType(
+        keyCols.map(StructField(_, StringType, nullable = true)) :+
+        StructField("n", LongType, nullable = false) :+
+        StructField("qs", ArrayType(DoubleType), nullable = true))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
     } finally sorted.unpersist(false)
   }
 }
