@@ -166,22 +166,35 @@ object Xlsx {
     * magic bytes — zip container → XML parse, OLE2 container → BIFF8
     * ([[Xls]]) — so a mixed directory of old and new uploads reads in one
     * pass, like the reference's engine-sniffing consolidation. */
+  /** Header vector of a parsed workbook: absolute sheet positions, gaps
+    * becoming col_N placeholders (so data cells can never shift under the
+    * wrong header). */
+  private def headerOf(rows: Seq[Seq[(Int, String)]]): Seq[String] = {
+    val cells = rows.headOption.getOrElse(Seq.empty).toMap
+    val n = if (cells.isEmpty) 0 else cells.keys.max + 1
+    (0 until n).map(i => cells.get(i).filter(_.nonEmpty).getOrElse(s"col_$i"))
+  }
+
   def read(spark: SparkSession, path: String, sheet: Sheet = Sheet.First): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
-    // header sniff: one file on the driver fixes the schema. Columns keep
-    // their ABSOLUTE sheet positions (a gap in the header row becomes a
-    // col_N placeholder) so data cells can never shift under the wrong
-    // header.
+    // header sniff: one file on the driver fixes the schema; every other
+    // file's header row is then ASSERTED against it at parse time — a
+    // directory mixing layouts fails loudly (naming the odd file) instead
+    // of silently reading its cells under shifted column names.
     val firstBytes = files.select("content").head().getAs[Array[Byte]](0)
-    val headerCells = parseWorkbook(firstBytes, sheet).headOption.getOrElse(Seq.empty).toMap
-    val n = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
-    val header = (0 until n).map(i => headerCells.get(i).filter(_.nonEmpty)
-      .getOrElse(s"col_$i"))
+    val header = headerOf(parseWorkbook(firstBytes, sheet))
+    val n = header.size
     val schema = StructType(header.map(StructField(_, StringType)))
     val enc = RowEncoder.encoderFor(schema)
-    files.select("content").mapPartitions { rows =>
+    files.select("path", "content").mapPartitions { rows =>
       rows.flatMap { r =>
-        parseWorkbook(r.getAs[Array[Byte]](0), sheet).drop(1).map { cells =>
+        val parsed = parseWorkbook(r.getAs[Array[Byte]]("content"), sheet)
+        val h = headerOf(parsed)
+        require(h == header,
+          s"header mismatch in ${r.getAs[String]("path")}: directory schema " +
+            s"is ${header.mkString("[", ", ", "]")} but this file has " +
+            h.mkString("[", ", ", "]"))
+        parsed.drop(1).map { cells =>
           val arr = Array.fill[String](n)(null)
           cells.foreach { case (i, v) => if (i < n) arr(i) = v }
           Row(arr.toIndexedSeq: _*)

@@ -98,6 +98,47 @@ class XlsxSpec extends SparkSpec {
     assert(e.getMessage.contains("Données") && e.getMessage.contains("Résumé"))
   }
 
+  /** Single-sheet workbook of inline strings, header + one data row. */
+  private def inlineXlsx(header: Seq[String], row: Seq[String]): Array[Byte] = {
+    def xmlRow(cells: Seq[String], rn: Int) =
+      s"""<row r="$rn">""" + cells.zipWithIndex.map { case (v, i) =>
+        s"""<c r="${('A' + i).toChar}$rn" t="inlineStr"><is><t>$v</t></is></c>"""
+      }.mkString + "</row>"
+    val sheet = "<worksheet><sheetData>" + xmlRow(header, 1) +
+      xmlRow(row, 2) + "</sheetData></worksheet>"
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheet.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("mixed-header directory fails loudly; agreeing headers union fine") {
+    val dir = Files.createTempDirectory("graft-xlsx-mixed").toString
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val out = new FileOutputStream(s"$dir/$name")
+      out.write(bytes); out.close()
+    }
+    put("a.xlsx", inlineXlsx(Seq("name", "dept"), Seq("Aix", "13")))
+    put("b.xlsx", inlineXlsx(Seq("name", "dept"), Seq("Lyon", "69")))
+    val ok = Xlsx.read(spark, s"$dir/*.xlsx")
+    assert(ok.columns.toSeq == Seq("name", "dept"))
+    assert(ok.as[(String, String)].collect().toSet ==
+      Set(("Aix", "13"), ("Lyon", "69")))
+    // now a third file whose header disagrees: the read must fail naming it,
+    // never silently shift its cells under the sniffed schema
+    put("c.xlsx", inlineXlsx(Seq("name", "city"), Seq("Nice", "06")))
+    val e = intercept[Exception] {
+      Xlsx.read(spark, s"$dir/*.xlsx").collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("header mismatch"), s"got: $messages")
+  }
+
   test("OLE2 magic dispatches to the BIFF8 reader regardless of extension") {
     // a real .xls whose extension LIES: magic wins, it still parses
     val dir = Files.createTempDirectory("graft-xls").toString
