@@ -113,6 +113,12 @@ object ScaleGen {
       .drop("__v")
     events.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/events.parquet")
+    // marker for non-graft readers: this dir's events.ts is plain INT64
+    // nanoseconds, NOT TIMESTAMP(NANOS) like the base dirs — oracle
+    // tooling must not treat a scaled dir as a drop-in for the base one
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_SCALED_TS_NS"),
+      "events.ts is INT64 nanoseconds (scaled dir); base dirs use parquet TIMESTAMP(NANOS)\n")
 
     // dimension tables ride along untouched
     val others = Seq("region", "nation", "customer", "supplier", "part")

@@ -94,6 +94,11 @@ object Mp4 {
       Mp4Track(codec, sampleOffsets(sizes, chunkOffs, stscRuns(b, ss, se)), sizes)
     }
 
+  /** Most samples a track may declare before we call it corrupt — hours of
+    * 60 fps video; anything above it in a payload we hold whole in memory
+    * is adversarial, and the downstream offsets table is O(samples). */
+  private val MaxSamples: Int = 1 << 22
+
   /** stsz payload: version/flags(4) sample_size(4) count(4) [sizes…]. */
   private def stszSizes(b: Array[Byte], ss: Int, se: Int): Option[Seq[Long]] =
     find(b, ss, se, "stsz").flatMap { case (s, e) =>
@@ -102,14 +107,24 @@ object Mp4 {
         val fixed = be32(b, s + 4)
         val n = be32(b, s + 8).toInt
         // every sample occupies >= 1 byte of the container, so a declared
-        // count beyond the file size is corrupt — without this cap a
-        // 100-byte payload declaring 2^31 fixed-size samples would OOM the
-        // executor (the per-sample branch below is bounded by its table)
-        if (n < 0 || n > b.length) None
-        else if (fixed != 0L) Some(Seq.fill(n)(fixed))
+        // count beyond the file size is corrupt; the MaxSamples ceiling
+        // additionally stops a large payload (100 MB declaring 1e8
+        // samples) from allocating sample tables far bigger than itself
+        if (n < 0 || n > b.length || n > MaxSamples) None
+        else if (fixed != 0L) Some(constSeq(n, fixed)) // O(1) space, not fill(n)
         else if (e - s < 12 + 4L * n) None // truncated size table
         else Some((0 until n).map(i => be32(b, s + 12 + 4 * i)))
       }
+    }
+
+  /** n copies of one value without materializing them (the fixed-sample-
+    * size stsz case: carry size + count, compute on access). */
+  private def constSeq(n: Int, v: Long): IndexedSeq[Long] =
+    new scala.collection.immutable.IndexedSeq[Long] {
+      def length: Int = n
+      def apply(i: Int): Long =
+        if (i < 0 || i >= n) throw new IndexOutOfBoundsException(s"$i of $n")
+        else v
     }
 
   /** stco (u32) or co64 (u64) payload: version/flags(4) count(4) [offs…]. */

@@ -1218,9 +1218,12 @@ object LlmQueries {
     // pins that the pruned read computes the right answer).
     Q("layout1_partition_pruned",
       (s, d) => {
+        // pid suffix: two processes over the same dataset (Verify + Bench)
+        // must not overwrite the layout out from under each other's read
         val path = new java.io.File(
           new java.io.File(sys.props("java.io.tmpdir")),
-          s"graft-layout-${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+          s"graft-layout-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+            s"-p${ProcessHandle.current.pid}").toString
         graft.sources.Writers.corpusLayout(
           Tables.documents(s, d), path, Seq("lang"))
         s.read.parquet(path)

@@ -272,6 +272,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4.sampleTable("ftypnot really".getBytes("UTF-8")).isEmpty)
   }
 
+  test("fixed-size stsz demuxes without a table; huge declarations rejected") {
+    val ftyp = mp4box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0),
+      "isom".getBytes("ISO-8859-1"))
+    val mdat = mp4box("mdat", Array.tabulate(15)(i => (0x40 + i).toByte))
+    val c1 = ftyp.length + 8L
+    val stsd = mp4box("stsd", u32(0, 1), mp4box("avc1", new Array[Byte](8)))
+    val stsc = mp4box("stsc", u32(0, 1, 1, 3, 1))
+    val stco = mp4box("stco", u32(0, 1, c1))
+    def moovWith(stsz: Array[Byte]) = mp4box("moov", mp4box("trak",
+      mp4box("mdia", mp4box("minf", mp4box("stbl", stsd, stsc, stsz, stco)))))
+    // sample_size=5, count=3, NO per-sample table — sizes come from the
+    // constant-space sequence, offsets walk normally
+    val fixedOk = ftyp ++ mdat ++ moovWith(mp4box("stsz", u32(0, 5, 3)))
+    val t = Mp4.sampleTable(fixedOk).get
+    assert(t.sizes.toSeq == Seq(5L, 5L, 5L))
+    assert(t.offsets == Seq(c1, c1 + 5, c1 + 10))
+    // adversarial: a 5 MB payload declaring 5M one-byte fixed samples
+    // passes the n <= file-length cap but must hit the MaxSamples ceiling
+    // (demux to None → stub path) instead of allocating 5M-element tables
+    val big = ftyp ++ mp4box("mdat", new Array[Byte](5 * 1024 * 1024)) ++
+      moovWith(mp4box("stsz", u32(0, 1, 5000000)))
+    assert(Mp4.sampleTable(big).isEmpty)
+  }
+
   test("sampleFrames demuxes MP4 sample offsets; digests stay on the stub path") {
     val (mp4, offs) = minimalMp4()
     val media = Seq((21L, mp4)).toDF("media_id", "media")

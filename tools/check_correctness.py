@@ -51,6 +51,9 @@ def rows_canon(cols, rows):
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     only = set(sys.argv[3:])
+    if (sf_dir / "_SCALED_TS_NS").exists():
+        sys.exit(f"{sf_dir} is a ScaleGen dir (events.ts is INT64 ns, not "
+                 "TIMESTAMP_NS) — the DuckDB oracle only replays base dirs")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
