@@ -45,10 +45,12 @@ object Distribution {
     * right for the reference workload (communes/EPCI/départements — many
     * groups, each bounded) but melts on the few-huge-groups shape. Rather
     * than leave that to caller discipline, the operator probes the largest
-    * per-key distinct-value count (one O(1)-task-memory count+max pass over
-    * the distinct set, single-long collect) and routes bin-edge computation
-    * to the buffered `percentile` or to [[distributedQuantiles]]'s two-pass
-    * selection (O(1) task memory). The two engines are bit-identical
+    * per-key distinct-value count (one HyperLogLog pass over the RAW rows —
+    * map-side combinable fixed-size registers, no distinct shuffle — and a
+    * single-long collect; ±5% rsd is plenty for an envelope decision) and
+    * routes bin-edge computation to the buffered `percentile` or to
+    * [[distributedQuantiles]]'s two-pass selection (O(1) task memory). The
+    * two engines are bit-identical
     * (DistributedQuantilesSpec), so routing never changes results — only
     * the memory envelope. The routed path compares keys via their string
     * cast (injective per column type; NaN keys collapse as groupBy already
@@ -64,7 +66,8 @@ object Distribution {
                         minSupport: Long = 100L,
                         maxBufferedNdv: Long = 1000000L): DataFrame = {
     val dv = df.select((keyCols :+ valueCol).map(col): _*).distinct()
-    val probe = dv.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("ndv"))
+    val probe = df.groupBy(keyCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), 0.05).as("ndv"))
       .agg(max("ndv")).first()
     val maxNdv = if (probe.isNullAt(0)) 0L else probe.getLong(0)
     val probs = (0 to nBins).map(i => i.toDouble / nBins)
