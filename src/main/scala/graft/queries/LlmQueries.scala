@@ -266,6 +266,48 @@ object LlmQueries {
              |WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
              |GROUP BY content_hash ORDER BY kept_id""".stripMargin)),
 
+    // INCREMENTAL connected components — d6 against a persisted label
+    // table: new pairs fold into existing cluster labels via a mini-CC
+    // over {new pairs ∪ seed→label contraction edges} plus a relabel of
+    // touched components only; the old edge set is never rescanned.
+    // Plant: decade stars (old) merged into century clusters by the new
+    // pairs, plus brand-new 1e6+ vertices attaching to old components.
+    // The oracle replays plain batch CC over the UNION graph — the
+    // operator's exactness claim (contraction preserves min labels) is
+    // thus engine-vs-engine verified, not just spec-asserted.
+    Q("d13_incremental_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        val oldPairs = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("id1"),
+            (col("doc_id") - col("doc_id") % 10).as("id2"))
+        val newPairs = docs.filter(col("doc_id") % 30 === 0)
+            .select((col("doc_id") - col("doc_id") % 10).as("id1"),
+              (col("doc_id") - col("doc_id") % 100).as("id2"))
+          .unionByName(docs.filter(col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 1000000).as("id1"),
+              col("doc_id").as("id2")))
+        val labels = Dedup.connectedComponents(oldPairs, "id1", "id2")
+        Dedup.incrementalConnectedComponents(labels, newPairs, "id1", "id2")
+          .orderBy("id")
+      },
+      Some(
+        """WITH RECURSIVE
+          |oldp AS (SELECT doc_id AS id1, doc_id - doc_id % 10 AS id2
+          |         FROM documents WHERE doc_id % 3 = 0),
+          |newp AS (SELECT doc_id - doc_id % 10 AS id1, doc_id - doc_id % 100 AS id2
+          |         FROM documents WHERE doc_id % 30 = 0
+          |         UNION ALL
+          |         SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 40 = 0),
+          |allp AS (SELECT * FROM oldp UNION ALL SELECT * FROM newp),
+          |edges AS (SELECT id1 AS a, id2 AS b FROM allp UNION SELECT id2, id1 FROM allp),
+          |reach(id, r) AS (
+          |  SELECT DISTINCT a, a FROM edges
+          |  UNION
+          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+          |ORDER BY id""".stripMargin)),
+
     // INCREMENTAL near-dup — the daily-ingest shape: the corpus is indexed
     // once (minhashBandIndex — the persisted artifact), then a new batch
     // pairs against the index and within itself WITHOUT recomputing one
