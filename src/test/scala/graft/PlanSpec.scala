@@ -209,6 +209,20 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == docs.filter(col("lang") === "fr").count())
   }
 
+  test("incremental CC never shuffles the label table (d13)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val oldPairs = Seq((10L, 12L), (20L, 22L), (30L, 31L)).toDF("id1", "id2")
+    val newPairs = Seq((12L, 22L), (99L, 31L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(oldPairs, "id1", "id2")
+    val out = Dedup.incrementalConnectedComponents(labels, newPairs, "id1", "id2")
+    val p = plan(out)
+    // every label-side join is an explicit broadcast: a SortMergeJoin here
+    // would mean the corpus-sized table got shuffled
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(3000))
+  }
+
   test("k-means assignment broadcasts the k centroid rows (s5)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())
