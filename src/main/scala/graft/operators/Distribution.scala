@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** The reference's price-distribution stage
@@ -28,6 +28,18 @@ object Distribution {
       acc :+ (if (acc.nonEmpty && r <= acc.last) acc.last + step else r)
     }
 
+  /** String form of a key column for the routed-path join: float keys are
+    * +0.0-normalized first (turning -0.0 into 0.0) so raw rows match the
+    * aggregate side, where Catalyst's float normalization already
+    * canonicalized the grouping value. */
+  private def strKey(df: DataFrame, c: String): Column = {
+    val isFloat = df.schema(c).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    (if (isFloat) col(c) + lit(0.0) else col(c)).cast("string")
+  }
+
   /** SQL fold over a bin-edge array column: round each edge to `step`,
     * pushing collisions up one step. */
   private def repairSql(binsCol: String, step: Double): Column = expr(
@@ -40,55 +52,75 @@ object Distribution {
   /** Per-key distribution: repaired bin edges + per-bin counts; keys with
     * fewer than `minSupport` rows keep a null distribution.
     *
-    * Scale note — the quantile envelope is chosen AUTOMATICALLY: exact
-    * `percentile` holds one buffer of the group's DISTINCT values, which is
-    * right for the reference workload (communes/EPCI/départements — many
-    * groups, each bounded) but melts on the few-huge-groups shape. Rather
-    * than leave that to caller discipline, the operator probes the largest
-    * per-key distinct-value count (one HyperLogLog pass over the RAW rows —
-    * map-side combinable fixed-size registers, no distinct shuffle — and a
-    * single-long collect; ±5% rsd is plenty for an envelope decision) and
-    * routes bin-edge computation to the buffered `percentile` or to
-    * [[distributedQuantiles]]'s two-pass selection (O(1) task memory). The
-    * two engines are bit-identical
-    * (DistributedQuantilesSpec), so routing never changes results — only
-    * the memory envelope. The routed path compares keys via their string
-    * cast (injective per column type; NaN keys collapse as groupBy already
-    * does); null keys drop in the edges join on BOTH routes, matching the
-    * reference's inner join-back.
+    * Scale note — the quantile envelope is chosen AUTOMATICALLY and
+    * PER KEY: exact `percentile` holds one buffer of the group's DISTINCT
+    * values, which is right for the reference workload (communes/EPCI/
+    * départements — many groups, each bounded) but melts on huge groups.
+    * Rather than leave that to caller discipline, the operator probes
+    * per-key distinct-value counts (one HyperLogLog pass over the RAW
+    * rows — map-side combinable fixed-size registers, no distinct
+    * shuffle; ±5% rsd is plenty for an envelope decision) and routes ONLY
+    * the keys above the envelope through [[distributedQuantiles]]'s
+    * two-pass selection; everything else keeps the buffered plan. The
+    * huge-key set is tiny by definition, so it broadcasts, and the
+    * selection core's driver-side counts stay bounded by it even on the
+    * mixed millions-of-small-groups-plus-one-huge-group shape. The two
+    * engines are bit-identical (DistributedQuantilesSpec), so routing
+    * never changes results — only the memory envelope. Routed keys join
+    * via their string cast (injective per column type; float keys are
+    * +0.0-normalized first so -0.0 matches the aggregate side; NaN keys
+    * collapse as groupBy already does); all-null-value keys always stay
+    * buffered (their NDV is 0), keeping their null distribution.
     *
     * @param maxBufferedNdv largest per-group distinct-value count the
     *        buffered percentile may hold (default 1M ≈ tens of MB per
-    *        aggregation buffer); above it the distributed path takes over.
+    *        aggregation buffer); above it a key routes to distributed
+    *        selection. `Long.MaxValue` pins all-buffered and skips the
+    *        probe; `<= 0` pins ALL keys distributed (test/debug escape —
+    *        only force it on frames with few keys).
     */
   def priceDistribution(df: DataFrame, keyCols: Seq[String], valueCol: String,
                         nBins: Int = 10, step: Double = 100.0,
                         minSupport: Long = 100L,
                         maxBufferedNdv: Long = 1000000L): DataFrame = {
     val dv = df.select((keyCols :+ valueCol).map(col): _*).distinct()
-    val probe = df.groupBy(keyCols.map(col): _*)
-      .agg(approx_count_distinct(col(valueCol), 0.05).as("ndv"))
-      .agg(max("ndv")).first()
-    val maxNdv = if (probe.isNullAt(0)) 0L else probe.getLong(0)
     val probs = (0 to nBins).map(i => i.toDouble / nBins)
-    val joined =
-      if (maxNdv <= maxBufferedNdv) {
-        val arr = probs.mkString("array(", ", ", ")")
-        val edges = dv.groupBy(keyCols.map(col): _*)
-          .agg(expr(s"percentile($valueCol, $arr)").as("raw_edges"))
-          .withColumn("edges", repairSql("raw_edges", step)).drop("raw_edges")
-        df.join(edges, keyCols)
-      } else {
+    val arr = probs.mkString("array(", ", ", ")")
+    def bufferedEdges(part: DataFrame): DataFrame = part
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $arr)").as("raw_edges"))
+      .withColumn("edges", repairSql("raw_edges", step)).drop("raw_edges")
+    val hugeKeys: Option[DataFrame] =
+      if (maxBufferedNdv == Long.MaxValue) None
+      else if (maxBufferedNdv <= 0L)
+        Some(dv.select(keyCols.map(col): _*).distinct().localCheckpoint(true))
+      else {
+        val hk = df.groupBy(keyCols.map(col): _*)
+          .agg(approx_count_distinct(col(valueCol), 0.05).as("__ndv"))
+          .filter(col("__ndv") > maxBufferedNdv)
+          .select(keyCols.map(col): _*).localCheckpoint(true)
+        if (hk.isEmpty) None else Some(hk)
+      }
+    val joined = hugeKeys match {
+      case None => df.join(bufferedEdges(dv), keyCols)
+      case Some(hk) =>
         val strKeys = keyCols.map(c => s"__k_$c")
-        val edges = distributedQuantileRows(dv, keyCols, valueCol, probs)
+        val edgesD = distributedQuantileRows(
+            dv.join(broadcast(hk), keyCols, "left_semi"),
+            keyCols, valueCol, probs)
           .withColumn("edges", repairSql("qs", step))
           .select(keyCols.zip(strKeys).map { case (c, s) => col(c).as(s) } :+
             col("edges"): _*)
         val cond = keyCols.zip(strKeys)
-          .map { case (c, s) => col(c).cast("string") === col(s) }
+          .map { case (c, s) => strKey(df, c) === col(s) }
           .reduce(_ && _)
-        df.join(edges, cond).drop(strKeys: _*)
-      }
+        val joinedHuge = df.join(broadcast(hk), keyCols, "left_semi")
+          .join(edgesD, cond).drop(strKeys: _*)
+        val joinedSmall = df.join(broadcast(hk), keyCols, "left_anti")
+          .join(bufferedEdges(dv.join(broadcast(hk), keyCols, "left_anti")),
+            keyCols)
+        joinedSmall.unionByName(joinedHuge)
+    }
     // bucket(v) = #edges (excluding the last) that are <= v, clamped to >= 1
     // — native codegen'd scan, not the CodegenFallback HOF form
     val bucket = graft.functions.BucketIndex.bucketIndex(

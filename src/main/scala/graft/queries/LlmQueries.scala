@@ -1261,11 +1261,14 @@ object LlmQueries {
     Q("layout1_partition_pruned",
       (s, d) => {
         // pid suffix: two processes over the same dataset (Verify + Bench)
-        // must not overwrite the layout out from under each other's read
+        // must not overwrite the layout out from under each other's read.
+        // The per-pid tree is deleted at JVM exit so repeated runs don't
+        // accumulate corpus-sized copies in tmpdir.
         val path = new java.io.File(
           new java.io.File(sys.props("java.io.tmpdir")),
           s"graft-layout-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
             s"-p${ProcessHandle.current.pid}").toString
+        graft.sources.Writers.deleteTreeOnExit(path)
         graft.sources.Writers.corpusLayout(
           Tables.documents(s, d), path, Seq("lang"))
         s.read.parquet(path)

@@ -42,6 +42,26 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  private val exitDeletions = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => exitDeletions.keySet().forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }))
+
+  /** Register a scratch directory tree for deletion at JVM exit (each path
+    * once, one shared shutdown hook) — for per-process tmp layouts that
+    * would otherwise accumulate run over run. */
+  def deleteTreeOnExit(path: String): Unit = {
+    exitHook
+    exitDeletions.put(path, true)
+    ()
+  }
+
   /** 100 TB corpus layout: hive-partitioned zstd parquet with BOUNDED file
     * counts. A naive `partitionBy` write lets every upstream task open a
     * writer for every partition value it sees — tasks × partitions files,

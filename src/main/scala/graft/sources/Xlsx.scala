@@ -190,7 +190,9 @@ object Xlsx {
       rows.flatMap { r =>
         val parsed = parseWorkbook(r.getAs[Array[Byte]]("content"), sheet)
         val h = headerOf(parsed)
-        require(h == header,
+        // an empty workbook contributes zero rows — that is not a layout
+        // mismatch (user-upload dirs really contain them)
+        require(parsed.isEmpty || h == header,
           s"header mismatch in ${r.getAs[String]("path")}: directory schema " +
             s"is ${header.mkString("[", ", ", "]")} but this file has " +
             h.mkString("[", ", ", "]"))

@@ -77,8 +77,14 @@ object StreamingContentHashIndex {
   private def rawIndex(spark: SparkSession, indexPath: String): Option[DataFrame] = {
     val p = new Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      Some(spark.read.parquet(indexPath))
+    // hidden/underscore-only content (crashed-write staging, a bare
+    // _SUCCESS from an all-null first batch) is NOT an index — parquet
+    // schema inference would fail on it
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) Some(spark.read.parquet(indexPath))
     else None
   }
 }

@@ -42,6 +42,19 @@ class IncrementalCcSpec extends SparkSpec {
     assert(byId(5L) == 5L && byId(6L) == 5L) // untouched component intact
   }
 
+  test("non-convergence fails loudly instead of returning partial labels") {
+    // a 30-edge path needs ~30 propagation rounds — at maxRounds=3 the
+    // run must throw, never hand back non-min labels that would poison
+    // every incremental/streaming consumer downstream
+    val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id1", "id2", maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val ok = Dedup.connectedComponents(chain, "id1", "id2", maxRounds = 40)
+    assert(ok.select("component").distinct().count() == 1)
+  }
+
   test("chained incremental batches stay identical to one batch run") {
     val oldPairs = Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("id1", "id2")
     val b1 = Seq((11L, 21L)).toDF("id1", "id2")          // merge 10+20

@@ -68,14 +68,30 @@ class StreamingClusterLabelsSpec extends SparkSpec {
     assert(survivors.nonEmpty,
       s"every bucket was rewritten: before=${before.keySet.size} after=${after.keySet.size}")
 
-    // crash window: batch 3 lands, commit lost, replay must be a no-op fold
+    // crash window 1: journal written, apply never ran — store must be
+    // untouched, and the replay folds from the pre-batch state
     val b3 = Seq((0L, 6000L)).toDF("id1", "id2") // merge two big clusters
     b3.write.parquet(s"$in/f3")
     intercept[Exception] {
-      runOnce(_ => throw new RuntimeException("crash after write"))
+      StreamingClusterLabels.run(spark, s"$in/*", b1, "id1", "id2",
+        store, s"$root/ckpt", nBuckets = 16,
+        journalHook = _ => throw new RuntimeException("crash before apply"))
+    }
+    assert(labelSet(streamed()) === labelSet(batchCc(all)))
+    // recovery path: the journal IS complete, so recover() may apply it
+    // even before the stream replays — equivalent end state either way
+    runOnce()
+    val all3 = all.unionByName(b3)
+    assert(labelSet(streamed()) === labelSet(batchCc(all3)))
+
+    // crash window 2: applied but checkpoint commit lost; replay no-op fold
+    val b4 = Seq((7000L, 0L)).toDF("id1", "id2")
+    b4.write.parquet(s"$in/f4")
+    intercept[Exception] {
+      runOnce(_ => throw new RuntimeException("crash after apply"))
     }
     runOnce()
     assert(labelSet(streamed()) ===
-      labelSet(batchCc(all.unionByName(b3))))
+      labelSet(batchCc(all3.unionByName(b4))))
   }
 }
