@@ -33,11 +33,16 @@ object Distribution {
     * aggregate side, where Catalyst's float normalization already
     * canonicalized the grouping value. */
   private def strKey(df: DataFrame, c: String): Column = {
-    val isFloat = df.schema(c).dataType match {
+    val dt = df.schema(c).dataType
+    val isFloat = dt match {
       case DoubleType | FloatType => true
       case _ => false
     }
-    (if (isFloat) col(c) + lit(0.0) else col(c)).cast("string")
+    // Cast back to the column's own type after the +0.0 normalization:
+    // FloatType would otherwise widen to double and render a different
+    // string ("1.100000023841858") than the aggregate side's direct
+    // float cast ("1.1"), silently dropping every routed float key.
+    (if (isFloat) (col(c) + lit(0.0)).cast(dt) else col(c)).cast("string")
   }
 
   /** SQL fold over a bin-edge array column: round each edge to `step`,

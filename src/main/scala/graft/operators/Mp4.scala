@@ -119,8 +119,13 @@ object Mp4 {
 
   /** n copies of one value without materializing them (the fixed-sample-
     * size stsz case: carry size + count, compute on access). */
-  private def constSeq(n: Int, v: Long): IndexedSeq[Long] =
-    new scala.collection.immutable.IndexedSeq[Long] {
+  private def constSeq(n0: Int, v0: Long): IndexedSeq[Long] =
+    new scala.collection.immutable.IndexedSeq[Long] with Serializable {
+      // stable vals (not the enclosing method's params) so Java
+      // serialization — e.g. a track object captured in a closure —
+      // round-trips; the Seq.fill this replaced was serializable too
+      private val n: Int = n0
+      private val v: Long = v0
       def length: Int = n
       def apply(i: Int): Long =
         if (i < 0 || i >= n) throw new IndexOutOfBoundsException(s"$i of $n")

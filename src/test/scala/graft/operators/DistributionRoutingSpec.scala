@@ -89,6 +89,25 @@ class DistributionRoutingSpec extends SparkSpec {
     assert(row.length == 1 && row.head.getAs[Seq[Double]]("edges") == null)
   }
 
+  test("FloatType keys route without dropping rows") {
+    // strKey must not widen float to double before the string cast: the
+    // widened rendering ("1.100000023841858") would never match the
+    // aggregate side's direct float cast ("1.1"), silently dropping every
+    // routed float-keyed row.
+    val floatKeyed = data
+      .withColumn("fk",
+        when($"k" === "g0", lit(1.1f)).otherwise(lit(-0.0f)).cast("float"))
+      .select($"fk", $"v")
+    val buffered = Distribution.priceDistribution(
+      floatKeyed, Seq("fk"), "v", nBins = 4, step = 100.0, minSupport = 10L,
+      maxBufferedNdv = Long.MaxValue)
+    val routed = Distribution.priceDistribution(
+      floatKeyed, Seq("fk"), "v", nBins = 4, step = 100.0, minSupport = 10L,
+      maxBufferedNdv = 1L)
+    assert(rowsOf(routed).nonEmpty)
+    assert(rowsOf(routed) === rowsOf(buffered))
+  }
+
   test("single-key distributedQuantiles keeps its public schema") {
     val out = Distribution.distributedQuantiles(
       data, "k", "v", Seq(0.0, 0.5, 1.0))

@@ -51,7 +51,22 @@ def rows_canon(cols, rows):
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     only = set(sys.argv[3:])
-    if (sf_dir / "_SCALED_TS_NS").exists():
+    def is_scaled_dir():
+        # marker written by current ScaleGen runs; older scaled dirs lack
+        # it, so ALSO detect structurally: base dirs carry events.ts as a
+        # parquet timestamp, ScaleGen rewrites it as a plain INT64 of nanos
+        if (sf_dir / "_SCALED_TS_NS").exists():
+            return True
+        ev = sf_dir / "events.parquet"
+        if ev.exists():
+            try:
+                schema = pq.read_schema(ev)
+                ts = schema.field("ts").type
+                return not str(ts).startswith("timestamp")
+            except Exception:
+                return False
+        return False
+    if is_scaled_dir():
         sys.exit(f"{sf_dir} is a ScaleGen dir (events.ts is INT64 ns, not "
                  "TIMESTAMP_NS) — the DuckDB oracle only replays base dirs")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
