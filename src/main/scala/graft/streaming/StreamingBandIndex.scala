@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.MinhashBands
 
@@ -13,13 +12,13 @@ import graft.functions.MinhashBands
   * index that is already current, with no corpus-wide rebuild anywhere.
   *
   * The stream is STATELESS — band rows are a pure per-row function of the
-  * document (the native [[MinhashBands]] kernel), so there is no
-  * watermark and no state store; exactly-once comes from the file-source
-  * registry plus the file-sink manifest in the checkpoint (a replayed
-  * batch overwrites its own uncommitted files). Band layout and hash
-  * family are the batch operator's own — the index a stream maintains and
-  * the index a batch job builds are row-identical by construction, and
-  * the spec pins that equality.
+  * document (the native [[MinhashBands]] kernel), so there is no watermark
+  * and no state store; exactly-once is [[ExactlyOnce.appendFileSink]]
+  * (protocol 1: the file-source registry plus the file-sink manifest in
+  * the checkpoint — a replayed batch overwrites its own uncommitted
+  * files). Band layout and hash family are the batch operator's own — the
+  * index a stream maintains and the index a batch job builds are
+  * row-identical by construction, and the spec pins that equality.
   */
 object StreamingBandIndex {
 
@@ -31,20 +30,14 @@ object StreamingBandIndex {
     *                     matching `TextOps.tokens` */
   def run(spark: SparkSession, inGlob: String, schemaSource: DataFrame,
           idCol: String, textCol: String, indexPath: String, checkpoint: String,
-          k: Int = 16, bands: Int = 8, w: Int = 3): Unit = {
-    val stream = spark.readStream.schema(schemaSource.schema).parquet(inGlob)
-    val bandRows = stream
-      .withColumn("__sb",
-        MinhashBands.minhashBands(graft.operators.TextOps.tokens(col(textCol)), w, k, bands))
-      .filter(col("__sb").isNotNull)
-      .select(col(idCol), posexplode(col("__sb.bands")).as(Seq("band_idx", "bh")))
-    val q = bandRows.writeStream
-      .format("parquet")
-      .option("path", indexPath)
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+          k: Int = 16, bands: Int = 8, w: Int = 3): Unit =
+    ExactlyOnce.appendFileSink(spark, inGlob, schemaSource, indexPath,
+        checkpoint) { stream =>
+      stream
+        .withColumn("__sb",
+          MinhashBands.minhashBands(
+            graft.operators.TextOps.tokens(col(textCol)), w, k, bands))
+        .filter(col("__sb").isNotNull)
+        .select(col(idCol), posexplode(col("__sb.bands")).as(Seq("band_idx", "bh")))
+    }
 }

@@ -1,11 +1,7 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-
-import graft.sources.Writers
 
 /** Streaming maintenance of the [[graft.operators.Dedup.contentHashIndex]]
   * artifact — the exact-dedup twin of [[StreamingBandIndex]]: ingest
@@ -16,11 +12,10 @@ import graft.sources.Writers
   * Unlike the band index (a pure per-row function, plain file sink), new
   * index rows depend on what is already indexed — so each micro-batch
   * anti-joins its distinct hashes against the index built by every OTHER
-  * batch and lands the survivors via foreachBatch + dynamic partition
-  * overwrite on the batch id (the [[StreamEnrich]] idempotence pattern):
-  * a replayed batch re-reads the same registry files, excludes its own
-  * partition from the anti-join side, and overwrites only that partition —
-  * byte-identical output, exactly once.
+  * batch and lands the survivors via [[ExactlyOnce.landBatchPartition]]
+  * (protocol 2): a replayed batch re-reads the same registry files,
+  * excludes its own partition from the anti-join side, and overwrites only
+  * that partition — byte-identical output, exactly once.
   *
   * Row identity with the batch-built index holds when ids are monotone in
   * arrival order (each content's minimum id arrives in its earliest
@@ -41,10 +36,9 @@ object StreamingContentHashIndex {
     *                     production. */
   def run(spark: SparkSession, inGlob: String, schemaSource: DataFrame,
           idCol: String, textCol: String, indexPath: String, checkpoint: String,
-          batchHook: Long => Unit = _ => ()): Unit = {
-    val stream = spark.readStream.schema(schemaSource.schema).parquet(inGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batchHook: Long => Unit = _ => ()): Unit =
+    ExactlyOnce.drainAvailableNow(spark, inGlob, schemaSource, checkpoint) {
+      (batch, batchId) =>
         val hashed = batch
           .select(md5(col(textCol)).as("content_hash"), col(idCol))
           .filter(col("content_hash").isNotNull)
@@ -58,33 +52,17 @@ object StreamingContentHashIndex {
               Seq("content_hash"), "left_anti")
           case None => hashed
         }
-        Writers.overwritePartitions(
-          fresh.withColumn("batch_id", lit(batchId)), indexPath, Seq("batch_id"))
+        ExactlyOnce.landBatchPartition(fresh, indexPath, batchId)
         batchHook(batchId)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+    }
 
   /** The maintained index in [[graft.operators.Dedup.contentHashIndex]]
     * shape (batch_id stripped); None before the first drain. */
   def indexSoFar(spark: SparkSession, indexPath: String): Option[DataFrame] =
     rawIndex(spark, indexPath).map(_.select("content_hash", "kept_id"))
 
-  private def rawIndex(spark: SparkSession, indexPath: String): Option[DataFrame] = {
-    val p = new Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // hidden/underscore-only content (crashed-write staging, a bare
-    // _SUCCESS from an all-null first batch) is NOT an index — parquet
-    // schema inference would fail on it
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) Some(spark.read.parquet(indexPath))
+  private def rawIndex(spark: SparkSession, indexPath: String): Option[DataFrame] =
+    if (ExactlyOnce.storeNonEmpty(spark, indexPath))
+      Some(spark.read.parquet(indexPath))
     else None
-  }
 }
