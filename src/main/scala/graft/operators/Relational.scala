@@ -88,6 +88,114 @@ object Relational {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** [[sessionize]] for the 100× case where ONE key's history exceeds a
+    * single task: identical semantics (same `session_id` per row), but no
+    * per-key window anywhere — a key's rows may span MANY partitions.
+    *
+    *   1. range-partition + sort by (key, ts, tieBreak): globally ordered,
+    *      spill-safe, each key contiguous ACROSS partitions;
+    *   2. collect each partition's LAST (key, ts) — P rows, broadcast —
+    *      and chain them through empty partitions so every partition knows
+    *      the row preceding its first;
+    *   3. one scan emits per-row session-START flags and a per-partition
+    *      LOCAL per-key prefix count (carry-in from the broadcast makes
+    *      boundary rows exact);
+    *   4. the global id = local prefix + the key's start-count in earlier
+    *      partitions — a (pid, key) aggregate joined back, with the offset
+    *      window running over the (pid, key) SUMMARY frame (≤ P rows per
+    *      key), never the data.
+    *
+    * Cost: one range exchange + one summary aggregate + one equi-join —
+    * all distributed; driver traffic is P rows. `tsCol` must be integral
+    * (cast to long internally), as in the reference's epoch-micros usage.
+    */
+  def sessionizeScalable(df: DataFrame, key: String, tsCol: String,
+                         tieBreak: String, gap: Long): DataFrame = {
+    val (out, cleanup) = sessionizeScalableBuild(df, key, tsCol, tieBreak, gap)
+    // eager checkpoint while the intermediates are still persisted: the
+    // offset join reads its own build twice, and an unpersisted recompute
+    // would re-sample the range partitioner between the two reads
+    try out.localCheckpoint(true) finally cleanup()
+  }
+
+  /** [[sessionizeScalable]] before its materializing checkpoint, for plan
+    * audits; caller must invoke the cleanup thunk after the last action. */
+  private[graft] def sessionizeScalableBuild(
+      df: DataFrame, key: String, tsCol: String, tieBreak: String,
+      gap: Long): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val n = df.schema.size
+    val ki = df.schema.fieldIndex(key)
+    val ordCols = Seq(col(key), col(tsCol).cast("long"), col(tieBreak))
+    val sorted = df
+      .withColumn("__ts", col(tsCol).cast("long"))
+      .repartitionByRange(ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // pass 1: each partition's last (key, ts); chained through empties so
+    // carry(p) = the row immediately before partition p's first row
+    val lasts: Array[(Int, Any, Long)] = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        var last: Row = null
+        it.foreach(r => last = r)
+        if (last == null) Iterator.empty
+        else Iterator.single((pid, last.get(ki), last.getLong(n)))
+      }.collect()
+    val byPid = lasts.map(l => l._1 -> ((l._2, l._3))).toMap
+    val nPart = sorted.getNumPartitions
+    val carry: Map[Int, (Any, Long)] = {
+      var prev: Option[(Any, Long)] = None
+      (0 until nPart).map { p =>
+        val c = p -> prev
+        prev = byPid.get(p).orElse(prev)
+        c
+      }.collect { case (p, Some(v)) => p -> v }.toMap
+    }
+    val bcCarry = spark.sparkContext.broadcast(carry)
+    // pass 2: start flags + local per-key prefix counts
+    val flagged = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var prevKey: Any = null
+      var prevTs = 0L
+      var hasPrev = false
+      bcCarry.value.get(pid).foreach { case (k, t) =>
+        prevKey = k; prevTs = t; hasPrev = true
+      }
+      var local = 0L
+      it.map { r =>
+        val k = r.get(ki)
+        val ts = r.getLong(n)
+        val start = !hasPrev || k != prevKey || ts - prevTs > gap
+        if (k != prevKey || !hasPrev) local = 0L
+        if (start) local += 1
+        prevKey = k; prevTs = ts; hasPrev = true
+        Row.fromSeq(r.toSeq.take(n) :+ Long.box(pid.toLong) :+
+          Long.box(if (start) 1L else 0L) :+ Long.box(local))
+      }
+    }
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("__pid", LongType, nullable = false),
+      StructField("__start", LongType, nullable = false),
+      StructField("__local", LongType, nullable = false)))
+    val fd = spark.createDataFrame(flagged, schema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (pid, key) summary: starts per key per partition; offset = starts
+    // in EARLIER partitions — the window runs over summary rows only
+    val sums = fd.groupBy(col("__pid"), col(key))
+      .agg(sum(col("__start")).as("__nf"))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = sums
+      .withColumn("__off", sum(col("__nf")).over(wOff) - col("__nf"))
+      .select(col("__pid"), col(key), col("__off"))
+    val out = fd.join(offs, Seq("__pid", key))
+      .withColumn("session_id", col("__local") + col("__off"))
+      .drop("__pid", "__start", "__local", "__off")
+    (out, () => { fd.unpersist(false); sorted.unpersist(false); () })
+  }
+
   /** As-of (temporal) join, the Spark-native replacement for the reference's
     * range-batched parcel join with retries
     * (`dvf/geoloc/task_functions.py:272-306`). For every left row, attach

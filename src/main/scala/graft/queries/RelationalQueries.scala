@@ -536,6 +536,30 @@ object RelationalQueries {
                  COUNT(*) AS n_events
                FROM l GROUP BY user_id ORDER BY user_id""")),
 
+    // Same semantics and ORACLE as w1, via the scalable engine: range-
+    // partitioned by (key, ts), per-partition run scan with broadcast
+    // boundary carry, distributed (pid, key) offset join — no per-key
+    // window, so one key's history may span many tasks (the 100× case
+    // where a single key exceeds one task's memory).
+    Q("w1b_sessionize_scalable",
+      (s, d) => {
+        val gapUs = 30L * 60 * 1000000L
+        Relational.sessionizeScalable(EV(s, d), "user_id", "ts_us_long",
+            "event_id", gapUs)
+          .groupBy("user_id")
+          .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some(s"""${evCte},
+               l AS (SELECT user_id, ts_us_long,
+                       lag(ts_us_long) OVER (PARTITION BY user_id ORDER BY ts_us_long, event_id) AS prev
+                     FROM ev)
+               SELECT user_id,
+                 CAST(SUM(CASE WHEN prev IS NULL OR ts_us_long - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sessions,
+                 COUNT(*) AS n_events
+               FROM l GROUP BY user_id ORDER BY user_id""")),
+
     Q("w2_keep_one_priority",
       (s, d) => Relational.dedupKeepFirst(EV(s, d), Seq("user_id"),
           Seq(desc("value"), asc("event_id")))

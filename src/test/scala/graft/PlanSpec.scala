@@ -223,6 +223,27 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(3000))
   }
 
+  test("scalable sessionize has no window over the data rows (w1b)") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"u${i % 3}", i.toLong, i.toLong))
+      .toDF("user", "ts", "id")
+    val (out, cleanup) = Relational.sessionizeScalableBuild(
+      df, "user", "ts", "id", gap = 10L)
+    try {
+      // the only window runs over the (pid, key) SUMMARY aggregate (≤ P
+      // rows per key), never the data: exactly one Window node, its spec
+      // partitioned by the key, and an aggregate in its subtree (printed
+      // below it) — AQE hides the exec nodes pre-execution, so pin on the
+      // printed tree
+      val p = plan(out)
+      assert("Window \\[".r.findAllIn(p).length == 1, p.take(3000))
+      val wIdx = p.indexOf("Window [")
+      assert(p.indexOf("windowspecdefinition(user", wIdx) >= 0, p.take(3000))
+      assert(p.indexOf("HashAggregate", wIdx) >= 0,
+        s"window runs over raw data, not the summary:\n${p.take(3000)}")
+    } finally cleanup()
+  }
+
   test("k-means assignment broadcasts the k centroid rows (s5)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())

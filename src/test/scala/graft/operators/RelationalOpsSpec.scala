@@ -27,6 +27,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.filter($"user" === "v").select("session_id").as[Long].head() == 1L)
   }
 
+  test("sessionizeScalable equals sessionize row-for-row, incl. one giant key") {
+    // one key with 20k rows (spans many range partitions), several small
+    // keys, gaps planted every ~500 rows, shuffled input order
+    val rows = (0 until 20000).map { i =>
+      val ts = i.toLong * 10 + (if (i % 500 == 0) 0 else 0) + (i / 500) * 100000L
+      ("giant", ts, i.toLong)
+    } ++ (0 until 50).flatMap { k =>
+      (0 until 40).map(j => (s"k$k", j.toLong * 7 + (j / 10) * 50000L, 100000L + k * 1000 + j))
+    }
+    val df = rows.toDF("user", "ts", "id").repartition(17)
+    val gap = 1000L
+    val exp = Relational.sessionize(df, "user", "ts", "id", gap)
+      .select("user", "id", "session_id").as[(String, Long, Long)].collect().toSet
+    val got = Relational.sessionizeScalable(df, "user", "ts", "id", gap)
+      .select("user", "id", "session_id").as[(String, Long, Long)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("sessionizeScalable keeps continuation runs across partition boundaries") {
+    // a single key whose rows all continue one session: any boundary
+    // mishandling would split it
+    val df = (0 until 5000).map(i => ("only", i.toLong, i.toLong))
+      .toDF("user", "ts", "id").repartition(13)
+    val out = Relational.sessionizeScalable(df, "user", "ts", "id", gap = 5L)
+    assert(out.select(max("session_id")).as[Long].head() === 1L)
+    assert(out.count() === 5000L)
+  }
+
   test("asOfJoin attaches the latest right row at or before each left ts") {
     val left = Seq((1, 5L, "p5"), (1, 15L, "p15"), (1, 2L, "p2"), (2, 9L, "q9"))
       .toDF("k", "ts", "tag")
