@@ -35,17 +35,27 @@ object DvfStats {
       .filter(col("unit_price").isNotNull)
   }
 
+  /** Stage-4 melt on its own: (echelle, code_geo, month, type, unit_price)
+    * rows for EVERY geographic level at once — one stack projection, so all
+    * scales aggregate in a single downstream shuffle. Shared by
+    * [[multiScaleStats]] and callers that need exact (oracle-parity)
+    * measures over the same melt. */
+  def multiScaleMelt(prepared: DataFrame, levels: Seq[(String, String)],
+                     monthCol: String, typeCol: String): DataFrame = {
+    val stackExpr = levels.map { case (name, c) =>
+      s"'${name.replace("'", "\\'")}', `${c.replace("`", "``")}`"
+    }.mkString(", ")
+    prepared.selectExpr(
+      s"stack(${levels.size}, $stackExpr) as (echelle, code_geo)",
+      s"`$monthCol` as month", s"`$typeCol` as type", "unit_price")
+  }
+
   /** Stages 4–5: melt geography levels then aggregate every scale in one
     * pass; wide per-type columns. */
   def multiScaleStats(prepared: DataFrame, levels: Seq[(String, String)],
                       monthCol: String, typeCol: String,
                       types: Seq[String]): DataFrame = {
-    val stackExpr = levels.map { case (name, c) =>
-      s"'${name.replace("'", "\\'")}', `${c.replace("`", "``")}`"
-    }.mkString(", ")
-    val melted = prepared.selectExpr(
-      s"stack(${levels.size}, $stackExpr) as (echelle, code_geo)",
-      s"`$monthCol` as month", s"`$typeCol` as type", "unit_price")
+    val melted = multiScaleMelt(prepared, levels, monthCol, typeCol)
     val stats = melted.groupBy("echelle", "code_geo", "month", "type")
       .agg(count(lit(1)).as("nb"), round(avg("unit_price"), 2).as("moy"),
         round(median(col("unit_price")), 2).as("med"))

@@ -212,18 +212,87 @@ object ExtraQueries {
             (1 to 10).map(i => col(s"bin_$i"))): _*)
           .orderBy("l_returnflag")
       },
-      Some(f18bOracle))
+      Some(f18bOracle)),
+
+    // ——— DVF §3.1 capstone: the flagship trace end-to-end ———————————
+    // The reference's full spine in ONE gated query (previously only
+    // piecewise via j12/a1/a4/f18): geoloc-style as-of enrichment →
+    // DvfStats.prepare (distinct, monobien, unit price) → the one-shuffle
+    // multi-scale melt with exact per-type measures → per-nation price
+    // distribution (quantile edges + collision repair + histogram) joined
+    // back. Float parity: per-row unit-price division is deterministic on
+    // both engines; aggregated measures run on floor(×100) cents (exact
+    // long sums, exact interpolated median), and the distribution stage is
+    // the f18b-proven exact pattern. The as-of timestamp is a synthetic
+    // total order (day micros + orderkey — unique, deterministic) so the
+    // "latest strictly-earlier order" is well-defined on both engines.
+    Q("dvf1_end_to_end",
+      (s, d) => {
+        import graft.operators.Relational
+        import graft.pipelines.DvfStats
+        val o2 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"),
+          (datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long") * 86400000000L + col("o_orderkey")).as("ts"))
+        val sales = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("sale_id"),
+            col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+          .join(o2, col("sale_id") === col("o_orderkey"))
+          .select(col("sale_id"), col("price"), col("qty"),
+            col("o_custkey").as("cust"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("ts"))
+        // strictly-prior as-of: right ts shifted +1 so the inclusive match
+        // (right.ts <= left.ts) becomes right.ts < left.ts — no self-match
+        val rights = o2.select(col("o_custkey").as("cust"),
+          (col("ts") + 1L).as("ts"), col("o_orderpriority").as("prev_prio"))
+        val enr = Relational.asOfJoin(sales, rights, "cust", "ts", Seq("prev_prio"))
+          .withColumn("type", when(col("asof_prev_prio").isNull, lit("N"))
+            .otherwise(substring(col("asof_prev_prio"), 1, 1)))
+        val geo = enr
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("cust") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select("n_nationkey", "n_name", "n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("sale_id", "price", "qty", "month", "type", "n_name", "r_name")
+        val prepared = DvfStats.prepare(geo, "sale_id", "price", "qty")
+        val melted = DvfStats.multiScaleMelt(prepared,
+            Seq("region" -> "r_name", "nation" -> "n_name"), "month", "type")
+          .withColumn("cents", floor(col("unit_price") * 100).cast("long"))
+        val types = Seq("1", "2", "3", "4", "5", "N")
+        val aggs = Seq(
+          count(lit(1)).as("nb"),
+          median(col("cents").cast("double")).as("med_cents")) ++
+          types.map(t => sum(when(col("type") === t, 1L).otherwise(0L)).as(s"nb_$t")) ++
+          types.map(t => sum(when(col("type") === t, col("cents"))).as(s"sc_$t"))
+        val stats = melted.groupBy("echelle", "code_geo", "month")
+          .agg(aggs.head, aggs.tail: _*)
+        val dist = Distribution.priceDistribution(
+            prepared.select(col("n_name"), col("unit_price")),
+            Seq("n_name"), "unit_price", nBins = 4, step = 100.0,
+            minSupport = 50L)
+          .select(col("n_name").as("code_geo") +: col("n").as("dist_n") +:
+            ((1 to 5).map(i => element_at(col("edges"), i).as(s"e$i")) ++
+              (1 to 4).map(i => col(s"bin_$i").as(s"b$i"))): _*)
+        stats.join(dist, Seq("code_geo"), "left")
+          .orderBy("echelle", "code_geo", "month")
+      },
+      Some(dvf1Oracle))
   )
+
+  // Banker's rounding (Spark rint): half-to-even, not DuckDB's round().
+  private def rintSql(x: String): String =
+    s"(CASE WHEN ($x) - floor($x) = 0.5 THEN " +
+      s"(CASE WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN floor($x) ELSE floor($x) + 1 END) " +
+      s"ELSE floor(($x) + 0.5) END)"
 
   /** DuckDB twin of `Distribution.priceDistribution` (nBins=10, step=100,
     * minSupport=100): quantiles of the DISTINCT set, then the repair fold as
     * a recursive CTE carrying (i, edges, last). */
   private def f18bOracle: String = {
-    // Banker's rounding (Spark rint): half-to-even, not DuckDB's round().
-    def rint(x: String): String =
-      s"(CASE WHEN ($x) - floor($x) = 0.5 THEN " +
-        s"(CASE WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN floor($x) ELSE floor($x) + 1 END) " +
-        s"ELSE floor(($x) + 0.5) END)"
+    def rint(x: String): String = rintSql(x)
     val r = s"(${rint("raw_edges[i + 1] / 100.0")} * 100.0)"
     val v = s"(CASE WHEN last IS NOT NULL AND $r <= last THEN last + 100.0 ELSE $r END)"
     val binCols = (1 to 10).map(i =>
@@ -256,5 +325,80 @@ object ExtraQueries {
        |FROM support s JOIN repaired r USING (l_returnflag)
        |JOIN counts c USING (l_returnflag)
        |ORDER BY s.l_returnflag""".stripMargin
+  }
+
+  /** DuckDB twin of the dvf1 capstone: the same spine as a WITH chain —
+    * as-of enrichment (DuckDB's native ASOF LEFT JOIN), DISTINCT +
+    * monobien + unit price, the two-scale melt as a UNION ALL, exact cents
+    * measures, and the f18b-pattern distribution (nBins=4, step=100,
+    * minSupport=50) keyed by nation. */
+  private def dvf1Oracle: String = {
+    val tsO = "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))" +
+      "::BIGINT * 86400000000 + o_orderkey"
+    val types = Seq("1", "2", "3", "4", "5", "N")
+    val nbCols = types.map(t =>
+      s"CAST(SUM(CASE WHEN type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS nb_$t").mkString(", ")
+    val scCols = types.map(t =>
+      s"CAST(SUM(CASE WHEN type = '$t' THEN cents END) AS BIGINT) AS sc_$t").mkString(", ")
+    val r = s"(${rintSql("raw_edges[i + 1] / 100.0")} * 100.0)"
+    val v = s"(CASE WHEN last IS NOT NULL AND $r <= last THEN last + 100.0 ELSE $r END)"
+    val binCols = (1 to 4).map(i =>
+      s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS b$i").mkString(", ")
+    val eOut = (1 to 5).map(i =>
+      s"CASE WHEN su.n >= 50 THEN rp.edges[$i] END AS e$i").mkString(", ")
+    val bOut = (1 to 4).map(i =>
+      s"CASE WHEN su.n >= 50 THEN ct.b$i END AS b$i").mkString(", ")
+    s"""WITH RECURSIVE
+       |o2 AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+       |         o_orderpriority, $tsO AS ts FROM orders),
+       |sales AS (SELECT l.l_orderkey AS sale_id, l.l_extendedprice AS price,
+       |            l.l_quantity AS qty, o2.o_custkey AS cust,
+       |            strftime(o2.od, '%Y-%m') AS month, o2.ts
+       |          FROM lineitem l JOIN o2 ON l.l_orderkey = o2.o_orderkey),
+       |rights AS (SELECT o_custkey AS cust, ts + 1 AS rts,
+       |             o_orderpriority AS prev_prio FROM o2),
+       |enr AS (SELECT s.*, CASE WHEN r.prev_prio IS NULL THEN 'N'
+       |                         ELSE substring(r.prev_prio, 1, 1) END AS type
+       |        FROM sales s ASOF LEFT JOIN rights r
+       |          ON s.cust = r.cust AND s.ts >= r.rts),
+       |geo AS (SELECT DISTINCT e.sale_id, e.price, e.qty, e.month, e.type,
+       |          n.n_name, rg.r_name
+       |        FROM enr e JOIN customer c ON e.cust = c.c_custkey
+       |        JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |        JOIN region rg ON n.n_regionkey = rg.r_regionkey),
+       |mono AS (SELECT sale_id FROM geo GROUP BY sale_id HAVING COUNT(*) = 1),
+       |prep AS (SELECT g.*, g.price / g.qty AS unit_price
+       |         FROM geo g JOIN mono USING (sale_id)),
+       |melted AS (SELECT 'region' AS echelle, r_name AS code_geo, month, type,
+       |             CAST(floor(unit_price * 100) AS BIGINT) AS cents FROM prep
+       |           UNION ALL
+       |           SELECT 'nation', n_name, month, type,
+       |             CAST(floor(unit_price * 100) AS BIGINT) FROM prep),
+       |stats AS (SELECT echelle, code_geo, month, COUNT(*) AS nb,
+       |            median(CAST(cents AS DOUBLE)) AS med_cents, $nbCols, $scCols
+       |          FROM melted GROUP BY echelle, code_geo, month),
+       |dv AS (SELECT DISTINCT n_name, unit_price FROM prep),
+       |edges0 AS (SELECT n_name,
+       |             quantile_cont(unit_price, [0.0,0.25,0.5,0.75,1.0]) AS raw_edges
+       |           FROM dv GROUP BY n_name),
+       |rep AS (SELECT n_name, raw_edges, 0 AS i, CAST([] AS DOUBLE[]) AS edges,
+       |          CAST(NULL AS DOUBLE) AS last
+       |        FROM edges0
+       |        UNION ALL
+       |        SELECT n_name, raw_edges, i + 1, edges || [$v], $v
+       |        FROM rep WHERE i < 5),
+       |repaired AS (SELECT n_name, edges FROM rep WHERE i = 5),
+       |support AS (SELECT n_name, COUNT(*) AS n FROM prep GROUP BY n_name),
+       |bucketed AS (SELECT p.n_name,
+       |               greatest(len(list_filter(rp.edges[1:4], x -> x <= p.unit_price)), 1) AS bucket
+       |             FROM prep p JOIN repaired rp USING (n_name)),
+       |counts AS (SELECT n_name, $binCols FROM bucketed GROUP BY n_name),
+       |dist AS (SELECT su.n_name AS code_geo, su.n AS dist_n, $eOut, $bOut
+       |         FROM support su JOIN repaired rp USING (n_name)
+       |         JOIN counts ct USING (n_name))
+       |SELECT st.*, d.dist_n, d.e1, d.e2, d.e3, d.e4, d.e5,
+       |       d.b1, d.b2, d.b3, d.b4
+       |FROM stats st LEFT JOIN dist d USING (code_geo)
+       |ORDER BY st.echelle, st.code_geo, st.month""".stripMargin
   }
 }
