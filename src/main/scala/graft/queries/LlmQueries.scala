@@ -1269,6 +1269,40 @@ object LlmQueries {
               FROM m, (SELECT unnest(range(0, 4)) AS i)
               ORDER BY media_id, sample_idx""")),
 
+    // REAL audio decode: WAV/RIFF PCM is decodable in pure JVM, so unlike
+    // the MP4 pixel path nothing is stubbed — the operator walks RIFF
+    // chunks, validates fmt, decodes 16-bit PCM, and computes per-clip
+    // features distributively. The corpus is synthesized as REAL WAV
+    // containers whose samples follow a pure-integer formula, so the
+    // oracle replays the FEATURES in closed form while Spark exercises
+    // the full byte-level parse+decode (a parser bug = hash mismatch).
+    Q("m3_wav_features",
+      (s, d) => {
+        val media = graft.operators.Audio.synthCorpus(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0), "doc_id")
+        graft.operators.Audio.wavFeatures(media, "media_id", "audio")
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, 800 + doc_id % 400 AS n,
+             |            8000 + (doc_id % 4) * 8000 AS rate
+             |          FROM documents WHERE doc_id % 10 = 0),
+             |e AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM p),
+             |s AS (SELECT doc_id, n, rate, i,
+             |        ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS s,
+             |        CASE WHEN i > 0 THEN
+             |          ((doc_id * 2654435761 + (i - 1) * 40503) % 65536) - 32768
+             |        END AS sp
+             |      FROM e)
+             |SELECT doc_id AS media_id, CAST(MIN(rate) AS INTEGER) AS sample_rate,
+             |  1 AS channels, COUNT(*) AS n_samples,
+             |  CAST(MIN(n) * 1000000 // MIN(rate) AS BIGINT) AS duration_us,
+             |  CAST(MAX(abs(s)) AS BIGINT) AS peak,
+             |  CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_crossings,
+             |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+             |  sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+             |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
     // ——— Corpus layout ———————————————————————————————————————————————————
 
     // Partition-pruned corpus layout: land the corpus hive-partitioned by

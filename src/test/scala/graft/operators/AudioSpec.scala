@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SparkSpec
+
+/** The WAV path must be a REAL decoder: container quirks (extra chunks,
+  * odd-size padding, stereo interleave) decode correctly, malformed bytes
+  * are rejected not mis-read, and the synth corpus round-trips through the
+  * byte level back to its closed-form samples. */
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synth WAV round-trips: bytes -> decode == the closed-form samples") {
+    val id = 12345L
+    val n = Audio.synthLen(id)
+    val expect = Array.tabulate(n)(i => Audio.synthSample(id, i.toLong))
+    val bytes = Audio.wavBytes(expect.map(_.toShort), Audio.synthRate(id))
+    val Some((rate, channels, samples)) = Audio.decodeWav(bytes)
+    assert(rate === Audio.synthRate(id) && channels === 1)
+    assert(samples.map(_.toInt).toSeq === expect.toSeq)
+  }
+
+  test("chunk walk skips unknown chunks and honors odd-size padding") {
+    // RIFF with a 3-byte (odd) junk chunk BEFORE fmt/data: a walker that
+    // forgets the pad byte lands mid-chunk and must not parse this
+    val samples = Array[Short](100, -200, 300)
+    val base = Audio.wavBytes(samples, 8000)
+    val junk = ByteBuffer.allocate(8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      .put("JUNK".getBytes("ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3 bytes + 1 pad
+      .array()
+    val spliced = ByteBuffer.allocate(base.length + junk.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, 12).put(junk).put(base, 12, base.length - 12).array()
+    // fix the RIFF size field
+    ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val Some((rate, channels, out)) = Audio.decodeWav(spliced)
+    assert(rate === 8000 && channels === 1)
+    assert(out.toSeq === samples.toSeq)
+  }
+
+  test("stereo interleave decodes all samples; duration uses frame count") {
+    val samples = Array[Short](1, -1, 2, -2, 3, -3) // 3 frames of L/R
+    val bytes = Audio.wavBytes(samples, 48000, channels = 2)
+    val Some((rate, channels, out)) = Audio.decodeWav(bytes)
+    assert(rate === 48000 && channels === 2 && out.length === 6)
+    val media = Seq((7L, bytes)).toDF("media_id", "audio")
+    val row = Audio.wavFeatures(media, "media_id", "audio").collect().head
+    assert(row.getAs[Long]("n_samples") === 6L)
+    // 3 frames at 48 kHz = 62 us (floor)
+    assert(row.getAs[Long]("duration_us") === 6L * 1000000L / (48000L * 2L))
+  }
+
+  test("malformed payloads reject instead of mis-reading") {
+    assert(Audio.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Audio.decodeWav("RIFFxxxxWAVE".getBytes("ASCII")).isEmpty) // no chunks
+    val good = Audio.wavBytes(Array[Short](1, 2, 3), 8000)
+    assert(Audio.decodeWav(good.take(30)).isEmpty) // truncated mid-fmt
+    val badBits = good.clone()
+    badBits(34) = 8 // bits-per-sample 8: not the PCM16 this decoder claims
+    assert(Audio.decodeWav(badBits).isEmpty)
+    // features: undecodable row keeps its id with null features
+    val media = Seq((1L, good.take(30)), (2L, good)).toDF("media_id", "audio")
+    val rows = Audio.wavFeatures(media, "media_id", "audio")
+      .orderBy("media_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("n_samples")))
+    assert(rows(1).getAs[Long]("n_samples") === 3L)
+  }
+}
