@@ -98,8 +98,12 @@ object Bench {
         .selectExpr("r_regionkey", "upper(r_name) AS n")
         .orderBy("r_regionkey")
         .write.format("noop").mode("overwrite").save()
+      // elapsed captured BEFORE the gc: timed catalog queries exclude their
+      // inter-query gc, so the floor must too, or it overstates the very
+      // harness cost it normalizes
+      val dt = (System.nanoTime() - t0) / 1e9
       System.gc()
-      (System.nanoTime() - t0) / 1e9
+      dt
     }.sorted
     val floor = floorTimes(floorTimes.size / 2)
     System.err.println(f"[bench] floor (median of 15)          $floor%8.2f s")

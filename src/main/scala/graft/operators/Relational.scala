@@ -135,19 +135,33 @@ object Relational {
       .repartitionByRange(ordCols: _*)
       .sortWithinPartitions(ordCols: _*)
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // key equality matching what Window.partitionBy groups together:
+    // binary keys by VALUE (Array[Byte].equals is reference identity),
+    // NaN equal to itself, -0.0 == 0.0 (primitive compare)
+    def keyEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+      case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
+      case _ => a == b
+    }
     // pass 1: each partition's last (key, ts); chained through empties so
-    // carry(p) = the row immediately before partition p's first row
-    val lasts: Array[(Int, Any, Long)] = sorted
+    // carry(p) = the row immediately before partition p's first row. ts is
+    // boxed: null timestamps are legal (they sort first within the key,
+    // like the window's nulls-first order) and each starts a session,
+    // matching sessionize's lag(null) branch.
+    val lasts: Array[(Int, Any, java.lang.Long)] = sorted
       .mapPartitionsWithIndex { (pid, it) =>
         var last: Row = null
         it.foreach(r => last = r)
         if (last == null) Iterator.empty
-        else Iterator.single((pid, last.get(ki), last.getLong(n)))
+        else Iterator.single((pid, last.get(ki),
+          if (last.isNullAt(n)) null: java.lang.Long
+          else Long.box(last.getLong(n))))
       }.collect()
     val byPid = lasts.map(l => l._1 -> ((l._2, l._3))).toMap
     val nPart = sorted.getNumPartitions
-    val carry: Map[Int, (Any, Long)] = {
-      var prev: Option[(Any, Long)] = None
+    val carry: Map[Int, (Any, java.lang.Long)] = {
+      var prev: Option[(Any, java.lang.Long)] = None
       (0 until nPart).map { p =>
         val c = p -> prev
         prev = byPid.get(p).orElse(prev)
@@ -158,7 +172,7 @@ object Relational {
     // pass 2: start flags + local per-key prefix counts
     val flagged = sorted.mapPartitionsWithIndex { (pid, it) =>
       var prevKey: Any = null
-      var prevTs = 0L
+      var prevTs: java.lang.Long = null
       var hasPrev = false
       bcCarry.value.get(pid).foreach { case (k, t) =>
         prevKey = k; prevTs = t; hasPrev = true
@@ -166,9 +180,14 @@ object Relational {
       var local = 0L
       it.map { r =>
         val k = r.get(ki)
-        val ts = r.getLong(n)
-        val start = !hasPrev || k != prevKey || ts - prevTs > gap
-        if (k != prevKey || !hasPrev) local = 0L
+        val ts: java.lang.Long =
+          if (r.isNullAt(n)) null else Long.box(r.getLong(n))
+        val sameKey = hasPrev && keyEq(k, prevKey)
+        // start = first of key | prev ts null (sessionize's lag-null
+        // branch) | gap exceeded (null-safe false, as in the window form)
+        val start = !sameKey || prevTs == null ||
+          (ts != null && ts.longValue - prevTs.longValue > gap)
+        if (!sameKey) local = 0L
         if (start) local += 1
         prevKey = k; prevTs = ts; hasPrev = true
         Row.fromSeq(r.toSeq.take(n) :+ Long.box(pid.toLong) :+

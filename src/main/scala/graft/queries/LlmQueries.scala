@@ -42,14 +42,21 @@ object LlmQueries {
   private val d13Baselines =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def d13Baseline(s: org.apache.spark.sql.SparkSession,
-                          d: String): org.apache.spark.sql.DataFrame =
-    d13Baselines.getOrElseUpdate(d, {
+                          d: String): org.apache.spark.sql.DataFrame = {
+    // a localCheckpoint'd frame is bound to ITS session's block manager —
+    // a cached entry from a stopped/replaced session would fail with
+    // lost-block errors, so rebuild whenever the session differs
+    d13Baselines.get(d).filter(_.sparkSession eq s).getOrElse {
       val docs = Tables.documents(s, d).select("doc_id")
       val oldPairs = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id").as("id1"),
           (col("doc_id") - col("doc_id") % 10).as("id2"))
-      Dedup.connectedComponents(oldPairs, "id1", "id2").localCheckpoint(true)
-    })
+      val built =
+        Dedup.connectedComponents(oldPairs, "id1", "id2").localCheckpoint(true)
+      d13Baselines(d) = built
+      built
+    }
+  }
 
   /** DuckDB twin of [[augNearCopies]]: `docs` + `aug` CTEs; `extraCols`
     * prefixes like "source, " carry through both. */

@@ -45,6 +45,35 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("sessionizeScalable matches sessionize on null timestamps and binary keys") {
+    // null ts rows sort first within a key and each starts a session in
+    // the window form (lag(null) branch) — the scan must reproduce that;
+    // binary keys exercise value equality (Array[Byte].equals is
+    // reference identity, which would split every key)
+    val rows = Seq(
+      ("a", null.asInstanceOf[java.lang.Long], 1L),
+      ("a", null.asInstanceOf[java.lang.Long], 2L),
+      ("a", java.lang.Long.valueOf(100L), 3L),
+      ("a", java.lang.Long.valueOf(150L), 4L),
+      ("a", java.lang.Long.valueOf(5000L), 5L),
+      ("b", java.lang.Long.valueOf(0L), 6L))
+    val df = rows.toDF("user", "ts", "id").repartition(5)
+    val exp = Relational.sessionize(df, "user", "ts", "id", gap = 100L)
+      .select("id", "session_id").as[(Long, Long)].collect().toSet
+    val got = Relational.sessionizeScalable(df, "user", "ts", "id", gap = 100L)
+      .select("id", "session_id").as[(Long, Long)].collect().toSet
+    assert(got === exp)
+
+    val bin = (0 until 4000).map(i =>
+      (Array[Byte]((i % 5).toByte, 7), i.toLong * 3 + (i / 200) * 10000L, i.toLong))
+      .toDF("user", "ts", "id").repartition(9)
+    val expB = Relational.sessionize(bin, "user", "ts", "id", gap = 500L)
+      .select("id", "session_id").as[(Long, Long)].collect().toSet
+    val gotB = Relational.sessionizeScalable(bin, "user", "ts", "id", gap = 500L)
+      .select("id", "session_id").as[(Long, Long)].collect().toSet
+    assert(gotB === expB)
+  }
+
   test("sessionizeScalable keeps continuation runs across partition boundaries") {
     // a single key whose rows all continue one session: any boundary
     // mishandling would split it

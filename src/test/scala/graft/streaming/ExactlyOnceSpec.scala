@@ -18,7 +18,7 @@ class ExactlyOnceSpec extends SparkSpec {
 
   private def readStore(path: String): Set[(Long, Long)] =
     spark.read.parquet(path).select("id", "v")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
 
   test("Journal: land/apply/mark is idempotent at every crash point") {
     val root = Files.createTempDirectory("graft-eo").toString

@@ -60,8 +60,13 @@ def main():
         ev = sf_dir / "events.parquet"
         if ev.exists():
             try:
-                schema = pq.read_schema(ev)
-                ts = schema.field("ts").type
+                target = ev
+                if ev.is_dir():  # Spark writes a DIRECTORY of part files
+                    parts = sorted(ev.glob("*.parquet"))
+                    if not parts:
+                        return False
+                    target = parts[0]
+                ts = pq.read_schema(target).field("ts").type
                 return not str(ts).startswith("timestamp")
             except Exception:
                 return False
