@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
@@ -105,6 +105,52 @@ object TextOps {
     md5(array_join(array_sort(array_distinct(toks)), " "))
 
   /** Exact Jaccard similarity of two array columns (as sets). */
+  /** PII patterns in the Java∩RE2 regex subset (char classes, bounded
+    * repeats, \b, non-capturing groups — no backrefs/lookaround), so the
+    * DuckDB oracle replays them verbatim. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val Phone10Re: String = "\\b\\d{10}\\b"
+
+  /** PII scrub — the pre-training redaction pass: count each PII class on
+    * the RAW text, then redact in a fixed order (emails, then IPv4, then
+    * 10-digit phones). Pure codegen'd string expressions; one scan. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      Phone10Re, "<PHONE>")
+    df.select(col(idCol),
+      size(expr(s"regexp_extract_all($textCol, '${EmailRe.replace("\\", "\\\\")}', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all($textCol, '${Ipv4Re.replace("\\", "\\\\")}', 0)")).as("n_ips"),
+      size(expr(s"regexp_extract_all($textCol, '${Phone10Re.replace("\\", "\\\\")}', 0)")).as("n_phones"),
+      length(red).as("red_len"),
+      md5(red).as("red_sha"))
+  }
+
+  /** Sliding token windows — training-sequence chunking: windows of
+    * `size` tokens at `stride` steps (the last window may be short; a doc
+    * shorter than one window yields exactly one chunk). Emits
+    * (id, chunk_idx, n_toks, chunk_sha); the explode fans out AFTER the
+    * token array is projected once per row. */
+  def chunkWindows(df: DataFrame, idCol: String, toksCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (a stride past the window would skip tokens)")
+    // chunk count = 1 + ceil((n - size) / stride): every token lands in
+    // some window (a floor here would orphan up to stride-1 tail tokens)
+    df.select(col(idCol), col(toksCol).as("__toks"))
+      .withColumn("__n", expr("size(__toks)"))
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0, cast((greatest(__n - $size, 0) + $stride - 1) div $stride as int))")))
+      .withColumn("__chunk", expr(s"slice(__toks, chunk_idx * $stride + 1, $size)"))
+      .select(col(idCol), col("chunk_idx"),
+        expr("size(__chunk)").as("n_toks"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_sha"))
+  }
+
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")

@@ -1235,6 +1235,67 @@ object LlmQueries {
              |  CAST(s // n_bigrams AS BIGINT) AS lm_score
              |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // PII scrub — pre-training redaction: plant synthetic emails / IPv4s /
+    // 10-digit phones deterministically, count each class on the raw text,
+    // redact in fixed order. Patterns are in the Java∩RE2 subset so DuckDB
+    // replays them verbatim; outputs are counts + redacted length/md5
+    // (strings and integers, never engine-formatted doubles).
+    Q("t9_pii_redact",
+      (s, d) => {
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@example.com now")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" call 0612345678 ok"))
+              .otherwise(lit(""))).as("text"))
+        TextOps.piiRedact(planted, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             |         ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0
+             |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             |         ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0 THEN ' call 0612345678 ok' ELSE '' END
+             |    AS text FROM documents),
+             |red AS (SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+             |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+             |      '${TextOps.Phone10Re}', '<PHONE>', 'g') AS r,
+             |    len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS n_emails,
+             |    len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS n_ips,
+             |    len(regexp_extract_all(text, '${TextOps.Phone10Re}')) AS n_phones
+             |  FROM planted)
+             |SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+             |  CAST(n_ips AS INTEGER) AS n_ips, CAST(n_phones AS INTEGER) AS n_phones,
+             |  CAST(length(r) AS INTEGER) AS red_len, md5(r) AS red_sha
+             |FROM red ORDER BY doc_id""".stripMargin)),
+
+    // Sliding token windows — training-sequence chunking (64-token
+    // windows, stride 48): every doc yields >= 1 chunk, the last may be
+    // short; content pinned per chunk via md5 of the joined tokens.
+    Q("t10_chunk_windows",
+      (s, d) => TextOps.chunkWindows(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "doc_id", "toks", size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |c AS (SELECT doc_id, toks,
+             |        unnest(range(0, ((greatest(n - 64, 0) + 47) // 48) + 1)) AS ci
+             |      FROM n)
+             |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+             |  CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS INTEGER) AS n_toks,
+             |  md5(array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')) AS chunk_sha
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level
