@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Similarity
+
+/** The streamed vector-bucket index must be ROW-IDENTICAL to the batch
+  * bucketing at the same pinned plane count — the identity that lets an
+  * LSH search probe an index a stream has been maintaining. Also pins
+  * that the pinned-plane contract holds across drains (same planes, no
+  * re-bucketing). */
+class StreamingVectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed vector index == batch bucketing, incrementally, idempotent") {
+    val root = Files.createTempDirectory("graft-stream-vec").toString
+    val in = s"$root/raw"
+    val nPlanes = 8
+    val dim = 64
+    val all = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val batch1 = all.filter($"vec_id" < 150)
+    val batch2 = all.filter($"vec_id" >= 150 && $"vec_id" < 220)
+    batch1.write.parquet(s"$in/f1")
+
+    def runOnce(): Unit = StreamingVectorIndex.run(spark, s"$in/*", batch1,
+      "vec_id", "embedding", s"$root/index", s"$root/ckpt",
+      nPlanes = nPlanes, dim = dim, nTables = 2)
+    def streamed() = spark.read.parquet(s"$root/index")
+    def batchIndex(vecs: org.apache.spark.sql.DataFrame) =
+      StreamingVectorIndex.bucketRows(vecs, "vec_id", "embedding",
+        nPlanes, dim, 2)
+
+    runOnce()
+    assert(streamed().exceptAll(batchIndex(batch1)).count() == 0)
+    assert(batchIndex(batch1).exceptAll(streamed()).count() == 0)
+    // every vector appears once per table
+    assert(streamed().count() == 2L * batch1.count())
+
+    // idle re-run: registry remembers, no duplicate rows
+    runOnce()
+    assert(streamed().count() == 2L * batch1.count())
+
+    // incremental drain appends exactly batch2's bucket rows
+    batch2.write.parquet(s"$in/f2")
+    runOnce()
+    val union = batch1.unionByName(batch2)
+    assert(streamed().exceptAll(batchIndex(union)).count() == 0)
+    assert(batchIndex(union).exceptAll(streamed()).count() == 0)
+  }
+}
