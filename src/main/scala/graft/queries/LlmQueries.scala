@@ -1235,11 +1235,12 @@ object LlmQueries {
              |  CAST(s // n_bigrams AS BIGINT) AS lm_score
              |FROM scored ORDER BY doc_id""".stripMargin)),
 
-    // PII scrub — pre-training redaction: plant synthetic emails / IPv4s /
-    // 10-digit phones deterministically, count each class on the raw text,
-    // redact in fixed order. Patterns are in the Java∩RE2 subset so DuckDB
-    // replays them verbatim; outputs are counts + redacted length/md5
-    // (strings and integers, never engine-formatted doubles).
+    // PII scrub, operator form — t6_pii_scrub gates the reference-shaped
+    // inline scrub (emails + French phones); this entry gates the reusable
+    // `TextOps.piiRedact` OPERATOR and what t6 doesn't cover: the IPv4
+    // class, per-class counts on the raw text, and redacted length. Same
+    // parity discipline (Java∩RE2 patterns, planted PII deterministic per
+    // doc_id, counts/md5 — never engine-formatted doubles).
     Q("t9_pii_redact",
       (s, d) => {
         val planted = Tables.documents(s, d).select(col("doc_id"),
