@@ -151,13 +151,16 @@ object Similarity {
     * re-attach to the deduplicated candidate pairs via two id equi-joins. */
   private[operators] def lshTopKCandidates(queries: DataFrame, corpus: DataFrame,
       nPlanes: Int, dim: Int, nTables: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
     def explodeTables(df: DataFrame, idCol: String, vecCol: String) =
       df.withColumn("__bs", lshBucketsExpr(vecCol, nPlanes, dim, nTables))
         .select(col(idCol), posexplode(col("__bs")).as(Seq("tbl", "bucket")))
     val qb0 = explodeTables(queries, "qid", "qvec")
     val qb = if (broadcastQueries) broadcast(qb0) else qb0
-    val cb = explodeTables(corpus, "cid", "cvec")
+    // a PREBUILT (cid, tbl, bucket) index — e.g. the stream-maintained
+    // StreamingVectorIndex artifact — replaces the corpus bucketing pass
+    val cb = corpusIndex.getOrElse(explodeTables(corpus, "cid", "cvec"))
     val candIds = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").dropDuplicates("qid", "cid")
@@ -281,8 +284,21 @@ object Similarity {
     * count only when it must be known outside the engine (generated oracle
     * SQL, probe sweeps) — and size it with [[lshPlanesFor]] at scale. */
   def lshTopKPinned(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
-                    dim: Int, nTables: Int = 8): DataFrame = {
-    val cand = lshTopKCandidates(queries, corpus, nPlanes, dim, nTables)
+                    dim: Int, nTables: Int = 8): DataFrame =
+    lshTopKScore(lshTopKCandidates(queries, corpus, nPlanes, dim, nTables), k)
+
+  /** [[lshTopKPinned]] probing a PREBUILT corpus bucket index
+    * (cid, tbl, bucket) — the consumer of the stream-maintained
+    * [[graft.streaming.StreamingVectorIndex]] artifact: the corpus
+    * bucketing pass is skipped entirely, only the query side is hashed.
+    * The index must have been built at the SAME (nPlanes, nTables). */
+  def lshTopKIndexed(queries: DataFrame, corpus: DataFrame, index: DataFrame,
+                     k: Int, nPlanes: Int, dim: Int,
+                     nTables: Int = 8): DataFrame =
+    lshTopKScore(lshTopKCandidates(queries, corpus, nPlanes, dim, nTables,
+      corpusIndex = Some(index.select("cid", "tbl", "bucket"))), k)
+
+  private def lshTopKScore(cand: DataFrame, k: Int): DataFrame = {
     val scored = cand.withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -104,7 +104,6 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
 
-  /** Exact Jaccard similarity of two array columns (as sets). */
   /** PII patterns in the Java∩RE2 regex subset (char classes, bounded
     * repeats, \b, non-capturing groups — no backrefs/lookaround), so the
     * DuckDB oracle replays them verbatim. */
@@ -114,20 +113,25 @@ object TextOps {
 
   /** PII scrub — the pre-training redaction pass: count each PII class on
     * the RAW text, then redact in a fixed order (emails, then IPv4, then
-    * 10-digit phones). Pure codegen'd string expressions; one scan. */
+    * 10-digit phones). Pure codegen'd string expressions; one scan. The
+    * redaction chain feeds BOTH red_len and red_sha, so it runs inside a
+    * transform lambda (bound once per row) exploded through `inline` —
+    * a plain alias would be duplicated per reference by CollapseProject
+    * (measured: 6 regexp_replace in the plan instead of 3; PlanSpec pins
+    * the 3). */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val red = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      Phone10Re, "<PHONE>")
+    def esc(p: String) = p.replace("\\", "\\\\")
+    val redSql =
+      s"""regexp_replace(regexp_replace(regexp_replace($textCol,
+         |  '${esc(EmailRe)}', '<EMAIL>'),
+         |  '${esc(Ipv4Re)}', '<IP>'),
+         |  '${esc(Phone10Re)}', '<PHONE>')""".stripMargin
     df.select(col(idCol),
-      size(expr(s"regexp_extract_all($textCol, '${EmailRe.replace("\\", "\\\\")}', 0)")).as("n_emails"),
-      size(expr(s"regexp_extract_all($textCol, '${Ipv4Re.replace("\\", "\\\\")}', 0)")).as("n_ips"),
-      size(expr(s"regexp_extract_all($textCol, '${Phone10Re.replace("\\", "\\\\")}', 0)")).as("n_phones"),
-      length(red).as("red_len"),
-      md5(red).as("red_sha"))
+      size(expr(s"regexp_extract_all($textCol, '${esc(EmailRe)}', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all($textCol, '${esc(Ipv4Re)}', 0)")).as("n_ips"),
+      size(expr(s"regexp_extract_all($textCol, '${esc(Phone10Re)}', 0)")).as("n_phones"),
+      expr(s"""inline(transform(array($redSql), r ->
+              |  named_struct('red_len', length(r), 'red_sha', md5(r))))""".stripMargin))
   }
 
   /** Sliding token windows — training-sequence chunking: windows of
@@ -145,12 +149,16 @@ object TextOps {
       .withColumn("__n", expr("size(__toks)"))
       .withColumn("chunk_idx", explode(expr(
         s"sequence(0, cast((greatest(__n - $size, 0) + $stride - 1) div $stride as int))")))
-      .withColumn("__chunk", expr(s"slice(__toks, chunk_idx * $stride + 1, $size)"))
       .select(col(idCol), col("chunk_idx"),
-        expr("size(__chunk)").as("n_toks"),
-        md5(concat_ws(" ", col("__chunk"))).as("chunk_sha"))
+        // tail length arithmetically (least(size, n - start)) so the
+        // slice expression is referenced exactly once (letSql discipline)
+        least(lit(size), col("__n") - col("chunk_idx") * stride)
+          .cast("int").as("n_toks"),
+        md5(concat_ws(" ",
+          expr(s"slice(__toks, chunk_idx * $stride + 1, $size)"))).as("chunk_sha"))
   }
 
+  /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")

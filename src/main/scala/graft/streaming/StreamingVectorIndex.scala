@@ -24,8 +24,10 @@ import graft.operators.Similarity
 object StreamingVectorIndex {
 
   /** Drain new embedding files once (AvailableNow), appending
-    * (idCol, table, bucket) rows to `indexPath`. Re-invoke per ingest
-    * cycle; safe to re-run after a crash at any point.
+    * (idCol, tbl, bucket) rows to `indexPath` — the shape
+    * [[Similarity.lshTopKIndexed]] probes directly (rename idCol to `cid`
+    * at read time). Re-invoke per ingest cycle; safe to re-run after a
+    * crash at any point.
     * @param schemaSource batch frame carrying the input schema
     * @param vecCol       embedding column (array of float/double)
     * @param nPlanes      PINNED plane count per table (see scaladoc)
@@ -47,6 +49,6 @@ object StreamingVectorIndex {
     df.select(col(idCol), vecD.as("__v"))
       .select(col(idCol), posexplode(
         Similarity.lshBucketsExpr("__v", nPlanes, dim, nTables))
-        .as(Seq("table", "bucket")))
+        .as(Seq("tbl", "bucket")))
   }
 }

@@ -21,19 +21,27 @@ object W1bProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sizes = if (args.nonEmpty) args.map(_.toLong) else Array(2000000L, 20000000L)
+    def frame(nRows: Long) = spark.range(nRows)
+      // integer div: a 100000-us jump every 500 rows => ~nRows/500
+      // sessions (a float `/` here smooths the ramp to ONE session)
+      .selectExpr("'giant' AS user",
+        "id * 10 + (id div 500) * 100000 AS ts", "id")
+      .repartition(32)
+    def run(f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once on a small frame so the first timed size does
+    // not absorb JIT/first-run cost for whichever engine runs first
+    locally {
+      val w = frame(200000L)
+      run(Relational.sessionize(w, "user", "ts", "id", 1000L))
+      run(Relational.sessionizeScalable(w, "user", "ts", "id", 1000L))
+      System.gc()
+    }
     for (nRows <- sizes) {
-      val df = spark.range(nRows)
-        .select(lit("giant").as("user"),
-          (col("id") * 10 + (col("id") / 500) * 100000L).as("ts"),
-          col("id"))
-        .repartition(32)
-      def run(f: => org.apache.spark.sql.DataFrame): Double = {
-        val t0 = System.nanoTime()
-        f.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // warm both paths once at the smallest size only (JIT); sizes are
-      // timed cold-per-size but identically for both engines
+      val df = frame(nRows)
       val tWin = run(Relational.sessionize(df, "user", "ts", "id", 1000L))
       val tScan = run(Relational.sessionizeScalable(df, "user", "ts", "id", 1000L))
       println(f"""{"rows": $nRows, "window_secs": $tWin%.2f, "scan_secs": $tScan%.2f}""")

@@ -244,6 +244,17 @@ class PlanSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("piiRedact evaluates the redaction chain once (t9)") {
+    val df = Tables.documents(spark, sf()).select("doc_id", "text")
+    val red = graft.operators.TextOps.piiRedact(df, "doc_id", "text")
+    val p = plan(red)
+    // red_len and red_sha both read the 3-pass regexp_replace chain; if
+    // CollapseProject inlined it per reference the plan would carry 6
+    // replaces — the non-cheap-duplication guard must keep it at 3
+    val n = "regexp_replace".r.findAllIn(p).length
+    assert(n == 3, s"redaction chain duplicated ($n occurrences):\n${p.take(3000)}")
+  }
+
   test("k-means assignment broadcasts the k centroid rows (s5)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())

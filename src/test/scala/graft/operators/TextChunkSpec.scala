@@ -28,7 +28,8 @@ class TextChunkSpec extends SparkSpec {
     assert(chunksFor(65, 64, 48) === Seq((0, 64), (1, 17)))
     // exactly two strides + full window: 48*1 + 64 = 112 -> 2 chunks
     assert(chunksFor(112, 64, 48) === Seq((0, 64), (1, 64)))
-    // one past that: third chunk is the 1-token remainder at offset 96
+    // one past that: third chunk is the 17-token tail at offset 96
+    // (113 - 96 = 17)
     assert(chunksFor(113, 64, 48) === Seq((0, 64), (1, 64), (2, 17)))
   }
 

@@ -49,5 +49,25 @@ class StreamingVectorIndexSpec extends SparkSpec {
     val union = batch1.unionByName(batch2)
     assert(streamed().exceptAll(batchIndex(union)).count() == 0)
     assert(batchIndex(union).exceptAll(streamed()).count() == 0)
+
+    // NON-CIRCULAR gate: drive the actual search path against the
+    // stream-maintained index and against the batch path's own internal
+    // bucketing — identical top-k results. Any drift between bucketRows
+    // and the search-side hashing (plane family, cast, table wiring)
+    // breaks this equality even though the row-identity checks above
+    // share code with the maintainer.
+    val vecsD = union.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = vecsD.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qvec"))
+    val corpus = vecsD.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val viaBatch = Similarity.lshTopKPinned(queries, corpus, k = 3,
+      nPlanes = nPlanes, dim = dim, nTables = 2)
+    val viaStream = Similarity.lshTopKIndexed(queries, corpus,
+      streamed().withColumnRenamed("vec_id", "cid"), k = 3,
+      nPlanes = nPlanes, dim = dim, nTables = 2)
+    assert(viaStream.exceptAll(viaBatch).count() == 0)
+    assert(viaBatch.exceptAll(viaStream).count() == 0)
+    assert(viaStream.count() > 0)
   }
 }
