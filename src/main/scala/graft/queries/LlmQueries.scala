@@ -768,6 +768,46 @@ object LlmQueries {
            |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
       }),
 
+    // Same search, PROBING A PREBUILT INDEX — the consumer of the
+    // stream-maintained StreamingVectorIndex artifact: the corpus bucket
+    // rows come from a materialized (cid, tbl, bucket) table instead of
+    // being hashed per query run; only the query side hashes. Same oracle
+    // as s3 by construction — the gate proves index-probe == inline paths.
+    Q("s3b_lsh_topk_indexed",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        val index = graft.streaming.StreamingVectorIndex.bucketRows(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nPlanes = 4, dim = Dim, nTables = 4)
+          .withColumnRenamed("vec_id", "cid")
+        Similarity.lshTopKIndexed(q, c, index, 1, nPlanes = 4, dim = Dim,
+            nTables = 4)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val buckets = (0 until 4).map(t => dBucket("v", 4, Dim, t)).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |          FROM embeddings),
+           |b AS (SELECT vec_id, v, $buckets AS bs FROM e),
+           |x AS (SELECT vec_id, v, ti, bs[ti] AS bucket
+           |      FROM b, (SELECT unnest(range(1, 5)) AS ti)),
+           |q AS (SELECT vec_id AS qid, v AS qvec, ti, bucket FROM x WHERE vec_id < 20),
+           |cand AS (SELECT DISTINCT q.qid, x.vec_id AS cid FROM x
+           |         JOIN q ON x.ti = q.ti AND x.bucket = q.bucket
+           |         WHERE x.vec_id <> q.qid),
+           |s AS (SELECT qid, cid, ${dCos("qe.v", "ce.v", Dim)} AS sim
+           |      FROM cand JOIN e qe ON cand.qid = qe.vec_id
+           |                JOIN e ce ON cand.cid = ce.vec_id),
+           |r AS (SELECT qid, cid, sim,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           |      FROM s)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+           |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
+      }),
+
     // Embedding-cosine near-dup dedup: planted near-copies (v + 0.05 per
     // dim, cos ~0.93 vs <0.55 for random pairs), multi-table LSH candidate
     // pairs, cosine-verified, larger id removed. No all-pairs scan.
