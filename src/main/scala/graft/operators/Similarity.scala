@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.DotProduct.{cosine, dot}
+import graft.functions.QuantizedVec
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -64,15 +65,8 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nProbe: Int = 2): DataFrame = {
-    def nearestCells(df: DataFrame, vecCol: String, idCol: String, n: Int) = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("__csim", cosine(col(vecCol), col("centvec")))
-      val w = Window.partitionBy(idCol).orderBy(desc("__csim"), asc("cent_id"))
-      scored.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= n)
-        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
-    }
-    val cAssign = nearestCells(corpus, "cvec", "cid", 1)
-    val qProbe = nearestCells(queries, "qvec", "qid", nProbe)
+    val cAssign = nearestCells(centroids)(corpus, "cvec", "cid", 1)
+    val qProbe = nearestCells(centroids)(queries, "qvec", "qid", nProbe)
     val scored = cAssign.join(broadcast(qProbe), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
@@ -80,6 +74,19 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
+  }
+
+  /** n nearest centroid cells per vector (cosine, ties by cent_id) — the
+    * coarse-quantization step shared by [[ivfTopK]] and [[int8IvfTopK]].
+    * Centroids are a k-row broadcast; the argmin is a window over k
+    * candidate rows per vector. */
+  private def nearestCells(centroids: DataFrame)(
+      df: DataFrame, vecCol: String, idCol: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col(vecCol), col("centvec")))
+    val w = Window.partitionBy(idCol).orderBy(desc("__csim"), asc("cent_id"))
+    scored.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= n)
+      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
   }
 
   /** Hyperplane count sized to the corpus — THE knob that keeps LSH
@@ -303,5 +310,64 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
+  }
+
+  // ——— Int8 scalar quantization (SQ8) — the bandwidth-bound scale path ———
+
+  /** Power-of-two int8 scale for a concrete corpus: one max(|x|) pass,
+    * then the largest 2^k that keeps every value inside [-127, 127]
+    * (QuantizedVec.int8ScaleFor — no element ever clamps). The corpus-
+    * derived default mirrors [[lshPlanesForCorpus]]: callers that must pin
+    * the scale outside the engine (generated oracle SQL) compute it once
+    * and pass the literal. */
+  def int8ScaleForCorpus(vectors: DataFrame, vecCol: String): Double = {
+    val maxAbs = vectors
+      .select(max(array_max(transform(col(vecCol), x => abs(x)))).as("m"))
+      .head().getDouble(0)
+    QuantizedVec.int8ScaleFor(maxAbs)
+  }
+
+  /** Exact-over-quantized top-k: both sides int8-quantized once, scored by
+    * the integer [[QuantizedVec.quantizedDot]]. Same linear shape as
+    * [[bruteForceTopK]], but the corpus the scan streams is 1 byte per
+    * dimension instead of 8 — at 100 TB the scan is memory-bandwidth
+    * bound, so the payload shrink is the throughput lever (PLANS.md r10
+    * probe), and the integer score is partition-order-proof by
+    * construction. Ranking: (qscore DESC, cid). */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               scale: Double): DataFrame = {
+    val q = queries.select(col("qid"),
+      QuantizedVec.quantizeInt8(col("qvec"), scale).as("__qq"))
+    val c = corpus.select(col("cid"),
+      QuantizedVec.quantizeInt8(col("cvec"), scale).as("__cq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("qscore", QuantizedVec.quantizedDot(col("__qq"), col("__cq")))
+    val w = Window.partitionBy("qid").orderBy(desc("qscore"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("qscore"))
+  }
+
+  /** IVF-SQ8 — the production ANN shape at corpus scale (coarse cells
+    * bound WHAT is scanned; int8 bounds the BYTES scanned): cell
+    * assignment runs in float exactly as [[ivfTopK]], but the cell-keyed
+    * search join carries 1-byte-per-dim quantized payloads and scores with
+    * the exact integer dot. The quantized corpus frame (cell, cid, bytes)
+    * is what a 100 TB deployment would persist as its search index. */
+  def int8IvfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                  k: Int, nProbe: Int, scale: Double): DataFrame = {
+    val cAssign = nearestCells(centroids)(corpus, "cvec", "cid", 1)
+      .withColumn("__cq", QuantizedVec.quantizeInt8(col("cvec"), scale))
+      .select("cell", "cid", "__cq")
+    val qProbe = nearestCells(centroids)(queries, "qvec", "qid", nProbe)
+      .withColumn("__qq", QuantizedVec.quantizeInt8(col("qvec"), scale))
+      .select("cell", "qid", "__qq")
+    val scored = cAssign.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("qscore", QuantizedVec.quantizedDot(col("__qq"), col("__cq")))
+    val w = Window.partitionBy("qid").orderBy(desc("qscore"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("qscore"))
   }
 }

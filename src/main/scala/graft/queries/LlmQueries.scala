@@ -188,6 +188,18 @@ object LlmQueries {
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
 
+  /** DuckDB twin of `QuantizedVec.quantizeInt8(·, 256)`: clamp(floor(x·256),
+    * ±127) per element — 256 is a power of two, so the product is exact and
+    * both engines floor the identical double (s6/s6b pin scale=256, the
+    * value `int8ScaleForCorpus` derives for this corpus). */
+  private def dQuant(v: String): String =
+    s"list_transform($v, x -> CAST(GREATEST(-127, LEAST(127, FLOOR(x * 256.0))) AS BIGINT))"
+
+  /** DuckDB twin of the integer `QuantizedDot` — order-independent (exact
+    * integer sum), cast pinned to BIGINT to match Spark's LongType. */
+  private def dQDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
   /** DuckDB twin of `Similarity.kmeansLloyd(k, iters)` as a WITH-body
     * fragment over `embeddings`, ending in CTE c{iters} = (cid, n, c, cc).
     * Exposes e2 = (vid, v, xx) for further assignment CTEs. The single
@@ -911,6 +923,70 @@ object LlmQueries {
                |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
                |      FROM sc)
                |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // Int8 scalar-quantized (SQ8) top-k: both sides quantized at the
+    // corpus-derived power-of-two scale (256 = int8ScaleForCorpus here),
+    // scored by the EXACT integer dot — the memory-bandwidth scale path
+    // (1 byte/dim streamed instead of 8) whose score is partition-order-
+    // proof by construction. Scale pinned literal so the oracle replays it.
+    Q("s6_int8_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.int8TopK(q, c, 3, scale = 256.0).orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+               |            ${dQuant("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS qv
+               |          FROM embeddings),
+               |q AS (SELECT vec_id AS qid, qv AS qq FROM e WHERE vec_id < 20),
+               |s AS (SELECT qid, vec_id AS cid, ${dQDot("qq", "qv")} AS qscore
+               |      FROM e CROSS JOIN q WHERE vec_id <> qid),
+               |r AS (SELECT qid, cid, qscore,
+               |        row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, cid) AS rank
+               |      FROM s)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, qscore
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // IVF-SQ8 — the production ANN shape at 100 TB (FAISS's IVF-SQ trade):
+    // coarse cells bound WHAT the search join scans (same float cell
+    // assignment as s4), int8 bounds the BYTES it carries; scoring is the
+    // exact integer dot over the cell-keyed candidates.
+    Q("s6b_int8_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("centvec"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.int8IvfTopK(q, c, centroids, k = 3, nProbe = 2, scale = 256.0)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |          FROM embeddings),
+               |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+               |ca AS (SELECT cid, cq, cell FROM (
+               |        SELECT e.vec_id AS cid, ${dQuant("e.v")} AS cq, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vec_id
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM e CROSS JOIN cent) WHERE rn = 1),
+               |qp AS (SELECT qid, qq, cell FROM (
+               |        SELECT e.vec_id AS qid, ${dQuant("e.v")} AS qq, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vec_id
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM e CROSS JOIN cent
+               |        WHERE e.vec_id >= 100 AND e.vec_id < 120) WHERE rn <= 2),
+               |cand AS (SELECT DISTINCT qid, qq, cid, cq
+               |         FROM ca JOIN qp USING (cell) WHERE qid <> cid),
+               |sc AS (SELECT qid, cid, ${dQDot("qq", "cq")} AS qscore FROM cand),
+               |r AS (SELECT qid, cid, qscore,
+               |        row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, cid) AS rank
+               |      FROM sc)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, qscore
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // Deterministic distributed k-means over the embedding corpus (2 Lloyd
