@@ -49,6 +49,15 @@ object TextOps {
     s"if(size($toks) < $w, array(), array_distinct(transform(sequence(1, size($toks) - ${w - 1}), i -> $cat)))"
   }
 
+  /** SQL: ALL w-word gram occurrences of token-array expr `toks` —
+    * the multiset `shinglesSql` collapses with array_distinct; repetition
+    * counting needs every occurrence. Empty when the doc has < w tokens. */
+  def allGramsSql(toks: String, w: Int): String = {
+    val cat = (0 until w).map(o => s"element_at($toks, i + $o)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    s"if(size($toks) < $w, array(), transform(sequence(1, size($toks) - ${w - 1}), i -> $cat))"
+  }
+
   /** SQL: one md5 hash per element of string-array expr `arr`. */
   def tokenHashesSql(arr: String): String =
     s"transform($arr, t -> ${md5LongSql("t")})"
@@ -156,6 +165,57 @@ object TextOps {
           .cast("int").as("n_toks"),
         md5(concat_ws(" ",
           expr(s"slice(__toks, chunk_idx * $stride + 1, $size)"))).as("chunk_sha"))
+  }
+
+  /** Repetition quality signals in the published large-corpus filter style
+    * (duplicate-n-gram and top-n-gram character/count fractions): per doc,
+    * the fraction of characters covered by REPEATED bigram / 5-gram
+    * occurrences (occurrences beyond each gram's first) and the count share
+    * of the single most frequent bigram. `t5_repetition_ratio` is the
+    * distinct-set summary; these are the multiset signals a quality filter
+    * thresholds on.
+    *
+    * Scale shape: explode → count per (doc, width, gram) → per-doc fold —
+    * two shuffles, both keyed on doc-derived keys (partial aggregation
+    * absorbs the fan-out map-side), then a co-partitioned doc_id join back
+    * to the base frame so gram-less docs survive. No per-row O(n²) HOF
+    * mode-finding, so a single pathological long document costs O(n log n)
+    * in its own partitions instead of freezing one task. All numerators are
+    * integer sums (order-free); each fraction is ONE double division per
+    * row, so both engines agree bit-for-bit.
+    *
+    * Flag thresholds follow the published filter family (top/duplicate
+    * n-gram char fraction): dup-bigram chars > 20% or dup-5-gram chars
+    * > 10% of the document. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        nCharsCol: String): DataFrame = {
+    val base = df.select(col(idCol), greatest(col(nCharsCol).cast("long"), lit(1L)).as("__nc"),
+      tokens(col(textCol)).as("__tv"))
+    def gramRows(w: Int) =
+      base.select(col(idCol), lit(w).as("__w"),
+        explode(expr(allGramsSql("__tv", w))).as("__g"))
+    val counted = gramRows(2).unionByName(gramRows(5))
+      .groupBy(col(idCol), col("__w"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__glen", length(col("__g")).cast("long"))
+    val perDoc = counted.groupBy(col(idCol)).agg(
+      sum(when(col("__w") === 2, col("__cnt"))).as("__n2"),
+      max(when(col("__w") === 2, col("__cnt"))).as("__top2"),
+      sum(when(col("__w") === 2 && col("__cnt") > 1,
+        (col("__cnt") - 1) * col("__glen"))).as("__dup2c"),
+      sum(when(col("__w") === 5 && col("__cnt") > 1,
+        (col("__cnt") - 1) * col("__glen"))).as("__dup5c"))
+    val dup2Frac = coalesce(col("__dup2c"), lit(0L)).cast("double") / col("__nc")
+    val dup5Frac = coalesce(col("__dup5c"), lit(0L)).cast("double") / col("__nc")
+    base.select(col(idCol), col("__nc"), size(col("__tv")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__n2"), lit(0L)).as("n_bigrams"),
+        round(dup2Frac, 6).as("dup2_char_frac"),
+        round(dup5Frac, 6).as("dup5_char_frac"),
+        round(coalesce(col("__top2"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__n2"), lit(0L)), lit(1L)), 6).as("top2_count_frac"),
+        (dup2Frac > 0.20 || dup5Frac > 0.10).as("rep_flagged"))
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

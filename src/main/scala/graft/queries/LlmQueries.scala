@@ -1413,6 +1413,44 @@ object LlmQueries {
              |  md5(array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')) AS chunk_sha
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Repetition quality signals (multiset form): duplicate-bigram /
+    // duplicate-5-gram character fractions and top-bigram count share,
+    // with the published-filter-style flag. Integer numerators, one
+    // double division per row — both engines agree exactly.
+    Q("t11_repetition_signals",
+      (s, d) => TextOps.repetitionSignals(
+          Tables.documents(s, d), "doc_id", "text", "n_chars")
+        .orderBy("doc_id"),
+      Some("""WITH tv AS (SELECT doc_id, greatest(n_chars, 1) AS nc,
+             |             string_split(text, ' ') AS tv FROM documents),
+             |g AS (
+             |  SELECT doc_id, 2 AS w,
+             |    unnest(list_transform(range(1, len(tv)),
+             |      i -> tv[i] || ' ' || tv[i + 1])) AS g
+             |  FROM tv WHERE len(tv) >= 2
+             |  UNION ALL
+             |  SELECT doc_id, 5 AS w,
+             |    unnest(list_transform(range(1, len(tv) - 3),
+             |      i -> tv[i] || ' ' || tv[i+1] || ' ' || tv[i+2] || ' '
+             |           || tv[i+3] || ' ' || tv[i+4])) AS g
+             |  FROM tv WHERE len(tv) >= 5),
+             |c AS (SELECT doc_id, w, g, count(*) AS cnt, length(g) AS glen
+             |      FROM g GROUP BY 1, 2, 3),
+             |p AS (SELECT doc_id,
+             |        sum(CASE WHEN w = 2 THEN cnt END) AS n2,
+             |        max(CASE WHEN w = 2 THEN cnt END) AS top2,
+             |        sum(CASE WHEN w = 2 AND cnt > 1 THEN (cnt - 1) * glen END) AS dup2c,
+             |        sum(CASE WHEN w = 5 AND cnt > 1 THEN (cnt - 1) * glen END) AS dup5c
+             |      FROM c GROUP BY 1)
+             |SELECT t.doc_id, len(t.tv) AS n_tokens,
+             |  coalesce(n2, 0) AS n_bigrams,
+             |  round(coalesce(dup2c, 0) / t.nc, 6) AS dup2_char_frac,
+             |  round(coalesce(dup5c, 0) / t.nc, 6) AS dup5_char_frac,
+             |  round(coalesce(top2, 0) / greatest(coalesce(n2, 0), 1), 6) AS top2_count_frac,
+             |  (coalesce(dup2c, 0) / t.nc > 0.20
+             |   OR coalesce(dup5c, 0) / t.nc > 0.10) AS rep_flagged
+             |FROM tv t LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level

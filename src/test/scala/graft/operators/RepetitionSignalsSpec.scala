@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins TextOps.repetitionSignals on planted documents where every signal
+  * is hand-computable: the multiset dup-gram char fractions, the top-bigram
+  * count share, and the flag thresholds. Rows are read by FIELD NAME. */
+class RepetitionSignalsSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)]) = {
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    TextOps.repetitionSignals(df, "doc_id", "text", "n_chars")
+      .orderBy("doc_id").collect()
+  }
+
+  test("pure repetition: one bigram repeated wall-to-wall") {
+    // "ab ab ab ab" — 3 bigram occurrences, all the same gram "ab ab"
+    // (len 5); 2 duplicate occurrences cover 10 chars of 11.
+    val Array(r) = run(Seq((1L, "ab ab ab ab")))
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    assert(r.getAs[Double]("dup2_char_frac") === math.round(10.0 / 11 * 1e6) / 1e6)
+    assert(r.getAs[Double]("top2_count_frac") === 1.0)
+    assert(r.getAs[Boolean]("rep_flagged"))
+  }
+
+  test("no repetition: all grams distinct") {
+    val Array(r) = run(Seq((1L, "a b c d e f g h")))
+    assert(r.getAs[Long]("n_bigrams") === 7L)
+    assert(r.getAs[Double]("dup2_char_frac") === 0.0)
+    assert(r.getAs[Double]("dup5_char_frac") === 0.0)
+    assert(r.getAs[Double]("top2_count_frac") === math.round(1.0 / 7 * 1e6) / 1e6)
+    assert(!r.getAs[Boolean]("rep_flagged"))
+  }
+
+  test("5-gram repetition flags independently of bigram share") {
+    // A 10-token text that is the same 5 tokens twice: the repeated
+    // 5-gram "a b c d e" (len 9) occurs twice among 6 five-grams ->
+    // dup5 chars 9 of 19 > 10% flags even though dup2 char frac is
+    // driven only by the seam bigrams.
+    val Array(r) = run(Seq((1L, "a b c d e a b c d e")))
+    assert(r.getAs[Long]("n_tokens") === 10L)
+    assert(r.getAs[Double]("dup5_char_frac") === math.round(9.0 / 19 * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("rep_flagged"))
+  }
+
+  test("gram-less docs survive with zeroed signals (left-join path)") {
+    val rs = run(Seq((1L, "solo"), (2L, "a b")))
+    val byId = rs.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rs.length === 2)
+    val solo = byId(1L)
+    assert(solo.getAs[Long]("n_tokens") === 1L)
+    assert(solo.getAs[Long]("n_bigrams") === 0L)
+    assert(solo.getAs[Double]("dup2_char_frac") === 0.0)
+    assert(solo.getAs[Double]("top2_count_frac") === 0.0)
+    assert(!solo.getAs[Boolean]("rep_flagged"))
+    // 2 tokens: one bigram, zero 5-grams — dup5 must be 0, not null
+    assert(byId(2L).getAs[Double]("dup5_char_frac") === 0.0)
+  }
+
+  test("multiset vs distinct: repeated grams counted per occurrence") {
+    // "x y x y z": bigrams [x y, y x, x y, y z] — "x y" occurs twice
+    // (1 duplicate occurrence, 3 chars of the 9-char doc).
+    val Array(r) = run(Seq((1L, "x y x y z")))
+    assert(r.getAs[Long]("n_bigrams") === 4L)
+    assert(r.getAs[Double]("dup2_char_frac") === math.round(3.0 / 9 * 1e6) / 1e6)
+    assert(r.getAs[Double]("top2_count_frac") === 0.5)
+  }
+}
