@@ -274,6 +274,62 @@ object Similarity {
     assignStep(e, c).select(col("__vid").as(idCol), col("cid"))
   }
 
+  /** Cluster count for the [[semDedupRemoved]] family, sized from the
+    * corpus: k = ceil(n / targetClusterSize). With a fixed TARGET CLUSTER
+    * SIZE the within-cluster pair volume is n·targetClusterSize/2 — LINEAR
+    * in the corpus. A corpus-independent k is the hidden quadratic (cluster
+    * population grows with n, pairs with its square) — the same failure
+    * mode as a fixed LSH plane count (PLANS.md r6). */
+  def semDedupKFor(n: Long, targetClusterSize: Int = 512): Int =
+    math.max(2, math.ceil(n.toDouble / targetClusterSize.toDouble).toInt)
+
+  /** Semantic dedup in the cluster-scoped style (SemDeDup, Abbas et al.
+    * 2023, arXiv:2303.09540): partition the embedding space with
+    * [[kmeansLloyd]], compare EXACT pairwise cosine only WITHIN a cluster,
+    * and drop the larger id of every pair at or above `threshold` (min-id
+    * retention, as [[cosineDedupRemoved]]). Complements the LSH family:
+    * learned data-density cells instead of random hyperplanes, so near-dups
+    * that straddle no hyperplane bucket still meet — the recall loss moves
+    * to cluster boundaries, which the paper accepts by construction.
+    *
+    * DEFAULT entry point is scale-safe: k is sized FROM THE CORPUS
+    * ([[semDedupKFor]]) so pair volume stays linear as it grows. The
+    * candidate join shuffles ONLY (id, cid) — never vector payloads, which
+    * re-attach to the surviving pairs via two id equi-joins (the same
+    * payload rule as `lshTopKCandidates` and the MinHash band join).
+    *
+    * @return (removed_id, cid, dup_of, max_sim): dropped vector, its
+    *         cluster, the smallest above-threshold partner, best cosine. */
+  def semDedupRemoved(vectors: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, iters: Int = 2): DataFrame =
+    semDedupRemovedPinned(vectors, idCol, vecCol, threshold,
+      semDedupKFor(vectors.count()), iters)
+
+  /** Pinned-k variant of [[semDedupRemoved]] — for oracle SQL generation
+    * (the replayed WITH-chain inlines k at build time) and probe sweeps.
+    * At scale the pinned value MUST come from [[semDedupKFor]]. */
+  def semDedupRemovedPinned(vectors: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, k: Int, iters: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val cents = kmeansLloyd(v, "__vid", "__v", k, iters)
+    // (id, cid) only — 2 longs/row; materialized once so the self-join's
+    // two sides don't each re-run the k·n-dot assignment pass
+    val assigned = assignClusters(v, cents, "__vid", "__v").localCheckpoint()
+    val pairs = assigned.select(col("cid"), col("__vid").as("__ida"))
+      .join(assigned.select(col("cid"), col("__vid").as("__idb")), Seq("cid"))
+      .filter(col("__ida") < col("__idb"))
+    pairs
+      .join(v.select(col("__vid").as("__ida"), col("__v").as("__va")), Seq("__ida"))
+      .join(v.select(col("__vid").as("__idb"), col("__v").as("__vb")), Seq("__idb"))
+      .withColumn("__sim", cosine(col("__va"), col("__vb")))
+      .filter(col("__sim") >= threshold)
+      .groupBy(col("__idb"))
+      .agg(min("cid").as("cid"), min("__ida").as("dup_of"),
+        max("__sim").as("__best"))
+      .select(col("__idb").as("removed_id"), col("cid"), col("dup_of"),
+        round(col("__best"), 6).as("max_sim"))
+  }
+
   /** Multi-table LSH approximate top-k — the DEFAULT, scale-safe entry
     * point: planes are sized from the CORPUS ([[lshPlanesForCorpus]]) so
     * bucket occupancy stays constant as it grows. Recall is

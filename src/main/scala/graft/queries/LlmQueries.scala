@@ -204,7 +204,9 @@ object LlmQueries {
     * fragment over `embeddings`, ending in CTE c{iters} = (cid, n, c, cc).
     * Exposes e2 = (vid, v, xx) for further assignment CTEs. The single
     * source of truth for every k-means oracle (s5, llm_corpus_organize). */
-  private def dKmeansCtes(k: Int, iters: Int): String = {
+  private val dEmbBase =
+    "SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n  FROM embeddings"
+  private def dKmeansCtes(k: Int, iters: Int, base: String = dEmbBase): String = {
     val h = dMd5Long("CAST(vid AS VARCHAR)")
     val iterCtes = (1 to iters).map { it =>
       val p = s"c${it - 1}"
@@ -224,9 +226,7 @@ object LlmQueries {
          |  SELECT cid, MIN(n) AS n, list(cv ORDER BY pos) AS c
          |  FROM s$it GROUP BY cid))""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id AS vid,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+    s"""e AS ($base),
        |e2 AS (SELECT vid, v, ${dDot("v", "v")} AS xx FROM e),
        |seeds AS (SELECT vid, v, $h AS hh FROM e ORDER BY hh, vid LIMIT $k),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
@@ -887,6 +887,47 @@ object LlmQueries {
            |FROM pairs JOIN aug p ON pairs.id1 = p.vid JOIN aug q ON pairs.id2 = q.vid
            |WHERE ${dCos("p.v", "q.v", Dim)} >= 0.85
            |ORDER BY removed_id""".stripMargin
+      }),
+
+    // Cluster-scoped semantic dedup (the SemDeDup shape): k-means cells
+    // instead of random hyperplanes, exact pairwise cosine ONLY within a
+    // cluster, min-id retention. Quarter-sample + planted +0.05 copies;
+    // k pinned so the oracle WITH-chain replays the whole Lloyd run
+    // (the operator's DEFAULT sizes k from the corpus, semDedupKFor).
+    Q("d14_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("vid"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val aug = e.unionByName(e.filter(col("vid") % 20 === 0)
+          .select((col("vid") + 100000).as("vid"),
+            expr("transform(v, x -> x + 0.05d)").as("v")))
+        Similarity.semDedupRemovedPinned(aug, "vid", "v",
+          threshold = 0.85, k = 16, iters = 1).orderBy("removed_id")
+      },
+      Some {
+        val base =
+          """SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings WHERE vec_id % 4 = 0
+            |  UNION ALL
+            |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05)
+            |  FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+        s"""WITH ${dKmeansCtes(16, 1, base)},
+           |af AS (SELECT vid, cid FROM (
+           |  SELECT e2.vid, p.cid,
+           |    row_number() OVER (PARTITION BY e2.vid
+           |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
+           |  FROM e2 CROSS JOIN c1 p) WHERE rn = 1),
+           |pr AS (SELECT a.cid, a.vid AS ida, b.vid AS idb
+           |       FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid),
+           |pv AS (SELECT pr.cid, pr.ida, pr.idb, ${dCos("va.v", "vb.v", Dim)} AS sim
+           |       FROM pr JOIN e va ON pr.ida = va.vid
+           |               JOIN e vb ON pr.idb = vb.vid)
+           |SELECT idb AS removed_id, min(cid) AS cid, min(ida) AS dup_of,
+           |  round(max(sim), 6) AS max_sim
+           |FROM pv WHERE sim >= 0.85
+           |GROUP BY idb ORDER BY removed_id""".stripMargin
       }),
 
     // IVF-style ANN: nearest-centroid cells (deterministic seed centroids),

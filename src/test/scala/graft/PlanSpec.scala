@@ -66,6 +66,26 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[source#\\d+\\], \\[source#\\d+\\]".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("semdedup pair join keys on cid and shuffles ids only (d14)") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("vid"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val r = graft.operators.Similarity.semDedupRemovedPinned(
+      e, "vid", "v", threshold = 0.85, k = 4, iters = 1)
+    val p = plan(r)
+    // candidate join on the cluster id (k grows with the corpus via
+    // semDedupKFor; the catalog query pins it only for oracle replay)
+    assert("SortMergeJoin \\[cid#\\d+\\], \\[cid#\\d+\\]".r.findFirstIn(p).isDefined, p)
+    // the cid exchanges must carry (cid, id) alone — vector payloads
+    // re-attach by id AFTER pair generation, never ride the cid shuffle
+    val cidExchangeInputs = "Exchange hashpartitioning\\(cid#\\d+[^\\n]*\\n[^\\n]*".r
+      .findAllIn(p).toSeq
+    assert(cidExchangeInputs.nonEmpty, p)
+    // payload columns are __v# / __va# / __vb# (NOT __vid#, the id)
+    cidExchangeInputs.foreach(x =>
+      assert("__v[ab]?#".r.findFirstIn(x).isEmpty, x))
+  }
+
   test("salted join keys on (key, salt), spreading the hot key (j15)") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "source", "n_chars")
     val dim = docs.groupBy("source").agg(count(lit(1)).as("src_docs"))
