@@ -312,9 +312,17 @@ object Similarity {
                             threshold: Double, k: Int, iters: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
     val cents = kmeansLloyd(v, "__vid", "__v", k, iters)
-    // (id, cid) only — 2 longs/row; materialized once so the self-join's
-    // two sides don't each re-run the k·n-dot assignment pass
-    val assigned = assignClusters(v, cents, "__vid", "__v").localCheckpoint()
+    semDedupFromAssignment(v, assignClusters(v, cents, "__vid", "__v"), threshold)
+  }
+
+  /** The pair half of the SemDeDup family, shared by the flat and two-level
+    * assignment paths: within-cluster candidate pairs over (id, cid) only,
+    * payload re-attach by id, cosine verify, min-id retention. The
+    * assignment frame is materialized once (2 longs/row) so the self-join's
+    * two sides don't each re-run the assignment pass. */
+  private def semDedupFromAssignment(v: DataFrame, assignment: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val assigned = assignment.localCheckpoint()
     val pairs = assigned.select(col("cid"), col("__vid").as("__ida"))
       .join(assigned.select(col("cid"), col("__vid").as("__idb")), Seq("cid"))
       .filter(col("__ida") < col("__idb"))
@@ -328,6 +336,79 @@ object Similarity {
         max("__sim").as("__best"))
       .select(col("__idb").as("removed_id"), col("cid"), col("dup_of"),
         round(col("__best"), 6).as("max_sim"))
+  }
+
+  /** Two-level (supercell) centroid assignment — the sub-quadratic scale
+    * path for corpus-derived k. Flat assignment is O(n·k·d): with
+    * [[semDedupKFor]]'s k ∝ n that is QUADRATIC in the corpus, and the
+    * k-row centroid broadcast eventually outgrows executors. Here the k
+    * centroids are themselves clustered into nSuper supercells (a k-row
+    * problem — trivial), each vector greedily picks its nearest supercell
+    * (n·nSuper dots) and then argmins EXACTLY over that supercell's
+    * centroids (n·k/nSuper expected dots): nSuper ≈ √k makes assignment
+    * O(n·√k·d) total, and only the √k-row supercell table plus the
+    * supercell-tagged centroid table are ever broadcast.
+    *
+    * APPROXIMATE by construction (the true nearest centroid can live in a
+    * non-nearest supercell — the standard IVF trade, same as `s4_ivf_topk`
+    * probing 2 cells) but fully DETERMINISTIC: every step is the same
+    * argmin-with-(d², cid)-ties machinery as [[assignClusters]], so an
+    * external oracle replays it bit-for-bit. A vector whose supercell ends
+    * up centroid-less after the final refit (rare) drops out of the
+    * assignment — callers doing dedup treat unassigned as "kept".
+    *
+    * @return (idCol, cid) for every vector whose supercell is non-empty. */
+  def assignClustersApprox(vectors: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String, nSuper: Int,
+                           superIters: Int = 2): DataFrame = {
+    val cents = centroids.select(col("cid").as("kid"), col("c").as("kv"))
+    val supers = kmeansLloyd(cents, "kid", "kv", nSuper, superIters)
+    val c2s = assignClusters(cents, supers, "kid", "kv")
+      .select(col("kid").as("cid"), col("cid").as("__scid"))
+    val v2s = assignClusters(
+        vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v")),
+        supers, "__vid", "__v")
+      .select(col("__vid"), col("cid").as("__scid"))
+    val e = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(v2s, Seq("__vid"))
+      .withColumn("__xx", dot(col("__v"), col("__v")))
+    val kc = centroids.select(col("cid"), col("c").as("__c"))
+      .join(c2s, Seq("cid"))
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+    // equi-join on the supercell id: the fan-out to the supercell's
+    // centroids happens map-side against the broadcast table, and min_by's
+    // partial aggregation collapses it back to n rows before any exchange
+    e.join(broadcast(kc), Seq("__scid"))
+      .withColumn("__d2",
+        col("__xx") + col("__cc") - lit(2.0) * dot(col("__v"), col("__c")))
+      .groupBy("__vid")
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+      .select(col("__vid").as(idCol), col("cid"))
+  }
+
+  /** [[semDedupRemoved]] with two-level assignment — the entry point that
+    * stays sub-quadratic when k is corpus-derived. Same pair machinery and
+    * retention rule; the approximation is confined to WHICH cluster a
+    * vector lands in. */
+  def semDedupRemovedScaled(vectors: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, iters: Int = 2): DataFrame = {
+    val k = semDedupKFor(vectors.count())
+    semDedupRemovedScaledPinned(vectors, idCol, vecCol, threshold, k,
+      math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt), iters)
+  }
+
+  /** Pinned variant of [[semDedupRemovedScaled]] (oracle SQL generation /
+    * probe sweeps): k, nSuper, and the supercell refit depth are fixed so
+    * the replayed WITH-chain can inline them. */
+  def semDedupRemovedScaledPinned(vectors: DataFrame, idCol: String,
+                                  vecCol: String, threshold: Double, k: Int,
+                                  nSuper: Int, iters: Int,
+                                  superIters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val cents = kmeansLloyd(v, "__vid", "__v", k, iters)
+    semDedupFromAssignment(v,
+      assignClustersApprox(v, cents, "__vid", "__v", nSuper, superIters),
+      threshold)
   }
 
   /** Multi-table LSH approximate top-k — the DEFAULT, scale-safe entry

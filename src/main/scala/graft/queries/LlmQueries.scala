@@ -206,32 +206,33 @@ object LlmQueries {
     * source of truth for every k-means oracle (s5, llm_corpus_organize). */
   private val dEmbBase =
     "SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n  FROM embeddings"
-  private def dKmeansCtes(k: Int, iters: Int, base: String = dEmbBase): String = {
+  private def dKmeansCtes(k: Int, iters: Int, base: String = dEmbBase,
+                          px: String = ""): String = {
     val h = dMd5Long("CAST(vid AS VARCHAR)")
     val iterCtes = (1 to iters).map { it =>
-      val p = s"c${it - 1}"
-      s"""a$it AS (SELECT vid, v, cid FROM (
+      val p = s"${px}c${it - 1}"
+      s"""${px}a$it AS (SELECT vid, v, cid FROM (
          |  SELECT e2.vid, e2.v, p.cid,
          |    row_number() OVER (PARTITION BY e2.vid
          |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
-         |  FROM e2 CROSS JOIN $p p) WHERE rn = 1),
-         |s$it AS (SELECT cid, pos,
+         |  FROM ${px}e2 e2 CROSS JOIN $p p) WHERE rn = 1),
+         |${px}s$it AS (SELECT cid, pos,
          |    CAST(SUM(CAST(floor(x * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
          |      / COUNT(*) / 1048576.0 AS cv,
          |    COUNT(*) AS n
          |  FROM (SELECT cid, pos, v[pos + 1] AS x
-         |        FROM a$it, (SELECT unnest(range(0, $Dim)) AS pos))
+         |        FROM ${px}a$it, (SELECT unnest(range(0, $Dim)) AS pos))
          |  GROUP BY cid, pos),
-         |c$it AS (SELECT cid, n, c, ${dDot("c", "c")} AS cc FROM (
+         |${px}c$it AS (SELECT cid, n, c, ${dDot("c", "c")} AS cc FROM (
          |  SELECT cid, MIN(n) AS n, list(cv ORDER BY pos) AS c
-         |  FROM s$it GROUP BY cid))""".stripMargin
+         |  FROM ${px}s$it GROUP BY cid))""".stripMargin
     }.mkString(",\n")
-    s"""e AS ($base),
-       |e2 AS (SELECT vid, v, ${dDot("v", "v")} AS xx FROM e),
-       |seeds AS (SELECT vid, v, $h AS hh FROM e ORDER BY hh, vid LIMIT $k),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
+    s"""${px}e AS ($base),
+       |${px}e2 AS (SELECT vid, v, ${dDot("v", "v")} AS xx FROM ${px}e),
+       |${px}seeds AS (SELECT vid, v, $h AS hh FROM ${px}e ORDER BY hh, vid LIMIT $k),
+       |${px}c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
        |         v AS c, ${dDot("v", "v")} AS cc
-       |       FROM seeds),
+       |       FROM ${px}seeds),
        |$iterCtes""".stripMargin
   }
 
@@ -919,6 +920,60 @@ object LlmQueries {
            |    row_number() OVER (PARTITION BY e2.vid
            |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
            |  FROM e2 CROSS JOIN c1 p) WHERE rn = 1),
+           |pr AS (SELECT a.cid, a.vid AS ida, b.vid AS idb
+           |       FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid),
+           |pv AS (SELECT pr.cid, pr.ida, pr.idb, ${dCos("va.v", "vb.v", Dim)} AS sim
+           |       FROM pr JOIN e va ON pr.ida = va.vid
+           |               JOIN e vb ON pr.idb = vb.vid)
+           |SELECT idb AS removed_id, min(cid) AS cid, min(ida) AS dup_of,
+           |  round(max(sim), 6) AS max_sim
+           |FROM pv WHERE sim >= 0.85
+           |GROUP BY idb ORDER BY removed_id""".stripMargin
+      }),
+
+    // SemDeDup at the scale shape: flat assignment is O(n·k·d) — quadratic
+    // once k is corpus-derived — so the scaled path clusters the CENTROIDS
+    // into supercells and each vector argmins only within its nearest
+    // supercell (O(n·√k·d)). Deterministic, so the oracle replays the
+    // NESTED Lloyd runs (corpus chain + prefixed supercell chain) exactly.
+    Q("d14b_semdedup_scaled",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("vid"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val aug = e.unionByName(e.filter(col("vid") % 20 === 0)
+          .select((col("vid") + 100000).as("vid"),
+            expr("transform(v, x -> x + 0.05d)").as("v")))
+        Similarity.semDedupRemovedScaledPinned(aug, "vid", "v",
+          threshold = 0.85, k = 16, nSuper = 4, iters = 1, superIters = 2)
+          .orderBy("removed_id")
+      },
+      Some {
+        val base =
+          """SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings WHERE vec_id % 4 = 0
+            |  UNION ALL
+            |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05)
+            |  FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+        def argmin1(eSrc: String, pSrc: String, outCid: String) =
+          s"""SELECT vid, cid AS $outCid FROM (
+             |  SELECT e2.vid, p.cid,
+             |    row_number() OVER (PARTITION BY e2.vid
+             |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
+             |  FROM $eSrc e2 CROSS JOIN $pSrc p) WHERE rn = 1""".stripMargin
+        s"""WITH ${dKmeansCtes(16, 1, base)},
+           |${dKmeansCtes(4, 2, "SELECT cid AS vid, c AS v FROM c1", "s_")},
+           |c2s AS (${argmin1("s_e2", "s_c2", "scid")}),
+           |v2s AS (${argmin1("e2", "s_c2", "scid")}),
+           |kc AS (SELECT k.cid, k.c, k.cc, c2s.scid
+           |       FROM c1 k JOIN c2s ON k.cid = c2s.vid),
+           |af AS (SELECT vid, cid FROM (
+           |  SELECT e2.vid, k.cid,
+           |    row_number() OVER (PARTITION BY e2.vid
+           |      ORDER BY e2.xx + k.cc - 2.0 * ${dDot("e2.v", "k.c")}, k.cid) AS rn
+           |  FROM e2 JOIN v2s ON e2.vid = v2s.vid
+           |          JOIN kc k ON v2s.scid = k.scid) WHERE rn = 1),
            |pr AS (SELECT a.cid, a.vid AS ida, b.vid AS idb
            |       FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid),
            |pv AS (SELECT pr.cid, pr.ida, pr.idb, ${dCos("va.v", "vb.v", Dim)} AS sim

@@ -53,6 +53,36 @@ class SemDedupSpec extends SparkSpec {
     assert(k2.toDouble / k1 > 99 && k2.toDouble / k1 < 101)
   }
 
+  test("two-level assignment matches flat on well-separated geometry") {
+    // bundles sit on orthogonal axes: the nearest supercell always
+    // contains the true nearest centroid, so the approximate path must
+    // reproduce the flat removals exactly here
+    val flat = Similarity.semDedupRemovedPinned(planted(), "vid", "v",
+      threshold = 0.99, k = 3, iters = 2)
+      .collect().map(_.getAs[Long]("removed_id")).toSet
+    val scaled = Similarity.semDedupRemovedScaledPinned(planted(), "vid", "v",
+      threshold = 0.99, k = 3, nSuper = 2, iters = 2)
+      .collect().map(_.getAs[Long]("removed_id")).toSet
+    assert(scaled === flat)
+    assert(flat === Set(2L, 3L, 11L))
+  }
+
+  test("two-level assignment covers every vector whose supercell is live") {
+    val df = planted()
+    val cents = Similarity.kmeansLloyd(
+      df.select(col("vid").as("__vid"), col("v").as("__v")),
+      "__vid", "__v", k = 3, iters = 2)
+    val assigned = Similarity.assignClustersApprox(
+      df.select(col("vid").as("__vid"), col("v").as("__v")),
+      cents, "__vid", "__v", nSuper = 2)
+    // every input id assigned exactly once, to a cluster that exists
+    val rows = assigned.collect()
+    assert(rows.map(_.getAs[Long]("__vid")).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 10L, 11L, 20L))
+    val cids = cents.select("cid").collect().map(_.getAs[Int]("cid")).toSet
+    rows.foreach(r => assert(cids.contains(r.getAs[Int]("cid"))))
+  }
+
   test("default and pinned agree when pinned uses the derived k") {
     val df = planted()
     val k = Similarity.semDedupKFor(df.count(), targetClusterSize = 2)
