@@ -338,6 +338,71 @@ object Similarity {
         round(col("__best"), 6).as("max_sim"))
   }
 
+  /** Build the persisted artifacts the incremental semantic-dedup path
+    * probes: frozen centroids plus the cluster-keyed vector index
+    * (vid, cid, v). One Lloyd run + one assignment over the corpus — done
+    * ONCE; [[incrementalSemDedup]] then folds batches in without ever
+    * touching the corpus again. */
+  def semClusterIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val cents = kmeansLloyd(v, "__vid", "__v", k, iters)
+    val index = assignClusters(v, cents, "__vid", "__v")
+      .join(v, Seq("__vid"))
+      .select(col("__vid").as("vid"), col("cid"), col("__v").as("v"))
+    (cents, index)
+  }
+
+  /** Incremental semantic dedup — the daily-ingest shape for the SemDeDup
+    * family, completing the incremental column (exact d12, near-dup d11,
+    * components d13): the corpus was clustered ONCE into a persisted
+    * [[semClusterIndex]]; a new batch assigns against the FROZEN centroids
+    * (broadcast k rows — no Lloyd, no corpus re-scan), cosine-verifies
+    * against its clusters' indexed members and within itself, and drops
+    * batch ids only (append-only retention — the indexed corpus never
+    * loses rows). Centroid drift is periodic-rebuild territory, not
+    * per-batch — the standard frozen-codebook trade.
+    *
+    * Scale shape: the cross leg is ONE scan of the cluster-keyed index
+    * with the batch BROADCAST onto it — the index is never shuffled, and
+    * the cosine verify runs inline in the scan stage so only above-
+    * threshold survivors reach the final batch-keyed aggregation. The
+    * within-batch leg is batch-sized. Batch and corpus id spaces must be
+    * disjoint (ingest contract).
+    *
+    * @param index (vid, cid, v) from [[semClusterIndex]] (or its streamed
+    *              equivalent) — read from its store, not rebuilt
+    * @return (removed_id, cid, dup_of, max_sim) over BATCH ids only */
+  def incrementalSemDedup(newBatch: DataFrame, centroids: DataFrame,
+                          index: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val nb = newBatch.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val assigned = assignClusters(nb, centroids, "__vid", "__v")
+      .join(nb, Seq("__vid"))
+      .localCheckpoint()
+    val cross = index
+      .select(col("cid"), col("vid").as("__ida"), col("v").as("__va"))
+      .join(broadcast(assigned.select(col("cid"), col("__vid").as("__idb"),
+        col("__v").as("__vb"))), Seq("cid"))
+      .withColumn("__sim", cosine(col("__va"), col("__vb")))
+      .filter(col("__sim") >= threshold)
+      .select(col("cid"), col("__ida"), col("__idb"), col("__sim"))
+    val within = assigned
+      .select(col("cid"), col("__vid").as("__ida"), col("__v").as("__va"))
+      .join(broadcast(assigned.select(col("cid"), col("__vid").as("__idb"),
+        col("__v").as("__vb"))), Seq("cid"))
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("__sim", cosine(col("__va"), col("__vb")))
+      .filter(col("__sim") >= threshold)
+      .select(col("cid"), col("__ida"), col("__idb"), col("__sim"))
+    cross.unionByName(within)
+      .groupBy("__idb")
+      .agg(min("cid").as("cid"), min("__ida").as("dup_of"),
+        max("__sim").as("__best"))
+      .select(col("__idb").as("removed_id"), col("cid"), col("dup_of"),
+        round(col("__best"), 6).as("max_sim"))
+  }
+
   /** Two-level (supercell) centroid assignment — the sub-quadratic scale
     * path for corpus-derived k. Flat assignment is O(n·k·d): with
     * [[semDedupKFor]]'s k ∝ n that is QUADRATIC in the corpus, and the

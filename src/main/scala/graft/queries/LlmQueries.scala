@@ -58,6 +58,27 @@ object LlmQueries {
     }
   }
 
+  /** d15's persisted artifacts (frozen centroids + cluster-keyed vector
+    * index over the quarter corpus), cached per sf dir exactly as
+    * [[d13Baseline]] — one untimed build, session-checked because the
+    * localCheckpoint blocks die with their session. */
+  private val d15Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  private def d15Artifacts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    d15Cache.get(d).filter(_._1.sparkSession eq s).getOrElse {
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("vid"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val (cents, idx) =
+        graft.operators.Similarity.semClusterIndex(e, "vid", "v", k = 16, iters = 1)
+      val built = (cents.localCheckpoint(true), idx.localCheckpoint(true))
+      d15Cache(d) = built
+      built
+    }
+  }
+
   /** DuckDB twin of [[augNearCopies]]: `docs` + `aug` CTEs; `extraCols`
     * prefixes like "source, " carry through both. */
   private def dAugCtes(extraCols: String = ""): String =
@@ -930,6 +951,68 @@ object LlmQueries {
            |FROM pv WHERE sim >= 0.85
            |GROUP BY idb ORDER BY removed_id""".stripMargin
       }),
+
+    // INCREMENTAL semantic dedup — completes the incremental column
+    // (exact d12, near-dup d11, components d13): frozen centroids +
+    // cluster-keyed vector index built once (untimed setup, as d11–d13);
+    // the batch assigns against the broadcast centroids and verifies
+    // against its clusters' members + itself. Plant: every 20th quarter-
+    // corpus vector re-arrives shifted (+0.05, id+100000), every 40th
+    // TWICE (also id+200000) — cross AND within-batch pairs.
+    Q("d15_incremental_semdedup",
+      (s, d) => {
+        val (cents, idx) = d15Artifacts(s, d)
+        val e = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("vid"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val batch = e.filter(col("vid") % 20 === 0)
+          .select((col("vid") + 100000).as("vid"),
+            expr("transform(v, x -> x + 0.05d)").as("v"))
+          .unionByName(e.filter(col("vid") % 40 === 0)
+            .select((col("vid") + 200000).as("vid"),
+              expr("transform(v, x -> x + 0.05d)").as("v")))
+        Similarity.incrementalSemDedup(batch, cents, idx, "vid", "v",
+          threshold = 0.85).orderBy("removed_id")
+      },
+      Some {
+        val base =
+          """SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings WHERE vec_id % 4 = 0""".stripMargin
+        s"""WITH ${dKmeansCtes(16, 1, base)},
+           |af AS (SELECT vid, cid FROM (
+           |  SELECT e2.vid, p.cid,
+           |    row_number() OVER (PARTITION BY e2.vid
+           |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
+           |  FROM e2 CROSS JOIN c1 p) WHERE rn = 1),
+           |nb AS (SELECT vec_id + 100000 AS vid,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS v
+           |       FROM embeddings WHERE vec_id % 20 = 0
+           |       UNION ALL
+           |       SELECT vec_id + 200000,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05)
+           |       FROM embeddings WHERE vec_id % 40 = 0),
+           |nb2 AS (SELECT vid, v, ${dDot("v", "v")} AS xx FROM nb),
+           |bf AS (SELECT vid, cid FROM (
+           |  SELECT nb2.vid, p.cid,
+           |    row_number() OVER (PARTITION BY nb2.vid
+           |      ORDER BY nb2.xx + p.cc - 2.0 * ${dDot("nb2.v", "p.c")}, p.cid) AS rn
+           |  FROM nb2 CROSS JOIN c1 p) WHERE rn = 1),
+           |crossp AS (SELECT b.cid, a.vid AS ida, b.vid AS idb,
+           |    ${dCos("va.v", "vb.v", Dim)} AS sim
+           |  FROM af a JOIN bf b ON a.cid = b.cid
+           |       JOIN e va ON a.vid = va.vid JOIN nb vb ON b.vid = vb.vid),
+           |winp AS (SELECT a.cid, a.vid AS ida, b.vid AS idb,
+           |    ${dCos("va.v", "vb.v", Dim)} AS sim
+           |  FROM bf a JOIN bf b ON a.cid = b.cid AND a.vid < b.vid
+           |       JOIN nb va ON a.vid = va.vid JOIN nb vb ON b.vid = vb.vid),
+           |u AS (SELECT * FROM crossp WHERE sim >= 0.85
+           |      UNION ALL SELECT * FROM winp WHERE sim >= 0.85)
+           |SELECT idb AS removed_id, min(cid) AS cid, min(ida) AS dup_of,
+           |  round(max(sim), 6) AS max_sim
+           |FROM u GROUP BY idb ORDER BY removed_id""".stripMargin
+      },
+      setup = Some((s, d) => { d15Artifacts(s, d); () })),
 
     // SemDeDup at the scale shape: flat assignment is O(n·k·d) — quadratic
     // once k is corpus-derived — so the scaled path clusters the CENTROIDS

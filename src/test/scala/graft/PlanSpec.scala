@@ -86,6 +86,23 @@ class PlanSpec extends SparkSpec {
       assert("__v[ab]?#".r.findFirstIn(x).isEmpty, x))
   }
 
+  test("incremental semdedup never shuffles the vector index (d15)") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("vid"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val (cents, idx) = graft.operators.Similarity.semClusterIndex(
+      e, "vid", "v", k = 4, iters = 1)
+    val batch = e.filter(col("vid") % 7 === 0)
+      .select((col("vid") + 100000).as("vid"), col("v"))
+    val r = graft.operators.Similarity.incrementalSemDedup(
+      batch, cents, idx, "vid", "v", threshold = 0.85)
+    val p = plan(r)
+    // both candidate legs broadcast the batch side onto a streamed scan —
+    // the corpus-sized index must never hash-partition on the cluster id
+    assert("BroadcastHashJoin \\[cid#\\d+\\]".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Exchange hashpartitioning(cid"), p)
+  }
+
   test("salted join keys on (key, salt), spreading the hot key (j15)") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "source", "n_chars")
     val dim = docs.groupBy("source").agg(count(lit(1)).as("src_docs"))

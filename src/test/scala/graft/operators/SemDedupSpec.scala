@@ -83,6 +83,28 @@ class SemDedupSpec extends SparkSpec {
     rows.foreach(r => assert(cids.contains(r.getAs[Int]("cid"))))
   }
 
+  test("incremental semdedup: cross + within legs, append-only retention") {
+    val corpus = planted()
+    val (cents, idx) = Similarity.semClusterIndex(corpus, "vid", "v",
+      k = 3, iters = 2)
+    // batch: a near-copy of corpus vec 1 (cross dup), an identical pair
+    // (within dup), and a genuinely new direction (kept)
+    val batch = Seq(
+      (101L, Seq(1.00, 0.015, 0.0, 0.0)),   // ~ corpus 1 -> cross-removed
+      (102L, Seq(0.0, 0.0, 0.5, 0.5)),      // new direction
+      (103L, Seq(0.0, 0.0, 0.5, 0.5))       // identical to 102 -> within-removed
+    ).toDF("vid", "v")
+    val out = Similarity.incrementalSemDedup(batch, cents, idx, "vid", "v",
+      threshold = 0.99).orderBy("removed_id").collect()
+    val byId = out.map(r => r.getAs[Long]("removed_id") -> r).toMap
+    // only BATCH ids can be removed, and 102 (first of the identical pair
+    // by id) plus the novel direction survive
+    assert(byId.keySet === Set(101L, 103L))
+    assert(byId(101L).getAs[Long]("dup_of") === 1L)     // vs the corpus
+    assert(byId(103L).getAs[Long]("dup_of") === 102L)   // within the batch
+    assert(byId(103L).getAs[Double]("max_sim") === 1.0)
+  }
+
   test("default and pinned agree when pinned uses the derived k") {
     val df = planted()
     val k = Similarity.semDedupKFor(df.count(), targetClusterSize = 2)
