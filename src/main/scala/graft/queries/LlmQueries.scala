@@ -1432,6 +1432,61 @@ object LlmQueries {
            |ORDER BY source, rn""".stripMargin
       }),
 
+    // Temperature-weighted mixture sampling (the α-sampling scheme of the
+    // multilingual-pretraining literature, α = 0.5): per-source quotas
+    // ∝ n_s^α normalized — upweights small sources relative to their raw
+    // share — then exact deterministic hash-rank selection per source.
+    // The α-weight denominator Σ n_s^α is a ~|sources|-row sum of doubles,
+    // so it runs FIXED-POINT (floor(√n·2²⁰) summed as DECIMAL): addition
+    // order cannot change it on either engine. Selection and audit shapes
+    // are samp2's (per-source rank window, exact quotas).
+    Q("samp3_temperature_mixture",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+          .withColumn("__fp",
+            floor(sqrt(col("n_total").cast("double")) * lit(1048576.0))
+              .cast(DecimalType(38, 0)))
+        val totals = counts.agg(sum("__fp").as("__fptot"), sum("n_total").as("__n"))
+        val quotas = counts.crossJoin(broadcast(totals))
+          .withColumn("quota", least(col("n_total"),
+            ceil(lit(0.3) * col("__n").cast("double")
+              * (col("__fp").cast("double") / col("__fptot").cast("double")))))
+          .select(col("source"), col("n_total"), col("quota"))
+        val h = expr(TextOps.md5LongSql("cast(doc_id as string)"))
+        docs.select(col("source"), col("doc_id"), h.as("__h"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))))
+          .join(broadcast(quotas), Seq("source"))
+          .filter(col("rn") <= col("quota"))
+          .groupBy("source", "n_total", "quota")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+          .orderBy("source")
+      },
+      Some {
+        val h = dMd5Long("CAST(doc_id AS VARCHAR)")
+        s"""WITH counts AS (
+           |  SELECT source, COUNT(*) AS n_total,
+           |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0) AS DECIMAL(38,0)) AS fp
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT SUM(fp) AS fptot, SUM(n_total) AS n FROM counts),
+           |quotas AS (SELECT source, n_total,
+           |    least(n_total, CAST(ceil(0.3 * CAST(n AS DOUBLE)
+           |      * (CAST(fp AS DOUBLE) / CAST(fptot AS DOUBLE))) AS BIGINT)) AS quota
+           |  FROM counts CROSS JOIN tot),
+           |ranked AS (SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+           |  FROM documents)
+           |SELECT r.source, q.n_total, q.quota,
+           |  COUNT(*) AS n_kept, SUM(r.doc_id) AS sum_kept_ids
+           |FROM ranked r JOIN quotas q ON r.source = q.source
+           |WHERE r.rn <= q.quota
+           |GROUP BY r.source, q.n_total, q.quota
+           |ORDER BY r.source""".stripMargin
+      }),
+
     // Deterministic global shuffle + shard manifest for training export:
     // shard = hash(doc_id) mod 16, within-shard order = a SECOND
     // independent hash — the export layout that decorrelates adjacent
