@@ -58,6 +58,23 @@ object LlmQueries {
     }
   }
 
+  /** DuckDB twin of the t8 bigram-LM scoring chain (integer fixed-point —
+    * see `operators/LanguageModel`); exposes `scored` = (doc_id, n_bigrams,
+    * s). Shared by t8 and llm_corpus_stratify. */
+  private val dLmCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (SELECT doc_id,
+      |         unnest(t[1:len(t)-1]) AS w1,
+      |         unnest(t[2:len(t)]) AS w2
+      |       FROM toks WHERE len(t) >= 2),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT w1) AS v FROM bi),
+      |lm AS (SELECT w1, w2, ((c12 + 1) * 1000000) // (c1 + v) AS p
+      |       FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
+      |scored AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p) AS s
+      |           FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
   /** d15's persisted artifacts (frozen centroids + cluster-keyed vector
     * index over the quarter corpus), cached per sf dir exactly as
     * [[d13Baseline]] — one untimed build, session-checked because the
@@ -1569,21 +1586,58 @@ object LlmQueries {
         graft.operators.LanguageModel.bigramLmScore(docs, "doc_id", "toks")
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |bi AS (SELECT doc_id,
-             |         unnest(t[1:len(t)-1]) AS w1,
-             |         unnest(t[2:len(t)]) AS w2
-             |       FROM toks WHERE len(t) >= 2),
-             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
-             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
-             |vv AS (SELECT COUNT(DISTINCT w1) AS v FROM bi),
-             |lm AS (SELECT w1, w2, ((c12 + 1) * 1000000) // (c1 + v) AS p
-             |       FROM c12 JOIN c1 USING (w1) CROSS JOIN vv),
-             |scored AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p) AS s
-             |           FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id)
+      Some(s"""WITH $dLmCtes
              |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
              |  CAST(s // n_bigrams AS BIGINT) AS lm_score
              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // CAPSTONE 3 — corpus STRATIFICATION, the step between filtering
+    // (llm_corpus_filter) and organization (llm_corpus_organize): score
+    // every document with the corpus bigram LM (t8), cut per-language
+    // tercile boundaries with the EXACT percentile (the f18-proven
+    // parity), bucket by comparison against the broadcast boundaries —
+    // no per-language sort window, so no w1-style single-task partition;
+    // at 100× the boundary aggregation is what f18b's per-key routing
+    // already handles. Docs too short to score (< 2 tokens) drop with the
+    // inner join, as t8 defines.
+    Q("llm_corpus_stratify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            TextOps.tokens(col("text")).as("toks"))
+        val scored = graft.operators.LanguageModel
+          .bigramLmScore(docs.select(col("doc_id"), col("toks")), "doc_id", "toks")
+        val j = docs.select("doc_id", "lang", "n_chars")
+          .join(scored.select("doc_id", "lm_score"), Seq("doc_id"))
+        val bounds = j.groupBy("lang")
+          .agg(expr("percentile(lm_score, array(1.0d/3, 2.0d/3))").as("qs"))
+          .select(col("lang"), element_at(col("qs"), 1).as("b1"),
+            element_at(col("qs"), 2).as("b2"))
+        j.join(broadcast(bounds), Seq("lang"))
+          .withColumn("bucket",
+            (col("lm_score") > col("b1")).cast("int")
+              + (col("lm_score") > col("b2")).cast("int"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            min("lm_score").as("min_score"), max("lm_score").as("max_score"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH $dLmCtes,
+             |sc2 AS (SELECT doc_id, CAST(s // n_bigrams AS BIGINT) AS lm_score
+             |        FROM scored),
+             |j AS (SELECT d.doc_id, d.lang, d.n_chars, sc2.lm_score
+             |      FROM documents d JOIN sc2 ON d.doc_id = sc2.doc_id),
+             |bounds AS (SELECT lang,
+             |    quantile_cont(lm_score, 1.0/3) AS b1,
+             |    quantile_cont(lm_score, 2.0/3) AS b2
+             |  FROM j GROUP BY lang)
+             |SELECT j.lang,
+             |  (CAST(j.lm_score > b.b1 AS INTEGER)
+             |   + CAST(j.lm_score > b.b2 AS INTEGER)) AS bucket,
+             |  COUNT(*) AS n_docs, SUM(j.n_chars) AS total_chars,
+             |  MIN(j.lm_score) AS min_score, MAX(j.lm_score) AS max_score
+             |FROM j JOIN bounds b ON j.lang = b.lang
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // PII scrub, operator form — t6_pii_scrub gates the reference-shaped
     // inline scrub (emails + French phones); this entry gates the reusable
