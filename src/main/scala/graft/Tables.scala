@@ -22,17 +22,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` carries nanosecond parquet timestamps, which Spark's
-    * vectorized reader refuses by default. We read them as raw nanos
-    * (`nanosAsLong`) and expose a microsecond-truncated proper timestamp as
-    * `ts_us` (integer `div`, exact — no double round-trip), keeping the raw
-    * nanos in `ts_ns` for precision-sensitive operators.
+  /** `events.parquet` has shipped with two `ts` physical layouts: parquet
+    * TIMESTAMP(NANOS) (readable only as raw longs via `nanosAsLong` — also
+    * the scaled-dir INT64 layout ScaleGen writes) and plain microsecond
+    * TIMESTAMP/TIMESTAMP_NTZ. Dispatch on the loaded type and normalize to
+    * the same three derived columns either way: `ts_us_long` (exact epoch
+    * MICROseconds — the unit all shared timestamp arithmetic uses),
+    * `ts_us` (proper timestamp at micro precision), `ts_ns` (epoch nanos).
+    * All conversions are integer `div`/`*` — no double round-trip. The
+    * NTZ→timestamp cast is exact because every session pins UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us_long", expr("ts_ns div 1000"))
-      .withColumn("ts_us", expr("timestamp_micros(ts_us_long)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us_long", expr("ts_ns div 1000"))
+          .withColumn("ts_us", expr("timestamp_micros(ts_us_long)"))
+      case _ =>
+        raw.withColumn("ts_us", col("ts").cast("timestamp"))
+          .withColumn("ts_us_long", unix_micros(col("ts_us")))
+          .withColumn("ts_ns", col("ts_us_long") * lit(1000L))
+          .drop("ts")
+    }
   }
 }
