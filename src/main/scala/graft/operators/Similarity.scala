@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.DotProduct.{cosine, dot}
-import graft.functions.QuantizedVec
+import graft.functions.{PqVec, QuantizedVec}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -548,6 +548,138 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("qscore"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("qscore"))
+  }
+
+  // ——— Product quantization (PQ / IVF-PQ) — the code-book scale path ———
+
+  /** Train the PQ codebooks: the vector is cut into nSub contiguous
+    * sub-blocks of dim/nSub dimensions, and each block gets an INDEPENDENT
+    * deterministic [[kmeansLloyd]] codebook of kCodes centroids. nSub runs
+    * over n-row sub-vector frames — each is one broadcast-and-aggregate
+    * Lloyd pass, nothing global. Fully replayable (every Lloyd choice is
+    * pinned — see [[kmeansLloyd]]), so an external oracle re-derives every
+    * codebook bit-for-bit from the same data.
+    * @return (m, code, c): block index, code id, block centroid. */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, nSub: Int, kCodes: Int, iters: Int): DataFrame = {
+    require(nSub > 0 && dim % nSub == 0, s"nSub $nSub must divide dim $dim")
+    require(kCodes > 0 && kCodes <= 256, s"kCodes must fit one byte, got $kCodes")
+    val subDim = dim / nSub
+    (0 until nSub).map { m =>
+      val sub = vectors.select(col(idCol).as("__pvid"),
+        slice(col(vecCol), m * subDim + 1, subDim).as("__pv"))
+      kmeansLloyd(sub, "__pvid", "__pv", kCodes, iters)
+        .select(lit(m).as("m"), col("cid").as("code"), col("c"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector as nSub one-byte codes (argmin centroid per
+    * sub-block, ties by code id — the same (d², id) rule as
+    * [[assignClusters]], so the oracle replays it). The argmin is a min_by
+    * hash-aggregation — map-side partial agg collapses the kCodes candidate
+    * rows per (vector, block) before any exchange — and the codes pack into
+    * a BINARY of nSub bytes: the only per-vector payload the search scan
+    * ever reads (dim·8 bytes → nSub — a 128× shrink at dim 64 / nSub 4).
+    * @return (idCol, codes: binary). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, dim: Int, nSub: Int): DataFrame = {
+    val subDim = dim / nSub
+    val subs = vectors.select(col(idCol).as("__pvid"),
+        posexplode(array((0 until nSub).map(m =>
+          slice(col(vecCol), m * subDim + 1, subDim)): _*)).as(Seq("m", "__sv")))
+      .withColumn("__xx", dot(col("__sv"), col("__sv")))
+    val cb = codebook.select(col("m"), col("code"), col("c").as("__c"))
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("__d2",
+        col("__xx") + col("__cc") - lit(2.0) * dot(col("__sv"), col("__c")))
+      .groupBy("__pvid", "m")
+      .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"))
+      .groupBy("__pvid")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("__codes"))
+      .select(col("__pvid").as(idCol), PqVec.packCodes(col("__codes")).as("codes"))
+  }
+
+  /** Per-query ADC lookup table of per-block SQUARED DISTANCES:
+    * lut[m·kCodes + code] = ‖q_sub(m) − c(m,code)‖², decomposed as
+    * q·q + c·c − 2·q·c over the native left-fold
+    * [[graft.functions.DotProduct]] so DuckDB's list_sum twin reproduces
+    * every entry. L2 is the textbook PQ metric (Jégou et al. 2011) and the
+    * one with a hard guarantee: a vector's own code assignment minimizes
+    * every block term independently, so an exact copy always scores
+    * best-or-tied. nSub·kCodes doubles per query, assembled in
+    * unique-index order so the array layout is deterministic.
+    * @return (idCol, lut: array<double>). */
+  def pqLut(queries: DataFrame, codebook: DataFrame, idCol: String,
+            vecCol: String, dim: Int, nSub: Int, kCodes: Int): DataFrame = {
+    val subDim = dim / nSub
+    val cb = codebook.select(col("m"), col("code"), col("c").as("__c"))
+    queries.crossJoin(broadcast(cb))
+      .withColumn("__sv",
+        slice(col(vecCol), col("m") * lit(subDim) + lit(1), lit(subDim)))
+      .withColumn("__p",
+        dot(col("__sv"), col("__sv")) + dot(col("__c"), col("__c"))
+          - lit(2.0) * dot(col("__sv"), col("__c")))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(
+        (col("m") * lit(kCodes) + col("code")).as("i"), col("__p").as("p")))).as("__lm"))
+      // DENSE layout over all nSub·kCodes slots: a Lloyd run can lose a
+      // cluster, and a compacted array would shift every later slot out
+      // from under lut[m·kCodes + code]. Dead slots get 0.0 — encode
+      // argmins over the same codebook, so no code can ever address one.
+      .select(col(idCol), transform(sequence(lit(0), lit(nSub * kCodes - 1)),
+        i => coalesce(element_at(col("__lm"), i), lit(0.0))).as("lut"))
+  }
+
+  /** Flat PQ top-k (inner-product ADC): codebooks trained on the corpus,
+    * corpus encoded ONCE to nSub-byte codes (the persisted-index artifact a
+    * deployment would store), each query scored against every code via its
+    * broadcast LUT. Same linear scan shape as [[bruteForceTopK]] /
+    * [[int8TopK]], but the scan streams nSub bytes per candidate instead of
+    * dim·8 — at 100 TB the brute scan becomes cache-resident. Approximate
+    * (scores are against the quantized corpus), deterministic, and
+    * oracle-replayable end to end. Ranking: (qscore DESC, cid). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             nSub: Int, kCodes: Int, iters: Int): DataFrame = {
+    val cb = pqCodebook(corpus, "cid", "cvec", dim, nSub, kCodes, iters)
+      .localCheckpoint()
+    val codes = pqEncode(corpus, cb, "cid", "cvec", dim, nSub)
+    val luts = pqLut(queries, cb, "qid", "qvec", dim, nSub, kCodes)
+    pqScore(codes.crossJoin(broadcast(luts))
+      .filter(col("qid") =!= col("cid")), k, kCodes)
+  }
+
+  /** IVF-PQ — coarse cells bound WHAT the search join scans (float cell
+    * assignment exactly as [[ivfTopK]]), PQ codes bound the BYTES it
+    * carries: the FAISS IVFPQ production shape (here without the residual
+    * refinement — codes quantize the raw vectors, which keeps one global
+    * codebook and an exactly replayable oracle). The cell-keyed candidate
+    * join ships (cell, cid, nSub bytes) only. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                k: Int, nProbe: Int, dim: Int, nSub: Int, kCodes: Int,
+                iters: Int): DataFrame = {
+    val cb = pqCodebook(corpus, "cid", "cvec", dim, nSub, kCodes, iters)
+      .localCheckpoint()
+    val codes = pqEncode(corpus, cb, "cid", "cvec", dim, nSub)
+    val cAssign = nearestCells(centroids)(corpus, "cvec", "cid", 1)
+      .select("cell", "cid").join(codes, Seq("cid"))
+    val luts = pqLut(queries, cb, "qid", "qvec", dim, nSub, kCodes)
+    val qProbe = nearestCells(centroids)(queries, "qvec", "qid", nProbe)
+      .select("cell", "qid").join(broadcast(luts), Seq("qid"))
+    pqScore(cAssign.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid"), k, kCodes)
+  }
+
+  /** ADC rank + top-k: qdist is the approximate squared L2 distance, so
+    * ranking is ASCENDING (nearest first), ties by cid. */
+  private def pqScore(cand: DataFrame, k: Int, kCodes: Int): DataFrame = {
+    val scored = cand.withColumn("qdist",
+      PqVec.adcScore(col("lut"), col("codes"), kCodes))
+    val w = Window.partitionBy("qid").orderBy(asc("qdist"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("qdist"), 5).as("qdist"))
   }
 
   /** IVF-SQ8 — the production ANN shape at corpus scale (coarse cells

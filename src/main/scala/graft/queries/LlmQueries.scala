@@ -245,34 +245,80 @@ object LlmQueries {
   private val dEmbBase =
     "SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n  FROM embeddings"
   private def dKmeansCtes(k: Int, iters: Int, base: String = dEmbBase,
-                          px: String = ""): String = {
+                          px: String = "", dim: Int = Dim): String = {
+    def dd(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
     val h = dMd5Long("CAST(vid AS VARCHAR)")
     val iterCtes = (1 to iters).map { it =>
       val p = s"${px}c${it - 1}"
       s"""${px}a$it AS (SELECT vid, v, cid FROM (
          |  SELECT e2.vid, e2.v, p.cid,
          |    row_number() OVER (PARTITION BY e2.vid
-         |      ORDER BY e2.xx + p.cc - 2.0 * ${dDot("e2.v", "p.c")}, p.cid) AS rn
+         |      ORDER BY e2.xx + p.cc - 2.0 * ${dd("e2.v", "p.c")}, p.cid) AS rn
          |  FROM ${px}e2 e2 CROSS JOIN $p p) WHERE rn = 1),
          |${px}s$it AS (SELECT cid, pos,
          |    CAST(SUM(CAST(floor(x * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
          |      / COUNT(*) / 1048576.0 AS cv,
          |    COUNT(*) AS n
          |  FROM (SELECT cid, pos, v[pos + 1] AS x
-         |        FROM ${px}a$it, (SELECT unnest(range(0, $Dim)) AS pos))
+         |        FROM ${px}a$it, (SELECT unnest(range(0, $dim)) AS pos))
          |  GROUP BY cid, pos),
-         |${px}c$it AS (SELECT cid, n, c, ${dDot("c", "c")} AS cc FROM (
+         |${px}c$it AS (SELECT cid, n, c, ${dd("c", "c")} AS cc FROM (
          |  SELECT cid, MIN(n) AS n, list(cv ORDER BY pos) AS c
          |  FROM ${px}s$it GROUP BY cid))""".stripMargin
     }.mkString(",\n")
     s"""${px}e AS ($base),
-       |${px}e2 AS (SELECT vid, v, ${dDot("v", "v")} AS xx FROM ${px}e),
+       |${px}e2 AS (SELECT vid, v, ${dd("v", "v")} AS xx FROM ${px}e),
        |${px}seeds AS (SELECT vid, v, $h AS hh FROM ${px}e ORDER BY hh, vid LIMIT $k),
        |${px}c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vid) - 1 AS INTEGER) AS cid,
-       |         v AS c, ${dDot("v", "v")} AS cc
+       |         v AS c, ${dd("v", "v")} AS cc
        |       FROM ${px}seeds),
        |$iterCtes""".stripMargin
   }
+
+  /** DuckDB twin of the PQ pipeline at (dim 64, nSub 4, kCodes 16,
+    * iters 2): per-block Lloyd chains at dim 16 (`pq{m}_` prefixes —
+    * dKmeansCtes is the single source of truth for every k-means oracle),
+    * codebook union, per-(vid, block) argmin encode with the same
+    * (d², code) tie rule, per-query DENSE distance LUTs (64 slots,
+    * absent codes padded 0.0 exactly as `Similarity.pqLut`), and the ADC
+    * fold as an ascending-block list_sum. Queries = vids in [100, 120). */
+  private def dPqCtes: String = {
+    def dd16(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))"
+    val km = (0 until 4).map { m =>
+      dKmeansCtes(16, 2, s"SELECT vid, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM pq_e0",
+        s"pq${m}_", 16)
+    }.mkString(",\n")
+    val cbUnion = (0 until 4)
+      .map(m => s"SELECT $m AS m, cid AS code, c FROM pq${m}_c2")
+      .mkString("\n  UNION ALL ")
+    s"""pq_e0 AS ($dEmbBase),
+       |$km,
+       |pq_cb AS ($cbUnion),
+       |pq_cbx AS (SELECT m, code, c, ${dd16("c", "c")} AS cc FROM pq_cb),
+       |pq_subx AS (SELECT vid, m, sv, ${dd16("sv", "sv")} AS xx FROM (
+       |  SELECT vid, m, v[(m*16+1):(m*16+16)] AS sv
+       |  FROM pq_e0, (SELECT unnest(range(0, 4)) AS m))),
+       |pq_enc AS (SELECT vid, m, code FROM (
+       |  SELECT s.vid, s.m, c.code,
+       |    row_number() OVER (PARTITION BY s.vid, s.m
+       |      ORDER BY s.xx + c.cc - 2.0 * ${dd16("s.sv", "c.c")}, c.code) AS rn
+       |  FROM pq_subx s JOIN pq_cbx c USING (m)) WHERE rn = 1),
+       |pq_codes AS (SELECT vid, list(code ORDER BY m) AS codes FROM pq_enc GROUP BY vid),
+       |pq_lutE AS (SELECT s.vid AS qid, s.m * 16 + c.code AS i,
+       |    s.xx + c.cc - 2.0 * ${dd16("s.sv", "c.c")} AS p
+       |  FROM pq_subx s JOIN pq_cbx c USING (m)
+       |  WHERE s.vid >= 100 AND s.vid < 120),
+       |pq_luts AS (SELECT qid, list(coalesce(p, 0.0) ORDER BY i) AS lut FROM (
+       |  SELECT q.qid, sp.i, l.p
+       |  FROM (SELECT DISTINCT qid FROM pq_lutE) q
+       |       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) sp
+       |       LEFT JOIN pq_lutE l ON l.qid = q.qid AND l.i = sp.i)
+       |  GROUP BY qid)""".stripMargin
+  }
+  private val dPqAdc =
+    "list_sum(list_transform(range(0, 4), m -> l.lut[m * 16 + cd.codes[m + 1] + 1]))"
 
   val all: Seq[Q] = Seq(
 
@@ -1183,6 +1229,69 @@ object LlmQueries {
                |        row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, cid) AS rank
                |      FROM sc)
                |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, qscore
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // Flat product-quantization top-k (Jégou et al. 2011): 4 per-block
+    // Lloyd codebooks, corpus encoded ONCE to 4-byte codes (512 bytes ->
+    // 4 — the 128x payload shrink that keeps a 100 TB search index
+    // cache-resident), queries score every code with nSub table lookups
+    // (L2 ADC). Whole pipeline deterministic, replayed end-to-end below.
+    Q("s7_pq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.pqTopK(q, c, k = 3, dim = 64, nSub = 4, kCodes = 16, iters = 2)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $dPqCtes,
+               |r AS (SELECT l.qid, cd.vid AS cid, $dPqAdc AS qdist,
+               |        row_number() OVER (PARTITION BY l.qid
+               |          ORDER BY $dPqAdc, cd.vid) AS rank
+               |      FROM pq_codes cd CROSS JOIN pq_luts l WHERE cd.vid <> l.qid)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(qdist, 5) AS qdist
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // IVF-PQ — the FAISS IVFPQ production shape (minus residual
+    // refinement): coarse cells bound WHAT the search join scans (float
+    // cosine cell assignment exactly as s4), 4-byte PQ codes bound the
+    // BYTES it carries, L2-ADC scores the cell-keyed candidates.
+    Q("s7b_ivfpq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("centvec"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.ivfPqTopK(q, c, centroids, k = 3, nProbe = 2,
+            dim = 64, nSub = 4, kCodes = 16, iters = 2)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $dPqCtes,
+               |cent AS (SELECT vid AS cent_id, v AS cv FROM pq_e0 WHERE vid < 16),
+               |ca AS (SELECT cid, cell FROM (
+               |        SELECT e.vid AS cid, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vid
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM pq_e0 e CROSS JOIN cent) WHERE rn = 1),
+               |qp AS (SELECT qid, cell FROM (
+               |        SELECT e.vid AS qid, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vid
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM pq_e0 e CROSS JOIN cent
+               |        WHERE e.vid >= 100 AND e.vid < 120) WHERE rn <= 2),
+               |cand AS (SELECT DISTINCT qp.qid, ca.cid
+               |         FROM ca JOIN qp USING (cell) WHERE qid <> cid),
+               |r AS (SELECT l.qid, cd.vid AS cid, $dPqAdc AS qdist,
+               |        row_number() OVER (PARTITION BY l.qid
+               |          ORDER BY $dPqAdc, cd.vid) AS rank
+               |      FROM cand x JOIN pq_codes cd ON x.cid = cd.vid
+               |                  JOIN pq_luts l ON x.qid = l.qid)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(qdist, 5) AS qdist
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // Deterministic distributed k-means over the embedding corpus (2 Lloyd
