@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.DotProduct.{cosine, dot}
 import graft.functions.{PqVec, QuantizedVec}
@@ -223,7 +224,7 @@ object Similarity {
       .withColumn("n", lit(0L))
     for (_ <- 1 to iters) {
       val assigned = assignStep(e, centroids)
-      centroids = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .withColumn("__q", floor(col("__x") * lit(1048576.0)).cast(DecimalType(38, 0)))
         .groupBy("cid", "__pos")
@@ -237,6 +238,12 @@ object Similarity {
         // k tiny rows: materialize and cut the lineage so iteration i+1's
         // plan does not embed (and re-execute) iteration i's full subtree
         .localCheckpoint()
+      // the superseded round's blocks are freed EXPLICITLY (the iterative-
+      // operator hygiene contract, CheckpointHygieneSpec) — waiting for GC
+      // would leave iters-1 stray k-row block sets per run. Round 0's
+      // seeds frame is not checkpointed; freeCheckpoint no-ops on it.
+      Bridge.freeCheckpoint(centroids)
+      centroids = next
     }
     centroids.select(col("cid"), col("n"), col("__c").as("c"))
   }
@@ -559,18 +566,23 @@ object Similarity {
     * Lloyd pass, nothing global. Fully replayable (every Lloyd choice is
     * pinned — see [[kmeansLloyd]]), so an external oracle re-derives every
     * codebook bit-for-bit from the same data.
-    * @return (m, code, c): block index, code id, block centroid. */
+    * @return (m, code, c) — MATERIALIZED (one localCheckpoint of at most
+    *         nSub·kCodes rows; the per-block Lloyd blocks are freed), so
+    *         callers fan out over it without re-running any Lloyd pass. */
   def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
                  dim: Int, nSub: Int, kCodes: Int, iters: Int): DataFrame = {
     require(nSub > 0 && dim % nSub == 0, s"nSub $nSub must divide dim $dim")
     require(kCodes > 0 && kCodes <= 256, s"kCodes must fit one byte, got $kCodes")
     val subDim = dim / nSub
-    (0 until nSub).map { m =>
+    val blocks = (0 until nSub).map { m =>
       val sub = vectors.select(col(idCol).as("__pvid"),
         slice(col(vecCol), m * subDim + 1, subDim).as("__pv"))
       kmeansLloyd(sub, "__pvid", "__pv", kCodes, iters)
         .select(lit(m).as("m"), col("cid").as("code"), col("c"))
-    }.reduce(_ unionByName _)
+    }
+    val cb = blocks.reduce(_ unionByName _).localCheckpoint()
+    blocks.foreach(Bridge.freeCheckpoint)
+    cb
   }
 
   /** Encode every vector as nSub one-byte codes (argmin centroid per
@@ -643,7 +655,6 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
              nSub: Int, kCodes: Int, iters: Int): DataFrame = {
     val cb = pqCodebook(corpus, "cid", "cvec", dim, nSub, kCodes, iters)
-      .localCheckpoint()
     val codes = pqEncode(corpus, cb, "cid", "cvec", dim, nSub)
     val luts = pqLut(queries, cb, "qid", "qvec", dim, nSub, kCodes)
     pqScore(codes.crossJoin(broadcast(luts))
@@ -660,7 +671,6 @@ object Similarity {
                 k: Int, nProbe: Int, dim: Int, nSub: Int, kCodes: Int,
                 iters: Int): DataFrame = {
     val cb = pqCodebook(corpus, "cid", "cvec", dim, nSub, kCodes, iters)
-      .localCheckpoint()
     val codes = pqEncode(corpus, cb, "cid", "cvec", dim, nSub)
     val cAssign = nearestCells(centroids)(corpus, "cvec", "cid", 1)
       .select("cell", "cid").join(codes, Seq("cid"))

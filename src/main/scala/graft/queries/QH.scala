@@ -44,9 +44,11 @@ object QH {
     s"(CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))"
 
   /** CTE exposing events with the same derived ts columns Spark sees.
-    * Spark reads the file's nanosecond timestamps as raw nanos; DuckDB reads
-    * them at microsecond precision — so all shared timestamp arithmetic is
-    * standardized on epoch MICROseconds (exact integers on both engines). */
+    * `ts` has shipped as both nanosecond parquet and plain timestamp[us]
+    * (graft.Tables.events dispatches); `epoch_us(ts)` / `ts::TIMESTAMP`
+    * yield identical microsecond values for either input — so all shared
+    * timestamp arithmetic is standardized on epoch MICROseconds (exact
+    * integers on both engines). */
   val evCte: String =
     "WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us_long, " +
       "ts::TIMESTAMP AS ts_us, user_id, event_type, value, props FROM events)"
