@@ -222,6 +222,13 @@ object Similarity {
       .select(col("cid"), col("__v").as("__c"))
       .withColumn("__cc", dot(col("__c"), col("__c")))
       .withColumn("n", lit(0L))
+    // Checkpoint blocks the CALLER owns (the input may itself be a
+    // checkpointed frame — assignClustersApprox runs this over the outer
+    // run's checkpointed centroids). Round 0's plan derives from the input,
+    // so the hygiene free below must exclude these ids or iteration 1 frees
+    // the caller's blocks and every downstream read dies with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (VERDICT r10 #1).
+    val protectIds = Bridge.checkpointIds(vectors)
     for (_ <- 1 to iters) {
       val assigned = assignStep(e, centroids)
       val next = assigned
@@ -240,9 +247,10 @@ object Similarity {
         .localCheckpoint()
       // the superseded round's blocks are freed EXPLICITLY (the iterative-
       // operator hygiene contract, CheckpointHygieneSpec) — waiting for GC
-      // would leave iters-1 stray k-row block sets per run. Round 0's
-      // seeds frame is not checkpointed; freeCheckpoint no-ops on it.
-      Bridge.freeCheckpoint(centroids)
+      // would leave iters-1 stray k-row block sets per run. Only blocks
+      // this loop itself checkpointed are freed: the caller's (protectIds)
+      // survive.
+      Bridge.freeCheckpointExcept(centroids, protectIds)
       centroids = next
     }
     centroids.select(col("cid"), col("n"), col("__c").as("c"))
@@ -581,7 +589,11 @@ object Similarity {
         .select(lit(m).as("m"), col("cid").as("code"), col("c"))
     }
     val cb = blocks.reduce(_ unionByName _).localCheckpoint()
-    blocks.foreach(Bridge.freeCheckpoint)
+    // free ONLY the per-block Lloyd checkpoints: a caller passing a
+    // checkpointed corpus keeps its blocks (same protect rule as
+    // kmeansLloyd — a block's plan reaches `vectors` when iters == 0)
+    val protectIds = Bridge.checkpointIds(vectors)
+    blocks.foreach(b => Bridge.freeCheckpointExcept(b, protectIds))
     cb
   }
 
@@ -683,13 +695,19 @@ object Similarity {
   }
 
   /** ADC rank + top-k: qdist is the approximate squared L2 distance, so
-    * ranking is ASCENDING (nearest first), ties by cid. */
+    * ranking is ASCENDING (nearest first), ties by cid. The emitted
+    * distance is fixed-point (⌊qdist·10⁵⌋ as BIGINT): the raw ADC double
+    * is bit-identical on both engines (same left-fold sum), and floor at a
+    * power of ten of a bit-identical double is engine-stable — round() of
+    * a double is not (java.math HALF_UP vs C-library rounding drifted on
+    * the r10 driver, VERDICT #2 / ADVICE). */
   private def pqScore(cand: DataFrame, k: Int, kCodes: Int): DataFrame = {
     val scored = cand.withColumn("qdist",
       PqVec.adcScore(col("lut"), col("codes"), kCodes))
     val w = Window.partitionBy("qid").orderBy(asc("qdist"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("qdist"), 5).as("qdist"))
+      .select(col("qid"), col("rank"), col("cid"),
+        floor(col("qdist") * lit(100000.0)).cast("long").as("qdist_fp"))
   }
 
   /** IVF-SQ8 — the production ANN shape at corpus scale (coarse cells

@@ -205,17 +205,23 @@ object TextOps {
         (col("__cnt") - 1) * col("__glen"))).as("__dup2c"),
       sum(when(col("__w") === 5 && col("__cnt") > 1,
         (col("__cnt") - 1) * col("__glen"))).as("__dup5c"))
-    val dup2Frac = coalesce(col("__dup2c"), lit(0L)).cast("double") / col("__nc")
-    val dup5Frac = coalesce(col("__dup5c"), lit(0L)).cast("double") / col("__nc")
+    // Fixed-point ppm via PURE INTEGER arithmetic (numerators and nc are
+    // longs; long division == floor for non-negatives == DuckDB `//`) —
+    // no double ever reaches the output, so no engine/version can disagree
+    // (round()-of-double was the r10 driver hash-fail surface, VERDICT #2).
+    val dup2c = coalesce(col("__dup2c"), lit(0L))
+    val dup5c = coalesce(col("__dup5c"), lit(0L))
     base.select(col(idCol), col("__nc"), size(col("__tv")).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("__n2"), lit(0L)).as("n_bigrams"),
-        round(dup2Frac, 6).as("dup2_char_frac"),
-        round(dup5Frac, 6).as("dup5_char_frac"),
-        round(coalesce(col("__top2"), lit(0L)).cast("double") /
-          greatest(coalesce(col("__n2"), lit(0L)), lit(1L)), 6).as("top2_count_frac"),
-        (dup2Frac > 0.20 || dup5Frac > 0.10).as("rep_flagged"))
+        expr("coalesce(__dup2c, 0L) * 1000000L div __nc").as("dup2_char_ppm"),
+        expr("coalesce(__dup5c, 0L) * 1000000L div __nc").as("dup5_char_ppm"),
+        expr("coalesce(__top2, 0L) * 1000000L div greatest(coalesce(__n2, 0L), 1L)")
+          .as("top2_count_ppm"),
+        // frac > 0.20  ⇔  5·dup2c > nc; frac > 0.10 ⇔ 10·dup5c > nc
+        (dup2c * lit(5L) > col("__nc") || dup5c * lit(10L) > col("__nc"))
+          .as("rep_flagged"))
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

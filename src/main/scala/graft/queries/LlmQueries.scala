@@ -1251,7 +1251,8 @@ object LlmQueries {
                |        row_number() OVER (PARTITION BY l.qid
                |          ORDER BY $dPqAdc, cd.vid) AS rank
                |      FROM pq_codes cd CROSS JOIN pq_luts l WHERE cd.vid <> l.qid)
-               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(qdist, 5) AS qdist
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid,
+               |  CAST(floor(qdist * 100000.0) AS BIGINT) AS qdist_fp
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // IVF-PQ — the FAISS IVFPQ production shape (minus residual
@@ -1291,7 +1292,8 @@ object LlmQueries {
                |          ORDER BY $dPqAdc, cd.vid) AS rank
                |      FROM cand x JOIN pq_codes cd ON x.cid = cd.vid
                |                  JOIN pq_luts l ON x.qid = l.qid)
-               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(qdist, 5) AS qdist
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid,
+               |  CAST(floor(qdist * 100000.0) AS BIGINT) AS qdist_fp
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // Deterministic distributed k-means over the embedding corpus (2 Lloyd
@@ -1564,8 +1566,13 @@ object LlmQueries {
     // share — then exact deterministic hash-rank selection per source.
     // The α-weight denominator Σ n_s^α is a ~|sources|-row sum of doubles,
     // so it runs FIXED-POINT (floor(√n·2²⁰) summed as DECIMAL): addition
-    // order cannot change it on either engine. Selection and audit shapes
-    // are samp2's (per-source rank window, exact quotas).
+    // order cannot change it on either engine. The quota itself is an
+    // EXACT integer ceil-division, quota = ⌈3·n·fp / (10·fptot)⌉ =
+    // (3·n·fp + 10·fptot − 1) div (10·fptot) — ceil() over a double
+    // product was the r10 driver hash-fail surface (VERDICT #2); DECIMAL
+    // div on Spark ≡ HUGEINT // on DuckDB, bit-exact on any version.
+    // Selection and audit shapes are samp2's (per-source rank window,
+    // exact quotas).
     Q("samp3_temperature_mixture",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1578,8 +1585,7 @@ object LlmQueries {
         val totals = counts.agg(sum("__fp").as("__fptot"), sum("n_total").as("__n"))
         val quotas = counts.crossJoin(broadcast(totals))
           .withColumn("quota", least(col("n_total"),
-            ceil(lit(0.3) * col("__n").cast("double")
-              * (col("__fp").cast("double") / col("__fptot").cast("double")))))
+            expr("CAST((__fp * 3 * __n + __fptot * 10 - 1) div (__fptot * 10) AS BIGINT)")))
           .select(col("source"), col("n_total"), col("quota"))
         val h = expr(TextOps.md5LongSql("cast(doc_id as string)"))
         docs.select(col("source"), col("doc_id"), h.as("__h"))
@@ -1599,8 +1605,9 @@ object LlmQueries {
            |  FROM documents GROUP BY source),
            |tot AS (SELECT SUM(fp) AS fptot, SUM(n_total) AS n FROM counts),
            |quotas AS (SELECT source, n_total,
-           |    least(n_total, CAST(ceil(0.3 * CAST(n AS DOUBLE)
-           |      * (CAST(fp AS DOUBLE) / CAST(fptot AS DOUBLE))) AS BIGINT)) AS quota
+           |    least(n_total, CAST(
+           |      (CAST(fp AS HUGEINT) * 3 * n + CAST(fptot AS HUGEINT) * 10 - 1)
+           |      // (CAST(fptot AS HUGEINT) * 10) AS BIGINT)) AS quota
            |  FROM counts CROSS JOIN tot),
            |ranked AS (SELECT source, doc_id,
            |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
@@ -1703,14 +1710,18 @@ object LlmQueries {
     // CAPSTONE 3 — corpus STRATIFICATION, the step between filtering
     // (llm_corpus_filter) and organization (llm_corpus_organize): score
     // every document with the corpus bigram LM (t8), cut per-language
-    // tercile boundaries with the EXACT percentile (the f18-proven
-    // parity), bucket by comparison against the broadcast boundaries —
-    // no per-language sort window, so no w1-style single-task partition;
-    // at 100× the boundary aggregation is what f18b's per-key routing
-    // already handles. Docs too short to score (< 2 tokens) drop with the
-    // inner join, as t8 defines.
+    // tercile boundaries at EXACT integer ranks (boundary = k-th smallest
+    // lm_score, k = ceil(n/3) — cum·3 ≥ n in pure integer arithmetic; an
+    // interpolated percentile emits a double whose ulp placement is
+    // engine-version territory, the r10 driver hash-fail, VERDICT #2),
+    // bucket by comparison against the broadcast boundaries — no
+    // per-language doc-level sort window: ranks come from a cumulative
+    // count over (lang, DISTINCT score) rows, a frame bounded by the
+    // fixed-point score space, not the corpus. Docs too short to score
+    // (< 2 tokens) drop with the inner join, as t8 defines.
     Q("llm_corpus_stratify",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"),
             TextOps.tokens(col("text")).as("toks"))
@@ -1718,10 +1729,14 @@ object LlmQueries {
           .bigramLmScore(docs.select(col("doc_id"), col("toks")), "doc_id", "toks")
         val j = docs.select("doc_id", "lang", "n_chars")
           .join(scored.select("doc_id", "lm_score"), Seq("doc_id"))
-        val bounds = j.groupBy("lang")
-          .agg(expr("percentile(lm_score, array(1.0d/3, 2.0d/3))").as("qs"))
-          .select(col("lang"), element_at(col("qs"), 1).as("b1"),
-            element_at(col("qs"), 2).as("b2"))
+        val counts = j.groupBy("lang", "lm_score").agg(count(lit(1)).as("__c"))
+        val cum = counts.withColumn("__cum",
+          sum("__c").over(Window.partitionBy("lang").orderBy("lm_score")))
+        val tot = counts.groupBy("lang").agg(sum("__c").as("__n"))
+        val bounds = cum.join(tot, Seq("lang"))
+          .groupBy("lang")
+          .agg(min(when(col("__cum") * 3 >= col("__n"), col("lm_score"))).as("b1"),
+            min(when(col("__cum") * 3 >= col("__n") * 2, col("lm_score"))).as("b2"))
         j.join(broadcast(bounds), Seq("lang"))
           .withColumn("bucket",
             (col("lm_score") > col("b1")).cast("int")
@@ -1736,10 +1751,16 @@ object LlmQueries {
              |        FROM scored),
              |j AS (SELECT d.doc_id, d.lang, d.n_chars, sc2.lm_score
              |      FROM documents d JOIN sc2 ON d.doc_id = sc2.doc_id),
-             |bounds AS (SELECT lang,
-             |    quantile_cont(lm_score, 1.0/3) AS b1,
-             |    quantile_cont(lm_score, 2.0/3) AS b2
-             |  FROM j GROUP BY lang)
+             |counts AS (SELECT lang, lm_score, COUNT(*) AS c
+             |           FROM j GROUP BY 1, 2),
+             |cum AS (SELECT lang, lm_score,
+             |          SUM(c) OVER (PARTITION BY lang ORDER BY lm_score) AS cum
+             |        FROM counts),
+             |tot AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY 1),
+             |bounds AS (SELECT cum.lang,
+             |    MIN(CASE WHEN cum.cum * 3 >= tot.n THEN cum.lm_score END) AS b1,
+             |    MIN(CASE WHEN cum.cum * 3 >= tot.n * 2 THEN cum.lm_score END) AS b2
+             |  FROM cum JOIN tot ON cum.lang = tot.lang GROUP BY 1)
              |SELECT j.lang,
              |  (CAST(j.lm_score > b.b1 AS INTEGER)
              |   + CAST(j.lm_score > b.b2 AS INTEGER)) AS bucket,
@@ -1811,9 +1832,9 @@ object LlmQueries {
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Repetition quality signals (multiset form): duplicate-bigram /
-    // duplicate-5-gram character fractions and top-bigram count share,
-    // with the published-filter-style flag. Integer numerators, one
-    // double division per row — both engines agree exactly.
+    // duplicate-5-gram character ppm and top-bigram count ppm, with the
+    // published-filter-style flag. PURE integer arithmetic end-to-end
+    // (long floor-division == DuckDB `//`) — engine-version-proof.
     Q("t11_repetition_signals",
       (s, d) => TextOps.repetitionSignals(
           Tables.documents(s, d), "doc_id", "text", "n_chars")
@@ -1841,11 +1862,12 @@ object LlmQueries {
              |      FROM c GROUP BY 1)
              |SELECT t.doc_id, len(t.tv) AS n_tokens,
              |  coalesce(n2, 0) AS n_bigrams,
-             |  round(coalesce(dup2c, 0) / t.nc, 6) AS dup2_char_frac,
-             |  round(coalesce(dup5c, 0) / t.nc, 6) AS dup5_char_frac,
-             |  round(coalesce(top2, 0) / greatest(coalesce(n2, 0), 1), 6) AS top2_count_frac,
-             |  (coalesce(dup2c, 0) / t.nc > 0.20
-             |   OR coalesce(dup5c, 0) / t.nc > 0.10) AS rep_flagged
+             |  CAST(coalesce(dup2c, 0) * 1000000 // t.nc AS BIGINT) AS dup2_char_ppm,
+             |  CAST(coalesce(dup5c, 0) * 1000000 // t.nc AS BIGINT) AS dup5_char_ppm,
+             |  CAST(coalesce(top2, 0) * 1000000
+             |       // greatest(coalesce(n2, 0), 1) AS BIGINT) AS top2_count_ppm,
+             |  (coalesce(dup2c, 0) * 5 > t.nc
+             |   OR coalesce(dup5c, 0) * 10 > t.nc) AS rep_flagged
              |FROM tv t LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // ——— Multimodal ———————————————————————————————————————————————————

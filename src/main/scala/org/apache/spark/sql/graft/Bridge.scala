@@ -22,9 +22,34 @@ object Bridge {
     * checkpoint truncated its lineage, so freed blocks cannot be recomputed.
     */
   def freeCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    freeCheckpointExcept(df, Set.empty)
+
+  /** RDD ids of every `LogicalRDD` reachable in `df`'s analyzed plan.
+    * An iterative operator snapshots its INPUT's set before the loop so
+    * [[freeCheckpointExcept]] can free the loop's own superseded
+    * checkpoints without ever unpersisting a block the caller still owns
+    * (a round-0 frame derives from the input, so a bare plan walk would
+    * reach — and free — a checkpointed caller frame; see the r10
+    * assignClustersApprox regression, VERDICT r10 #1). */
+  def checkpointIds(df: org.apache.spark.sql.Dataset[_]): Set[Int] = {
+    val b = Set.newBuilder[Int]
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case lr: org.apache.spark.sql.execution.LogicalRDD => b += lr.rdd.id
+        case _ => ()
+      }
+    b.result()
+  }
+
+  /** [[freeCheckpoint]], but LogicalRDDs whose rdd id is in `keep` are
+    * left alone — the iterative-operator hygiene primitive: pair with
+    * [[checkpointIds]] on the operator's input. */
+  def freeCheckpointExcept(df: org.apache.spark.sql.Dataset[_],
+                           keep: Set[Int]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD
+            if !keep.contains(lr.rdd.id) => lr.rdd.unpersist(false)
         case _ => ()
       }
 }

@@ -12,10 +12,17 @@ import graft.SparkSpec
 class CheckpointHygieneSpec extends SparkSpec {
   import spark.implicits._
 
-  private def persistedCount(): Int =
-    spark.sparkContext.getPersistentRDDs.count { case (_, r) =>
-      r.getStorageLevel.isValid && r.getNumPartitions >= 0
-    }
+  /** Ids of currently-resident persisted RDDs. Assertions compare the set
+    * of NEW ids (after -- before), never global counts: the shared
+    * session's ContextCleaner may concurrently unpersist blocks leaked by
+    * an earlier suite, which shrinks a global count mid-test but can never
+    * add ids to the new-ids delta. */
+  private def residentIds(): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.collect {
+      case (id, r) if r.getStorageLevel.isValid => id
+    }.toSet
+
+  private def persistedCount(): Int = residentIds().size
 
   test("freeCheckpoint releases a localCheckpoint's blocks") {
     val before = persistedCount()
@@ -32,30 +39,30 @@ class CheckpointHygieneSpec extends SparkSpec {
   }
 
   test("transitiveClosure leaves only its result resident") {
-    val before = persistedCount()
+    val before = residentIds()
     // depth-9 chain: 4 doubling rounds + 1 convergence round
     val edges = (0 until 9).map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
     val closure = Hierarchy.transitiveClosure(edges, "child", "parent")
     assert(closure.count() === (9 * 10) / 2)
     // resident: exactly the returned (checkpointed) closure
-    assert(persistedCount() === before + 1)
+    assert((residentIds() -- before).size === 1)
     Bridge.freeCheckpoint(closure)
-    assert(persistedCount() === before)
+    assert((residentIds() -- before).isEmpty)
   }
 
   test("connectedComponents leaves only its labels resident") {
-    val before = persistedCount()
+    val before = residentIds()
     // chain of 6 → one component, a few propagation rounds
     val pairs = (0 until 5).map(i => (s"d$i", s"d${i + 1}")).toDF("a", "b")
     val labels = Dedup.connectedComponents(pairs, "a", "b")
     assert(labels.filter("component = 'd0'").count() === 6)
-    assert(persistedCount() === before + 1)
+    assert((residentIds() -- before).size === 1)
     Bridge.freeCheckpoint(labels)
-    assert(persistedCount() === before)
+    assert((residentIds() -- before).isEmpty)
   }
 
   test("closestExportedParents keeps resident storage bounded") {
-    val before = persistedCount()
+    val before = residentIds()
     // 5-level chain, only the top exported → 4 climb rounds
     val edges = (0 until 5).map(i => (s"L$i", s"L${i + 1}")).toDF("child", "parent")
     val exported = Seq("L5").toDF("id")
@@ -63,8 +70,71 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(parents.count() === 5) // every level resolves to L5
     // resident: only the final result checkpoint (distinct() is derived
     // from it, and freeCheckpoint traverses the plan to that leaf)
-    assert(persistedCount() === before + 1)
+    assert((residentIds() -- before).size === 1)
     Bridge.freeCheckpoint(parents)
-    assert(persistedCount() === before)
+    assert((residentIds() -- before).isEmpty)
+  }
+
+  // ——— composition: an iterative operator must NEVER free its caller's
+  // blocks (the r10 regression: kmeansLloyd's hygiene free plan-walked
+  // round-0 centroids, reached a checkpointed INPUT, and freed it —
+  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on every later read; VERDICT r10 #1)
+
+  private def hashVec(seed: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val h = ((seed * 1315423911L + d * 2654435761L) & 0xffffL).toDouble
+      h / 65536.0
+    }
+
+  test("kmeansLloyd over a checkpointed input leaves the input readable") {
+    val vecs = (0 until 40).map(i => (i.toLong, hashVec(i, 8)))
+      .toDF("id", "v").localCheckpoint(true)
+    val before = residentIds()
+    assert(before.nonEmpty) // the input checkpoint itself is resident
+    val cents = Similarity.kmeansLloyd(vecs, "id", "v", 4, 3)
+    assert(cents.count() === 4)
+    // the INPUT's blocks must have survived every loop-round hygiene free
+    assert(vecs.count() === 40)
+    // resident delta: exactly the final-round centroid checkpoint
+    assert((residentIds() -- before).size === 1)
+    Bridge.freeCheckpoint(cents)
+    assert(vecs.count() === 40)
+  }
+
+  test("nested Lloyd (assignClustersApprox) reads outer checkpointed centroids") {
+    val vecs = (0 until 60).map(i => (i.toLong, hashVec(i * 7 + 1, 8)))
+      .toDF("id", "v")
+    // outer Lloyd result checkpointed — exactly the semDedupRemovedScaled
+    // composition: the inner supercell Lloyd runs OVER these blocks
+    val cents = Similarity.kmeansLloyd(vecs, "id", "v", 8, 2).localCheckpoint(true)
+    val nCents = cents.count() // ≤ 8: Lloyd drops emptied clusters
+    assert(nCents >= 2)
+    val assigned = Similarity.assignClustersApprox(vecs, cents, "id", "v", 3)
+    assert(assigned.count() > 0)
+    // centroids still readable after the inner Lloyd's hygiene frees
+    assert(cents.count() === nCents)
+  }
+
+  test("pqCodebook over a checkpointed corpus leaves the corpus readable") {
+    val vecs = (0 until 40).map(i => (i.toLong, hashVec(i * 13 + 5, 8)))
+      .toDF("id", "v").localCheckpoint(true)
+    val cb = Similarity.pqCodebook(vecs, "id", "v", dim = 8, nSub = 2,
+      kCodes = 4, iters = 2)
+    assert(cb.count() === 8) // nSub * kCodes
+    assert(vecs.count() === 40) // corpus blocks survived the per-block frees
+    Bridge.freeCheckpoint(cb)
+    assert(vecs.count() === 40)
+  }
+
+  test("semDedupRemovedScaled end-to-end (the r10 broken composition)") {
+    // near-duplicate pairs: 2i and 2i+1 share a base vector
+    val vecs = (0 until 30).flatMap { i =>
+      val base = hashVec(i * 31 + 2, 8)
+      Seq((2L * i, base), (2L * i + 1, base.map(_ * 1.000001)))
+    }.toDF("id", "v")
+    val removed = Similarity.semDedupRemovedScaledPinned(
+      vecs, "id", "v", threshold = 0.999, k = 6, nSuper = 2, iters = 2)
+    // every pair collapses: the odd twin is removed (min-id retention)
+    assert(removed.count() > 0)
   }
 }

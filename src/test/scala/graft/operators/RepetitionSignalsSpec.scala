@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Pins TextOps.repetitionSignals on planted documents where every signal
-  * is hand-computable: the multiset dup-gram char fractions, the top-bigram
-  * count share, and the flag thresholds. Rows are read by FIELD NAME. */
+  * is hand-computable: the multiset dup-gram char ppm (integer
+  * floor-division fixed point — no double in the output, the
+  * engine-version-proof invariant), the top-bigram count ppm, and the flag
+  * thresholds. Rows are read by FIELD NAME. */
 class RepetitionSignalsSpec extends SparkSpec {
 
   private def run(rows: Seq[(Long, String)]) = {
@@ -23,28 +25,28 @@ class RepetitionSignalsSpec extends SparkSpec {
     val Array(r) = run(Seq((1L, "ab ab ab ab")))
     assert(r.getAs[Long]("n_tokens") === 4L)
     assert(r.getAs[Long]("n_bigrams") === 3L)
-    assert(r.getAs[Double]("dup2_char_frac") === math.round(10.0 / 11 * 1e6) / 1e6)
-    assert(r.getAs[Double]("top2_count_frac") === 1.0)
+    assert(r.getAs[Long]("dup2_char_ppm") === 10L * 1000000L / 11L)
+    assert(r.getAs[Long]("top2_count_ppm") === 1000000L)
     assert(r.getAs[Boolean]("rep_flagged"))
   }
 
   test("no repetition: all grams distinct") {
     val Array(r) = run(Seq((1L, "a b c d e f g h")))
     assert(r.getAs[Long]("n_bigrams") === 7L)
-    assert(r.getAs[Double]("dup2_char_frac") === 0.0)
-    assert(r.getAs[Double]("dup5_char_frac") === 0.0)
-    assert(r.getAs[Double]("top2_count_frac") === math.round(1.0 / 7 * 1e6) / 1e6)
+    assert(r.getAs[Long]("dup2_char_ppm") === 0L)
+    assert(r.getAs[Long]("dup5_char_ppm") === 0L)
+    assert(r.getAs[Long]("top2_count_ppm") === 1000000L / 7L)
     assert(!r.getAs[Boolean]("rep_flagged"))
   }
 
   test("5-gram repetition flags independently of bigram share") {
     // A 10-token text that is the same 5 tokens twice: the repeated
     // 5-gram "a b c d e" (len 9) occurs twice among 6 five-grams ->
-    // dup5 chars 9 of 19 > 10% flags even though dup2 char frac is
+    // dup5 chars 9 of 19 > 10% flags even though dup2 char ppm is
     // driven only by the seam bigrams.
     val Array(r) = run(Seq((1L, "a b c d e a b c d e")))
     assert(r.getAs[Long]("n_tokens") === 10L)
-    assert(r.getAs[Double]("dup5_char_frac") === math.round(9.0 / 19 * 1e6) / 1e6)
+    assert(r.getAs[Long]("dup5_char_ppm") === 9L * 1000000L / 19L)
     assert(r.getAs[Boolean]("rep_flagged"))
   }
 
@@ -55,11 +57,11 @@ class RepetitionSignalsSpec extends SparkSpec {
     val solo = byId(1L)
     assert(solo.getAs[Long]("n_tokens") === 1L)
     assert(solo.getAs[Long]("n_bigrams") === 0L)
-    assert(solo.getAs[Double]("dup2_char_frac") === 0.0)
-    assert(solo.getAs[Double]("top2_count_frac") === 0.0)
+    assert(solo.getAs[Long]("dup2_char_ppm") === 0L)
+    assert(solo.getAs[Long]("top2_count_ppm") === 0L)
     assert(!solo.getAs[Boolean]("rep_flagged"))
     // 2 tokens: one bigram, zero 5-grams — dup5 must be 0, not null
-    assert(byId(2L).getAs[Double]("dup5_char_frac") === 0.0)
+    assert(byId(2L).getAs[Long]("dup5_char_ppm") === 0L)
   }
 
   test("multiset vs distinct: repeated grams counted per occurrence") {
@@ -67,7 +69,7 @@ class RepetitionSignalsSpec extends SparkSpec {
     // (1 duplicate occurrence, 3 chars of the 9-char doc).
     val Array(r) = run(Seq((1L, "x y x y z")))
     assert(r.getAs[Long]("n_bigrams") === 4L)
-    assert(r.getAs[Double]("dup2_char_frac") === math.round(3.0 / 9 * 1e6) / 1e6)
-    assert(r.getAs[Double]("top2_count_frac") === 0.5)
+    assert(r.getAs[Long]("dup2_char_ppm") === 3L * 1000000L / 9L)
+    assert(r.getAs[Long]("top2_count_ppm") === 500000L)
   }
 }

@@ -75,6 +75,10 @@ def main():
         sys.exit(f"{sf_dir} is a ScaleGen dir (events.ts is INT64 ns, not "
                  "TIMESTAMP_NS) — the DuckDB oracle only replays base dirs")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    # the oracle ENVIRONMENT is part of the record: a driver-vs-local hash
+    # disagreement (r10: three round()-of-double queries) is attributable
+    # only if each run states which DuckDB produced its reference values
+    print(f"ORACLE duckdb=={duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
