@@ -33,7 +33,8 @@ object Similarity {
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
+      .select(col("qid"), col("rank"), col("cid"),
+        floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
   }
 
   /** Deterministic random-hyperplane bucket id (nPlanes sign bits) for one
@@ -74,7 +75,8 @@ object Similarity {
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
+      .select(col("qid"), col("rank"), col("cid"),
+        floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
   }
 
   /** n nearest centroid cells per vector (cosine, ties by cent_id) — the
@@ -313,8 +315,9 @@ object Similarity {
     * re-attach to the surviving pairs via two id equi-joins (the same
     * payload rule as `lshTopKCandidates` and the MinHash band join).
     *
-    * @return (removed_id, cid, dup_of, max_sim): dropped vector, its
-    *         cluster, the smallest above-threshold partner, best cosine. */
+    * @return (removed_id, cid, dup_of, max_sim_fp): dropped vector, its
+    *         cluster, the smallest above-threshold partner, best cosine as
+    *         ⌊sim·10⁶⌋ fixed point (engine-version-proof output rule). */
   def semDedupRemoved(vectors: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, iters: Int = 2): DataFrame =
     semDedupRemovedPinned(vectors, idCol, vecCol, threshold,
@@ -350,7 +353,7 @@ object Similarity {
       .agg(min("cid").as("cid"), min("__ida").as("dup_of"),
         max("__sim").as("__best"))
       .select(col("__idb").as("removed_id"), col("cid"), col("dup_of"),
-        round(col("__best"), 6).as("max_sim"))
+        floor(col("__best") * lit(1000000.0)).cast("long").as("max_sim_fp"))
   }
 
   /** Build the persisted artifacts the incremental semantic-dedup path
@@ -387,7 +390,7 @@ object Similarity {
     *
     * @param index (vid, cid, v) from [[semClusterIndex]] (or its streamed
     *              equivalent) — read from its store, not rebuilt
-    * @return (removed_id, cid, dup_of, max_sim) over BATCH ids only */
+    * @return (removed_id, cid, dup_of, max_sim_fp) over BATCH ids only */
   def incrementalSemDedup(newBatch: DataFrame, centroids: DataFrame,
                           index: DataFrame, idCol: String, vecCol: String,
                           threshold: Double): DataFrame = {
@@ -415,7 +418,7 @@ object Similarity {
       .agg(min("cid").as("cid"), min("__ida").as("dup_of"),
         max("__sim").as("__best"))
       .select(col("__idb").as("removed_id"), col("cid"), col("dup_of"),
-        round(col("__best"), 6).as("max_sim"))
+        floor(col("__best") * lit(1000000.0)).cast("long").as("max_sim_fp"))
   }
 
   /** Two-level (supercell) centroid assignment — the sub-quadratic scale
@@ -526,7 +529,8 @@ object Similarity {
     val scored = cand.withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 5).as("sim"))
+      .select(col("qid"), col("rank"), col("cid"),
+        floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
   }
 
   // ——— Int8 scalar quantization (SQ8) — the bandwidth-bound scale path ———

@@ -228,4 +228,24 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
+
+  /** Integer-exact Jaccard ppm (⌊i·10⁶/u⌋ over the set sizes) — the
+    * OUTPUT form of the similarity: pure long floor-division, identical to
+    * DuckDB `i*1000000 // u` on any engine version (the no-raw-double-
+    * output invariant). [[jaccard]] stays the THRESHOLD form (per-row
+    * double compare, engine-stable). */
+  def jaccardPpm(aCol: String, bCol: String): Column = expr(
+    s"cast(size(array_intersect($aCol, $bCol)) as bigint) * 1000000L div " +
+      s"cast(size(array_distinct(concat($aCol, $bCol))) as bigint)")
+
+  /** num·10⁶ div den over arbitrary integer Columns — the generic
+    * fixed-point ratio (long integral division ≡ DuckDB `//` for
+    * non-negative operands). Column form of the SQL `div` operator, which
+    * has no public `functions._` equivalent. */
+  def divPpm(num: Column, den: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(
+          num.cast("long") * lit(1000000L)),
+        org.apache.spark.sql.graft.Bridge.expression(den.cast("long"))))
 }

@@ -56,9 +56,15 @@ object DvfStats {
                       monthCol: String, typeCol: String,
                       types: Seq[String]): DataFrame = {
     val melted = multiScaleMelt(prepared, levels, monthCol, typeCol)
+      // exact ⌊·100⌋ cents: the mean runs as an exact long sum (partition
+      // order — and Spark task retries — cannot change it) and one final
+      // deterministic division; median of longs interpolates exactly.
+      // A raw double avg() here would be retry-nondeterministic at scale.
+      .withColumn("__cents", floor(col("unit_price") * lit(100.0)).cast("long"))
     val stats = melted.groupBy("echelle", "code_geo", "month", "type")
-      .agg(count(lit(1)).as("nb"), round(avg("unit_price"), 2).as("moy"),
-        round(median(col("unit_price")), 2).as("med"))
+      .agg(count(lit(1)).as("nb"),
+        (sum("__cents").cast("double") / (count(lit(1)) * 100)).as("moy"),
+        (median(col("__cents").cast("double")) / 100.0).as("med"))
     stats.groupBy("echelle", "code_geo", "month")
       .pivot("type", types)
       .agg(first("nb").as("nb_ventes"), first("moy").as("prix_moyen"),

@@ -17,10 +17,14 @@ object ExtraQueries {
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"), moneyAvg(col("l_extendedprice")).as("avg_price"),
-          round(median(col("l_extendedprice")), 4).as("med_price"))
+          // exact median of doubles ((a+b)/2 is bit-identical both
+          // engines); ⌊·10⁴⌋ fixed point instead of round() — the
+          // engine-version-proof output rule
+          floor(median(col("l_extendedprice")) * lit(10000.0)).cast("long")
+            .as("med_price_fp"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlMoneyAvg("l_extendedprice")} AS avg_price,
-               ROUND(MEDIAN(l_extendedprice), 4) AS med_price
+               CAST(floor(MEDIAN(l_extendedprice) * 10000.0) AS BIGINT) AS med_price_fp
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // A6: plain count per group (groupby.size).
@@ -96,12 +100,20 @@ object ExtraQueries {
     Q("a12_bool_mean",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
-        .agg(round(avg(when(col("value") > 100, 1).otherwise(0)), 6).as("share_high"),
-          round(avg(when(col("user_id") % 2 === 0, 1).otherwise(0)), 6).as("share_even_user"))
+        .agg(sum(when(col("value") > 100, 1L).otherwise(0L)).as("__nh"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("__ne"),
+          count(lit(1)).as("__n"))
+        // boolean shares as exact ppm (integer floor-division) — no
+        // round()-of-double output
+        .select(col("event_type"),
+          expr("__nh * 1000000L div __n").as("share_high_ppm"),
+          expr("__ne * 1000000L div __n").as("share_even_user_ppm"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
-                ROUND(AVG(CASE WHEN value > 100 THEN 1 ELSE 0 END), 6) AS share_high,
-                ROUND(AVG(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END), 6) AS share_even_user
+                CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) * 1000000
+                     // COUNT(*) AS BIGINT) AS share_high_ppm,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) * 1000000
+                     // COUNT(*) AS BIGINT) AS share_even_user_ppm
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // A15: streaming-style format/type counters.
@@ -207,8 +219,10 @@ object ExtraQueries {
         val dist = Distribution.priceDistribution(Tables.lineitem(s, d),
           Seq("l_returnflag"), "l_extendedprice",
           nBins = 10, step = 100.0, minSupport = 100L)
+        // repaired edges are exact multiples of the 100.0 step (rint·step),
+        // so the long cast is value-exact — integer output, no doubles
         dist.select(col("l_returnflag") +: col("n") +:
-          ((1 to 11).map(i => element_at(col("edges"), i).as(s"e$i")) ++
+          ((1 to 11).map(i => element_at(col("edges"), i).cast("long").as(s"e$i")) ++
             (1 to 10).map(i => col(s"bin_$i"))): _*)
           .orderBy("l_returnflag")
       },
@@ -287,7 +301,7 @@ object ExtraQueries {
             Seq("n_name"), "unit_price", nBins = 4, step = 100.0,
             minSupport = 50L)
           .select(col("n_name").as("code_geo") +: col("n").as("dist_n") +:
-            ((1 to 5).map(i => element_at(col("edges"), i).as(s"e$i")) ++
+            ((1 to 5).map(i => element_at(col("edges"), i).cast("long").as(s"e$i")) ++
               (1 to 4).map(i => col(s"bin_$i").as(s"b$i"))): _*)
         stats.join(dist, Seq("code_geo"), "left")
           .orderBy("echelle", "code_geo", "month")
@@ -311,7 +325,7 @@ object ExtraQueries {
     val binCols = (1 to 10).map(i =>
       s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS bin_$i").mkString(", ")
     val eOut = (1 to 11).map(i =>
-      s"CASE WHEN s.n >= 100 THEN r.edges[$i] END AS e$i").mkString(", ")
+      s"CAST(CASE WHEN s.n >= 100 THEN r.edges[$i] END AS BIGINT) AS e$i").mkString(", ")
     val bOut = (1 to 10).map(i =>
       s"CASE WHEN s.n >= 100 THEN c.bin_$i END AS bin_$i").mkString(", ")
     s"""WITH RECURSIVE
@@ -358,7 +372,7 @@ object ExtraQueries {
     val binCols = (1 to 4).map(i =>
       s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS b$i").mkString(", ")
     val eOut = (1 to 5).map(i =>
-      s"CASE WHEN su.n >= 50 THEN rp.edges[$i] END AS e$i").mkString(", ")
+      s"CAST(CASE WHEN su.n >= 50 THEN rp.edges[$i] END AS BIGINT) AS e$i").mkString(", ")
     val bOut = (1 to 4).map(i =>
       s"CASE WHEN su.n >= 50 THEN ct.b$i END AS b$i").mkString(", ")
     s"""WITH RECURSIVE

@@ -219,19 +219,19 @@ object FunctionQueries {
           .agg(expr("percentile(l_extendedprice, array(0.1, 0.25, 0.5, 0.75, 0.9))").as("qs"),
             count(lit(1)).as("n_distinct"))
           .select(col("l_returnflag"), col("n_distinct"),
-            round(element_at(col("qs"), 1), 4).as("q10"),
-            round(element_at(col("qs"), 2), 4).as("q25"),
-            round(element_at(col("qs"), 3), 4).as("q50"),
-            round(element_at(col("qs"), 4), 4).as("q75"),
-            round(element_at(col("qs"), 5), 4).as("q90"))
+            floor(element_at(col("qs"), 1) * lit(10000.0)).cast("long").as("q10_fp"),
+            floor(element_at(col("qs"), 2) * lit(10000.0)).cast("long").as("q25_fp"),
+            floor(element_at(col("qs"), 3) * lit(10000.0)).cast("long").as("q50_fp"),
+            floor(element_at(col("qs"), 4) * lit(10000.0)).cast("long").as("q75_fp"),
+            floor(element_at(col("qs"), 5) * lit(10000.0)).cast("long").as("q90_fp"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n_distinct,
-                ROUND(quantile_cont(l_extendedprice, 0.1), 4) AS q10,
-                ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
-                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
-                ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
-                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+                CAST(floor(quantile_cont(l_extendedprice, 0.1) * 10000.0) AS BIGINT) AS q10_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.25) * 10000.0) AS BIGINT) AS q25_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.5) * 10000.0) AS BIGINT) AS q50_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.75) * 10000.0) AS BIGINT) AS q75_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.9) * 10000.0) AS BIGINT) AS q90_fp
               FROM (SELECT DISTINCT l_returnflag, l_extendedprice FROM lineitem)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -249,19 +249,19 @@ object FunctionQueries {
             distinctPrices, "l_returnflag", "l_extendedprice",
             Seq(0.1, 0.25, 0.5, 0.75, 0.9))
           .select(col("l_returnflag"), col("n").as("n_distinct"),
-            round(element_at(col("qs"), 1), 4).as("q10"),
-            round(element_at(col("qs"), 2), 4).as("q25"),
-            round(element_at(col("qs"), 3), 4).as("q50"),
-            round(element_at(col("qs"), 4), 4).as("q75"),
-            round(element_at(col("qs"), 5), 4).as("q90"))
+            floor(element_at(col("qs"), 1) * lit(10000.0)).cast("long").as("q10_fp"),
+            floor(element_at(col("qs"), 2) * lit(10000.0)).cast("long").as("q25_fp"),
+            floor(element_at(col("qs"), 3) * lit(10000.0)).cast("long").as("q50_fp"),
+            floor(element_at(col("qs"), 4) * lit(10000.0)).cast("long").as("q75_fp"),
+            floor(element_at(col("qs"), 5) * lit(10000.0)).cast("long").as("q90_fp"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n_distinct,
-                ROUND(quantile_cont(l_extendedprice, 0.1), 4) AS q10,
-                ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
-                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
-                ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
-                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+                CAST(floor(quantile_cont(l_extendedprice, 0.1) * 10000.0) AS BIGINT) AS q10_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.25) * 10000.0) AS BIGINT) AS q25_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.5) * 10000.0) AS BIGINT) AS q50_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.75) * 10000.0) AS BIGINT) AS q75_fp,
+                CAST(floor(quantile_cont(l_extendedprice, 0.9) * 10000.0) AS BIGINT) AS q90_fp
               FROM (SELECT DISTINCT l_returnflag, l_extendedprice FROM lineitem)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 

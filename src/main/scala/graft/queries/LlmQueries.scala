@@ -147,7 +147,7 @@ object LlmQueries {
        |           ON ${bjoin}a.band_idx = b.band_idx AND a.bh = b.bh
        |         WHERE a.doc_id < b.doc_id),
        |pairs AS (SELECT ${bout}id1, id2,
-       |            ROUND(${dJaccard("x.shingles", "y.shingles")}, 6) AS jac
+       |            ${dJaccardPpm("x.shingles", "y.shingles")} AS jac_ppm
        |          FROM cand JOIN sh2 x ON cand.id1 = x.doc_id
        |          JOIN sh2 y ON cand.id2 = y.doc_id
        |          WHERE ${dJaccard("x.shingles", "y.shingles")} >= $threshold)""".stripMargin
@@ -169,10 +169,13 @@ object LlmQueries {
     }).cast("long")
     (nBi, nDi)
   }
-  private def repRatioCol(nBi: org.apache.spark.sql.Column,
-                          nDi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(when(nBi === 0, 0.0).otherwise(
-      lit(1.0) - nDi.cast("double") / nBi.cast("double")), 6)
+  /** Duplicate-bigram ppm: (nBi − nDi)·10⁶ div nBi — pure long integer
+    * floor-division (== DuckDB `//`), the no-raw-double-output invariant.
+    * The old 1 − nDi/nBi double ratio equals rep_ppm/10⁶ exactly. */
+  private def repPpmCol(nBi: org.apache.spark.sql.Column,
+                        nDi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nBi === 0, lit(0L)).otherwise(
+      graft.operators.TextOps.divPpm(nBi - nDi, nBi))
 
   /** DuckDB twins of the repetition counts/ratio. */
   private val dRepCounts: String =
@@ -181,10 +184,10 @@ object LlmQueries {
       |    ELSE list_transform(range(1, len(toks)),
       |           i -> toks[i] || ' ' || toks[i + 1]) END)) AS n_distinct
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
-  private val dRepRatio: String =
-    """ROUND(CASE WHEN n_bigrams = 0 THEN 0.0
-      |      ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-      |      END, 6)""".stripMargin
+  private val dRepPpm: String =
+    """(CASE WHEN n_bigrams = 0 THEN 0
+      |      ELSE (n_bigrams - n_distinct) * 1000000 // n_bigrams
+      |      END)""".stripMargin
 
   // ——— DuckDB fragment generators (twins of TextOps/Similarity exprs) ———
 
@@ -206,6 +209,10 @@ object LlmQueries {
     }.mkString("[", ", ", "]")
   private def dJaccard(s1: String, s2: String) =
     s"(CAST(len(list_intersect($s1, $s2)) AS DOUBLE) / CAST(len(list_distinct(list_concat($s1, $s2))) AS DOUBLE))"
+  /** Integer-exact Jaccard ppm — `i·10⁶ // u` over the set sizes; twin of
+    * `TextOps.jaccardPpm` (the no-raw-double-output invariant). */
+  private def dJaccardPpm(s1: String, s2: String) =
+    s"CAST(CAST(len(list_intersect($s1, $s2)) AS BIGINT) * 1000000 // CAST(len(list_distinct(list_concat($s1, $s2))) AS BIGINT) AS BIGINT)"
   private def dCos(a: String, b: String, dim: Int): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
@@ -355,7 +362,7 @@ object LlmQueries {
       Some(
         s"""WITH ${dAugCtes()},
            |${dMinhashPairsCtes("aug", 3, None, 0.5)}
-           |SELECT id1, id2, jac FROM pairs ORDER BY id1, id2""".stripMargin)),
+           |SELECT id1, id2, jac_ppm FROM pairs ORDER BY id1, id2""".stripMargin)),
 
     // INCREMENTAL exact dedup — d1 against a persisted content-hash index:
     // a new batch keeps only never-seen content (anti-join on the index),
@@ -464,7 +471,7 @@ object LlmQueries {
            |         FROM docs WHERE doc_id % 20 = 0),
            |allu AS (SELECT doc_id, toks FROM docs UNION ALL SELECT doc_id, toks FROM newb),
            |${dMinhashPairsCtes("allu", 3, None, 0.5)}
-           |SELECT id1, id2, jac,
+           |SELECT id1, id2, jac_ppm,
            |  CASE WHEN id1 >= 1000000 AND id2 >= 1000000 THEN 'new' ELSE 'cross' END AS src
            |FROM pairs WHERE id1 >= 1000000 OR id2 >= 1000000
            |ORDER BY id1, id2""".stripMargin
@@ -584,7 +591,7 @@ object LlmQueries {
       (s, d) => d4Pairs(s, d).orderBy("id1", "id2"),
       Some(
         s"""WITH $d4PairsCtes
-           |SELECT p.source, id1, id2, jac FROM pairs p
+           |SELECT p.source, id1, id2, jac_ppm FROM pairs p
            |ORDER BY id1, id2""".stripMargin)),
 
     // Near-dup CLUSTERS: the step after pairwise detection — connected
@@ -759,18 +766,18 @@ object LlmQueries {
           .join(broadcast(benchGrams), Seq("gram"), "left_semi")
           .select("doc_id").distinct().withColumn("__contam", lit(true))
         val (nBi, nDi) = repCountCols
-        val repRatio = repRatioCol(nBi, nDi)
+        val repPpm = repPpmCol(nBi, nDi)
         withHash.join(canon, "__h")
           .join(removed, Seq("doc_id"), "left")
           .join(contaminated, Seq("doc_id"), "left")
           .withColumn("is_exact_canonical", col("doc_id") === col("canon_id"))
           .withColumn("is_near_dup", coalesce(col("__near"), lit(false)))
           .withColumn("is_contaminated", coalesce(col("__contam"), lit(false)))
-          .withColumn("rep_ratio", repRatio)
+          .withColumn("rep_ppm", repPpm)
           .withColumn("keep", col("is_exact_canonical") && !col("is_near_dup") &&
-            !col("is_contaminated") && col("rep_ratio") <= 0.1)
+            !col("is_contaminated") && col("rep_ppm") <= 100000L)
           .select("doc_id", "is_exact_canonical", "is_near_dup",
-            "is_contaminated", "rep_ratio", "keep")
+            "is_contaminated", "rep_ppm", "keep")
           .orderBy("doc_id")
       },
       Some {
@@ -782,14 +789,14 @@ object LlmQueries {
            |grams AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
            |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
            |contam AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (gram)),
-           |rep AS (SELECT doc_id, $dRepRatio AS rep_ratio FROM ($dRepCounts))
+           |rep AS (SELECT doc_id, CAST($dRepPpm AS BIGINT) AS rep_ppm FROM ($dRepCounts))
            |SELECT h.doc_id,
            |  (h.doc_id = c.canon_id) AS is_exact_canonical,
            |  (r.doc_id IS NOT NULL) AS is_near_dup,
            |  (ct.doc_id IS NOT NULL) AS is_contaminated,
-           |  rep.rep_ratio AS rep_ratio,
+           |  rep.rep_ppm AS rep_ppm,
            |  (h.doc_id = c.canon_id AND r.doc_id IS NULL AND ct.doc_id IS NULL
-           |   AND rep.rep_ratio <= 0.1) AS keep
+           |   AND rep.rep_ppm <= 100000) AS keep
            |FROM hash h JOIN canon c USING (h)
            |LEFT JOIN removed r ON h.doc_id = r.doc_id
            |LEFT JOIN contam ct ON h.doc_id = ct.doc_id
@@ -817,7 +824,7 @@ object LlmQueries {
                |r AS (SELECT qid, cid, sim,
                |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
                |      FROM s)
-               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // Hyperplane-LSH bucket assignment: the scale path's shuffle key.
@@ -861,7 +868,7 @@ object LlmQueries {
            |r AS (SELECT qid, cid, sim,
            |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
            |      FROM s)
-           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
            |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
       }),
 
@@ -901,7 +908,7 @@ object LlmQueries {
            |r AS (SELECT qid, cid, sim,
            |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
            |      FROM s)
-           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
            |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
       }),
 
@@ -1010,7 +1017,7 @@ object LlmQueries {
            |       FROM pr JOIN e va ON pr.ida = va.vid
            |               JOIN e vb ON pr.idb = vb.vid)
            |SELECT idb AS removed_id, min(cid) AS cid, min(ida) AS dup_of,
-           |  round(max(sim), 6) AS max_sim
+           |  CAST(floor(max(sim) * 1000000.0) AS BIGINT) AS max_sim_fp
            |FROM pv WHERE sim >= 0.85
            |GROUP BY idb ORDER BY removed_id""".stripMargin
       }),
@@ -1072,7 +1079,7 @@ object LlmQueries {
            |u AS (SELECT * FROM crossp WHERE sim >= 0.85
            |      UNION ALL SELECT * FROM winp WHERE sim >= 0.85)
            |SELECT idb AS removed_id, min(cid) AS cid, min(ida) AS dup_of,
-           |  round(max(sim), 6) AS max_sim
+           |  CAST(floor(max(sim) * 1000000.0) AS BIGINT) AS max_sim_fp
            |FROM u GROUP BY idb ORDER BY removed_id""".stripMargin
       },
       setup = Some((s, d) => { d15Artifacts(s, d); () })),
@@ -1126,7 +1133,7 @@ object LlmQueries {
            |       FROM pr JOIN e va ON pr.ida = va.vid
            |               JOIN e vb ON pr.idb = vb.vid)
            |SELECT idb AS removed_id, min(cid) AS cid, min(ida) AS dup_of,
-           |  round(max(sim), 6) AS max_sim
+           |  CAST(floor(max(sim) * 1000000.0) AS BIGINT) AS max_sim_fp
            |FROM pv WHERE sim >= 0.85
            |GROUP BY idb ORDER BY removed_id""".stripMargin
       }),
@@ -1164,7 +1171,7 @@ object LlmQueries {
                |r AS (SELECT qid, cid, sim,
                |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
                |      FROM sc)
-               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, ROUND(sim, 5) AS sim
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // Int8 scalar-quantized (SQ8) top-k: both sides quantized at the
@@ -1310,15 +1317,17 @@ object LlmQueries {
             expr("transform(embedding, x -> cast(x as double))").as("v"))
         Similarity.kmeansLloyd(e, "vid", "v", k = 8, iters = 2)
           .select(col("cid"), col("n"),
-            round(element_at(col("c"), 1), 6).as("c1"),
-            round(element_at(col("c"), 2), 6).as("c2"),
-            round(element_at(col("c"), 3), 6).as("c3"))
+            floor(element_at(col("c"), 1) * lit(1000000.0)).cast("long").as("c1_fp"),
+            floor(element_at(col("c"), 2) * lit(1000000.0)).cast("long").as("c2_fp"),
+            floor(element_at(col("c"), 3) * lit(1000000.0)).cast("long").as("c3_fp"))
           .orderBy("cid")
       },
       Some(
         s"""WITH ${dKmeansCtes(8, 2)}
-           |SELECT cid, n, ROUND(c[1], 6) AS c1, ROUND(c[2], 6) AS c2,
-           |  ROUND(c[3], 6) AS c3
+           |SELECT cid, n,
+           |  CAST(floor(c[1] * 1000000.0) AS BIGINT) AS c1_fp,
+           |  CAST(floor(c[2] * 1000000.0) AS BIGINT) AS c2_fp,
+           |  CAST(floor(c[3] * 1000000.0) AS BIGINT) AS c3_fp
            |FROM c2 ORDER BY cid""".stripMargin)),
 
     // CAPSTONE 2 — corpus ORGANIZATION, the step after corpus FILTERING
@@ -1403,24 +1412,26 @@ object LlmQueries {
 
     // Quality scoring: length/word-length/stopword-ratio features combined
     // into a deterministic score.
+    // All three signals are pure-integer fixed point (×10⁴ floor-division;
+    // score in ×10⁶ micro-units = min(n_words,100)·(10⁴ − stop_fp4), an
+    // algebraic identity with the old double form) — no engine-version-
+    // sensitive double ever reaches the output (CLAUDE.md invariant).
     Q("t2_quality_score",
       (s, d) => Tables.documents(s, d)
         .withColumn("toks", TextOps.tokens(col("text")))
-        .withColumn("n_words", size(col("toks")))
-        .withColumn("avg_word_len",
-          round((length(col("text")) - (col("n_words") - 1)) / col("n_words").cast("double"), 4))
-        .withColumn("stop_ratio",
-          round(expr("size(filter(toks, t -> t IN ('the', 'a', 'or')))") /
-            col("n_words").cast("double"), 4))
-        .withColumn("score",
-          round(least(col("n_words") / lit(100.0), lit(1.0)) * (lit(1.0) - col("stop_ratio")), 6))
-        .select("doc_id", "n_words", "avg_word_len", "stop_ratio", "score")
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("avg_word_len_fp4",
+          expr("(length(text) - (n_words - 1)) * 10000L div n_words"))
+        .withColumn("stop_fp4",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'or'))) * 10000L div n_words"))
+        .withColumn("score_fp",
+          expr("least(n_words, 100L) * (10000L - stop_fp4)"))
+        .select("doc_id", "n_words", "avg_word_len_fp4", "stop_fp4", "score_fp")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
-                ROUND((n_chars2 - (n_words - 1)) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
-                ROUND(n_stop / CAST(n_words AS DOUBLE), 4) AS stop_ratio,
-                ROUND(LEAST(n_words / 100.0, 1.0) * (1.0 - ROUND(n_stop / CAST(n_words AS DOUBLE), 4)), 6)
-                  AS score
+      Some("""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                CAST((n_chars2 - (n_words - 1)) * 10000 // n_words AS BIGINT) AS avg_word_len_fp4,
+                CAST(n_stop * 10000 // n_words AS BIGINT) AS stop_fp4,
+                CAST(least(n_words, 100) * (10000 - n_stop * 10000 // n_words) AS BIGINT) AS score_fp
               FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_words, length(text) AS n_chars2,
                       len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'or'))) AS n_stop
                     FROM documents)
@@ -1460,11 +1471,11 @@ object LlmQueries {
         val (nBi, nDi) = repCountCols
         Tables.documents(s, d)
           .select(col("doc_id"), nBi.as("n_bigrams"), nDi.as("n_distinct"),
-            repRatioCol(nBi, nDi).as("rep_ratio"))
+            repPpmCol(nBi, nDi).as("rep_ppm"))
           .orderBy("doc_id")
       },
       Some(
-        s"""SELECT doc_id, n_bigrams, n_distinct, $dRepRatio AS rep_ratio
+        s"""SELECT doc_id, n_bigrams, n_distinct, CAST($dRepPpm AS BIGINT) AS rep_ppm
            |FROM ($dRepCounts)
            |ORDER BY doc_id""".stripMargin)),
 
@@ -1922,7 +1933,13 @@ object LlmQueries {
       (s, d) => {
         val media = graft.operators.Audio.synthCorpus(
           Tables.documents(s, d).filter(col("doc_id") % 10 === 0), "doc_id")
+        // rms is ⌊·10⁶⌋ fixed point at the CATALOG boundary (sqrt is
+        // IEEE-correctly-rounded so the double is bit-identical, but the
+        // no-raw-double-output rule applies to every catalog column); the
+        // operator API keeps the double.
         graft.operators.Audio.wavFeatures(media, "media_id", "audio")
+          .withColumn("rms_fp", floor(col("rms") * lit(1000000.0)).cast("long"))
+          .drop("rms")
           .orderBy("media_id")
       },
       Some("""WITH p AS (SELECT doc_id, 800 + doc_id % 400 AS n,
@@ -1942,7 +1959,8 @@ object LlmQueries {
              |  CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS zero_crossings,
              |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
-             |  sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+             |  CAST(floor(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) * 1000000.0) AS BIGINT)
+             |    AS rms_fp
              |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
     // ——— Corpus layout ———————————————————————————————————————————————————

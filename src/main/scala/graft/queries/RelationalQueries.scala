@@ -62,10 +62,14 @@ object RelationalQueries {
         .withColumn("disc_n", expr("nullif(l_discount, 0.0)"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), count(col("disc_n")).as("n_disc"),
-          round(avg(col("disc_n")), 6).as("avg_disc"))
+          // exact: DECIMAL(18,2) sum (discounts are 2-dec) over the
+          // non-null count, one bit-identical double division — never a
+          // raw-double sum or round() output (CLAUDE.md invariant)
+          (sum(col("disc_n").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(col("disc_n"))).as("avg_disc"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(*) AS n_rows, COUNT(disc_n) AS n_disc,
-                ROUND(AVG(disc_n), 6) AS avg_disc
+                (CAST(SUM(CAST(disc_n AS DECIMAL(18,2))) AS DOUBLE) / COUNT(disc_n)) AS avg_disc
               FROM (SELECT l_returnflag, NULLIF(l_discount, 0.0) AS disc_n FROM lineitem)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -116,14 +120,19 @@ object RelationalQueries {
         val ratio = when(col("l_discount") =!= 0.0, col("l_extendedprice") / col("l_discount"))
           .otherwise(lit(Double.PositiveInfinity))
         val cleaned = when(ratio === Double.PositiveInfinity, lit(null)).otherwise(ratio)
+        // per-row ⌊r·100⌋ cents (bit-identical double ratio, exact floor),
+        // then an EXACT integer mean (long sum, floor division) — no
+        // order-sensitive double sum, no round() output
         L(s, d).withColumn("r", cleaned)
+          .withColumn("r_cents", floor(col("r") * lit(100.0)).cast("long"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_rows"), (count(lit(1)) - count(col("r"))).as("n_nulled"),
-            round(avg(col("r")), 2).as("avg_ratio"))
+            expr("sum(r_cents) div count(r_cents)").as("avg_ratio_cents"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n_rows, COUNT(*) - COUNT(r) AS n_nulled,
-                ROUND(AVG(r), 2) AS avg_ratio
+                CAST(SUM(CAST(floor(r * 100.0) AS BIGINT))
+                     // COUNT(CASE WHEN r IS NOT NULL THEN 1 END) AS BIGINT) AS avg_ratio_cents
               FROM (SELECT l_returnflag,
                       CASE WHEN isinf(CASE WHEN l_discount = 0 THEN 'infinity'::DOUBLE
                                            ELSE l_extendedprice / l_discount END)
@@ -407,11 +416,12 @@ object RelationalQueries {
       (s, d) => L(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), moneyAvg(col("l_quantity")).as("avg_qty"),
-          round(median(col("l_extendedprice")), 4).as("med_price"))
+          floor(median(col("l_extendedprice")) * lit(10000.0)).cast("long")
+            .as("med_price_fp"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
                  ${sqlMoneyAvg("l_quantity")} AS avg_qty,
-                 ROUND(MEDIAN(l_extendedprice), 4) AS med_price
+                 CAST(floor(MEDIAN(l_extendedprice) * 10000.0) AS BIGINT) AS med_price_fp
                FROM lineitem GROUP BY l_returnflag, l_linestatus
                ORDER BY l_returnflag, l_linestatus""")),
 
@@ -492,12 +502,16 @@ object RelationalQueries {
     Q("a13_capped_mean",
       (s, d) => O(s, d)
         .groupBy("o_orderstatus")
-        .agg(round(avg(least(datediff(to_date(lit("1998-01-01")), to_date(col("o_orderdate"))),
-          lit(30))), 6).as("avg_capped_age"))
+        // integer day-diff sums -> exact ppm mean (floor division), not a
+        // round()-of-double average
+        .agg(graft.operators.TextOps.divPpm(
+            sum(least(datediff(to_date(lit("1998-01-01")), to_date(col("o_orderdate"))),
+              lit(30)).cast("long")), count(lit(1)))
+          .as("avg_capped_age_ppm"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus,
-                ROUND(AVG(LEAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01'), 30)), 6)
-                  AS avg_capped_age
+                CAST(SUM(LEAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01'), 30))
+                     * 1000000 // COUNT(*) AS BIGINT) AS avg_capped_age_ppm
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     Q("a14_top1000_mean",

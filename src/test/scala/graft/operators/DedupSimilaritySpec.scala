@@ -29,7 +29,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val found = pairs.filter($"id2" === $"id1" + 10000).count()
     assert(found == 50, s"expected all 50 planted near-dups, found $found")
     // and high precision: verified Jaccard is genuinely >= threshold
-    assert(pairs.filter($"jac" < 0.5).count() == 0)
+    assert(pairs.filter($"jac_ppm" < 500000L).count() == 0)
   }
 
   test("incrementalExactDedup == full exactDedup restricted to new content (d12)") {
@@ -85,10 +85,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val full = Dedup.minhashLshPairs(docs.unionByName(newBatch), "doc_id", "toks",
         k = 16, bands = 8, threshold = 0.5, w = 3)
       .filter($"id2" >= 1000000)
-    assert(inc.select("id1", "id2", "jac").exceptAll(
-      full.select("id1", "id2", "jac")).count() == 0)
-    assert(full.select("id1", "id2", "jac").exceptAll(
-      inc.select("id1", "id2", "jac")).count() == 0)
+    assert(inc.select("id1", "id2", "jac_ppm").exceptAll(
+      full.select("id1", "id2", "jac_ppm")).count() == 0)
+    assert(full.select("id1", "id2", "jac_ppm").exceptAll(
+      inc.select("id1", "id2", "jac_ppm")).count() == 0)
     // both pair kinds are present and labeled by side
     val cross = inc.filter($"src" === "cross")
     val within = inc.filter($"src" === "new")
@@ -96,7 +96,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cross.filter($"id1" >= 1000000).count() == 0, "cross id1 is the corpus side")
     assert(within.filter($"id1" < 1000000).count() == 0)
     // the two identical variants of each 20th doc pair at jaccard 1.0
-    assert(within.filter($"id2" === $"id1" + 1000000 && $"jac" === 1.0).count() ==
+    assert(within.filter($"id2" === $"id1" + 1000000 && $"jac_ppm" === 1000000L).count() ==
       docs.filter($"doc_id" % 20 === 0).count())
     inc.unpersist()
   }
@@ -118,7 +118,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val top = Similarity.bruteForceTopK(q, c, 3)
     assert(top.count() == 30)
     assert(top.filter($"qid" === $"cid").count() == 0)
-    assert(top.filter($"sim" > 1.0001 || $"sim" < -1.0001).count() == 0)
+    assert(top.filter($"sim_fp" > 100000L || $"sim_fp" < -100000L).count() == 0)
   }
 
   test("lshTopK achieves reasonable recall@1 vs brute force") {

@@ -34,7 +34,7 @@ class SemDedupSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("dup_of") === 1L)
     assert(byId(3L).getAs[Long]("dup_of") === 1L)
     assert(byId(11L).getAs[Long]("dup_of") === 10L)
-    assert(byId(2L).getAs[Double]("max_sim") > 0.999)
+    assert(byId(2L).getAs[Long]("max_sim_fp") > 999000L)
   }
 
   test("threshold gates removal: nothing at tau above any pair sim") {
@@ -102,7 +102,9 @@ class SemDedupSpec extends SparkSpec {
     assert(byId.keySet === Set(101L, 103L))
     assert(byId(101L).getAs[Long]("dup_of") === 1L)     // vs the corpus
     assert(byId(103L).getAs[Long]("dup_of") === 102L)   // within the batch
-    assert(byId(103L).getAs[Double]("max_sim") === 1.0)
+    // identical vectors: cosine evaluates to 1.0 − ulp (dot/(‖·‖‖·‖) in
+    // doubles), so ⌊sim·10⁶⌋ is 999999 or 1000000 depending on dims
+    assert(byId(103L).getAs[Long]("max_sim_fp") >= 999999L)
   }
 
   test("default and pinned agree when pinned uses the derived k") {
