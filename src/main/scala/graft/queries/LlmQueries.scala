@@ -1881,6 +1881,96 @@ object LlmQueries {
              |   OR coalesce(dup5c, 0) * 10 > t.nc) AS rep_flagged
              |FROM tv t LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Exact duplicated-SUBSTRING spans (sub-document dedup — the
+    // suffix-window approximation of Lee et al. 2022): every 40-char
+    // sliding window that repeats ANYWHERE in the corpus marks all but its
+    // global first occurrence; overlapping marks merge into maximal
+    // per-doc islands. One codegen'd window kernel
+    // (functions/SlidingWindows) + ONE shuffle keyed on the window VALUE
+    // (content-derived key space — grows with the corpus, CLAUDE.md
+    // bucketed-similarity invariant) + one per-doc ordered pass (equal
+    // span lengths make the island test a plain lag).
+    Q("d16_substring_dedup",
+      (s, d) => Dedup.substringDedupSpans(
+          Tables.documents(s, d), "doc_id", "text", w = 40)
+        .orderBy("doc_id"),
+      Some("""WITH pos AS (SELECT doc_id, text,
+             |         unnest(range(1, greatest(length(text) - 38, 1)))::BIGINT AS s
+             |       FROM documents),
+             |wins AS (SELECT doc_id, s,
+             |           substr(text, CAST(s AS INTEGER), 40) AS win FROM pos),
+             |dups AS (SELECT doc_id, s, s + 40 AS e
+             |         FROM (SELECT doc_id, s,
+             |                 ROW_NUMBER() OVER (PARTITION BY win
+             |                   ORDER BY doc_id, s) AS rn,
+             |                 COUNT(*) OVER (PARTITION BY win) AS cnt
+             |               FROM wins)
+             |         WHERE cnt > 1 AND rn > 1),
+             |isl AS (SELECT doc_id, s, e,
+             |          CASE WHEN lag(e) OVER w IS NULL OR s > lag(e) OVER w
+             |               THEN 1 ELSE 0 END AS st
+             |        FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+             |spans AS (SELECT doc_id, isle, MIN(s) AS ms, MAX(e) AS me
+             |          FROM (SELECT doc_id, s, e,
+             |                  SUM(st) OVER (PARTITION BY doc_id ORDER BY s
+             |                    ROWS UNBOUNDED PRECEDING) AS isle
+             |                FROM isl)
+             |          GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+             |          CAST(SUM(me - ms) AS BIGINT) AS dup_chars
+             |        FROM spans GROUP BY 1)
+             |SELECT d.doc_id, length(d.text) AS total_chars,
+             |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+             |  coalesce(a.dup_chars, 0) AS dup_chars,
+             |  length(d.text) - coalesce(a.dup_chars, 0) AS kept_chars
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Gopher-style quality rule battery (Rae et al. 2021, §A1.1): word
+    // count bounds, mean-word-length band, alpha-word fraction, stopword
+    // presence, short-word fraction. The canonical pre-training quality
+    // gate as ONE codegen'd projection; every signal integer fixed-point
+    // (no-raw-double-output rule).
+    Q("t12_gopher_rules",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("mean_word_fp2",
+          expr("(length(text) - (n_words - 1)) * 100L div n_words"))
+        .withColumn("alpha_ppm",
+          expr("size(filter(toks, t -> t rlike '[a-z]')) * 1000000L div n_words"))
+        .withColumn("short_ppm",
+          expr("size(filter(toks, t -> length(t) <= 2)) * 1000000L div n_words"))
+        .withColumn("stop_hits",
+          expr("size(filter(array('the','a','of','and','to','in','is','that'), " +
+            "w -> array_contains(toks, w)))").cast("long"))
+        .withColumn("gopher_keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_word_fp2") >= 300 && col("mean_word_fp2") <= 1000 &&
+            col("alpha_ppm") >= 800000 && col("stop_hits") >= 2)
+        .select("doc_id", "n_words", "mean_word_fp2", "alpha_ppm",
+          "short_ppm", "stop_hits", "gopher_keep")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  CAST((n_chars2 - (n_words - 1)) * 100 // n_words AS BIGINT) AS mean_word_fp2,
+             |  CAST(n_alpha * 1000000 // n_words AS BIGINT) AS alpha_ppm,
+             |  CAST(n_short * 1000000 // n_words AS BIGINT) AS short_ppm,
+             |  CAST(n_stop AS BIGINT) AS stop_hits,
+             |  (n_words >= 50 AND n_words <= 100000
+             |   AND (n_chars2 - (n_words - 1)) * 100 // n_words BETWEEN 300 AND 1000
+             |   AND n_alpha * 1000000 // n_words >= 800000
+             |   AND n_stop >= 2) AS gopher_keep
+             |FROM (SELECT doc_id, length(text) AS n_chars2,
+             |        len(string_split(text, ' ')) AS n_words,
+             |        len(list_filter(string_split(text, ' '),
+             |          t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             |        len(list_filter(string_split(text, ' '),
+             |          t -> length(t) <= 2)) AS n_short,
+             |        len(list_filter(['the','a','of','and','to','in','is','that'],
+             |          w -> list_contains(string_split(text, ' '), w))) AS n_stop
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level

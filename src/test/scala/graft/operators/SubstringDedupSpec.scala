@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.SlidingWindows
+
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SlidingWindows emits every w-codepoint window, stride 1") {
+    val out = Seq("abcdef", "abc", "ab", "", "héllo!").toDF("t")
+      .select(SlidingWindows.slidingWindows($"t", 3).as("w"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("abc", "bcd", "cde", "def"))
+    assert(out(1) == Seq("abc"))
+    assert(out(2) == Seq.empty)          // shorter than w
+    assert(out(3) == Seq.empty)
+    // code-point (not byte) windows across a 2-byte UTF-8 char
+    assert(out(4) == Seq("hél", "éll", "llo", "lo!"))
+  }
+
+  test("SlidingWindows null in, null out") {
+    val out = Seq[Option[String]](None, Some("abcd")).toDF("t")
+      .select(SlidingWindows.slidingWindows($"t", 2).as("w"))
+      .collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getSeq[String](0) == Seq("ab", "bc", "cd"))
+  }
+
+  test("substringDedupSpans marks all-but-first occurrences and merges islands") {
+    // doc 0: original. doc 1: repeats a 12-char passage of doc 0 twice,
+    // separated, inside otherwise-unique text. doc 2: unique.
+    // w=8 → the repeated passage produces 5 overlapping dup windows per
+    // occurrence that must merge into ONE island each of length 12.
+    val docs = Seq(
+      (0L, "0123456789AB-unique-tail-zero"),
+      (1L, "xx0123456789ABy1y2y3y4y50123456789ABzz"),
+      (2L, "totally-different-content-here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupSpans(docs, "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect()
+
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0 holds the first occurrences → zero dup spans
+    assert(byId(0L).getAs[Long]("n_dup_spans") == 0L)
+    assert(byId(0L).getAs[Long]("dup_chars") == 0L)
+    // doc 1: both later occurrences of the passage are islands of 12 chars
+    assert(byId(1L).getAs[Long]("n_dup_spans") == 2L)
+    assert(byId(1L).getAs[Long]("dup_chars") == 24L)
+    assert(byId(1L).getAs[Long]("kept_chars") ==
+      byId(1L).getAs[Long]("total_chars") - 24L)
+    assert(byId(2L).getAs[Long]("n_dup_spans") == 0L)
+  }
+
+  test("substringDedupSpans keeps zero-dup docs and conserves totals on the corpus") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val out = Dedup.substringDedupSpans(docs, "doc_id", "text", w = 40)
+    assert(out.count() == docs.count())  // no doc dropped
+    val bad = out.filter($"kept_chars" + $"dup_chars" =!= $"total_chars" ||
+      $"dup_chars" < 0 || $"kept_chars" < 0).count()
+    assert(bad == 0)
+    // the synthetic corpus genuinely contains repeated 40-char passages
+    assert(out.filter($"n_dup_spans" > 0).count() > 0)
+  }
+}
