@@ -18,6 +18,13 @@ import QH._
   */
 object LlmQueries {
 
+  /** d16b's batch-only shared boilerplate tail (> 40 chars so it produces
+    * within-batch duplicate windows the corpus index has never seen);
+    * single-quoted verbatim into the oracle SQL, so keep it apostrophe- and
+    * backslash-free. */
+  private val d16Boiler =
+    " graft batch shared boilerplate tail for within-batch duplicate span detection"
+
   /** Drop-last-two-words transform for planted near-copies, let-bound so
     * split(text) evaluates once (CLAUDE.md letSql rule). */
   private val dropTwoSql: String = TextOps.letSql("toks", "tv") { tv =>
@@ -1925,6 +1932,70 @@ object LlmQueries {
              |  length(d.text) - coalesce(a.dup_chars, 0) AS kept_chars
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // INCREMENTAL substring dedup vs the persisted window index (the d16
+    // twin of d11/d12): a new batch — 50 full re-uploads + 71 docs that
+    // embed a 60-char chunk of an indexed doc inside fresh text ending in
+    // a shared batch-only boilerplate tail — is marked against the corpus
+    // via ONE probe join on the distinct-window index (corpus text never
+    // rescanned) plus a within-batch first-occurrence pass. The oracle
+    // replays the equivalent full pass over corpus ∪ batch restricted to
+    // batch docs (exact because batch ids sort after corpus ids;
+    // SubstringDedupSpec pins the equivalence).
+    Q("d16b_incremental_substring",
+      (s, d) => {
+        val corpus = Tables.documents(s, d).select("doc_id", "text")
+        val newBatch = corpus.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(lit("fresh-"), col("doc_id"), lit("-wrap "),
+                substring(col("text"), 1, 60), lit(d16Boiler)).as("text")))
+        val index = Dedup.substringWindowIndex(corpus, "text", w = 40)
+        Dedup.incrementalSubstringSpans(newBatch, index, "doc_id", "text", w = 40)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents),
+             |newb AS (SELECT doc_id + 1000000 AS doc_id, text FROM base
+             |         WHERE doc_id % 10 = 0
+             |         UNION ALL
+             |         SELECT doc_id + 2000000 AS doc_id,
+             |           'fresh-' || CAST(doc_id AS VARCHAR) || '-wrap '
+             |             || substr(text, 1, 60) || '$d16Boiler' AS text
+             |         FROM base WHERE doc_id % 7 = 3),
+             |allu AS (SELECT doc_id, text FROM base
+             |         UNION ALL SELECT doc_id, text FROM newb),
+             |pos AS (SELECT doc_id, text,
+             |         unnest(range(1, greatest(length(text) - 38, 1)))::BIGINT AS s
+             |       FROM allu),
+             |wins AS (SELECT doc_id, s,
+             |           substr(text, CAST(s AS INTEGER), 40) AS win FROM pos),
+             |dups AS (SELECT doc_id, s, s + 40 AS e
+             |         FROM (SELECT doc_id, s,
+             |                 ROW_NUMBER() OVER (PARTITION BY win
+             |                   ORDER BY doc_id, s) AS rn,
+             |                 COUNT(*) OVER (PARTITION BY win) AS cnt
+             |               FROM wins)
+             |         WHERE cnt > 1 AND rn > 1 AND doc_id >= 1000000),
+             |isl AS (SELECT doc_id, s, e,
+             |          CASE WHEN lag(e) OVER w IS NULL OR s > lag(e) OVER w
+             |               THEN 1 ELSE 0 END AS st
+             |        FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+             |spans AS (SELECT doc_id, isle, MIN(s) AS ms, MAX(e) AS me
+             |          FROM (SELECT doc_id, s, e,
+             |                  SUM(st) OVER (PARTITION BY doc_id ORDER BY s
+             |                    ROWS UNBOUNDED PRECEDING) AS isle
+             |                FROM isl)
+             |          GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+             |          CAST(SUM(me - ms) AS BIGINT) AS dup_chars
+             |        FROM spans GROUP BY 1)
+             |SELECT n.doc_id, length(n.text) AS total_chars,
+             |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+             |  coalesce(a.dup_chars, 0) AS dup_chars,
+             |  length(n.text) - coalesce(a.dup_chars, 0) AS kept_chars
+             |FROM newb n LEFT JOIN agg a USING (doc_id)
+             |ORDER BY n.doc_id""".stripMargin)),
 
     // Gopher-style quality rule battery (Rae et al. 2021, §A1.1): word
     // count bounds, mean-word-length band, alpha-word fraction, stopword

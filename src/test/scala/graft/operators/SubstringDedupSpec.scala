@@ -53,6 +53,48 @@ class SubstringDedupSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("n_dup_spans") == 0L)
   }
 
+  test("incrementalSubstringSpans hits the index, batch-first survives, fresh text clean") {
+    // strings chosen with NO accidental shared 8-grams beyond the planted
+    // regions (longest unplanned common run is " corpus"/" 012345…" edges
+    // < 8 chars)
+    val corpus = Seq((0L, "corpusz 0123456789AB corpusq corpusr yy")).toDF("doc_id", "text")
+    val batch = Seq(
+      // embeds the indexed " 0123456789AB " region → dup span via the index
+      (10L, "newhead1 0123456789AB newtail9 abcdefgh"),
+      // batch-only shared passage: first occurrence (doc 11) survives,
+      // second (doc 12) is a within-batch dup
+      (11L, "blockqrstuvwx-shared11 eleven-only-tail"),
+      (12L, "twelve-start blockqrstuvwx-shared11 end"),
+      (13L, "freshxyz unseen13 totally-new-material7")
+    ).toDF("doc_id", "text")
+    val index = Dedup.substringWindowIndex(corpus, "text", w = 8)
+    val out = Dedup.incrementalSubstringSpans(batch, index, "doc_id", "text", w = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(10L).getAs[Long]("n_dup_spans") == 1L)   // indexed passage found
+    assert(out(10L).getAs[Long]("dup_chars") >= 12L)
+    assert(out(11L).getAs[Long]("n_dup_spans") == 0L)   // batch-first kept
+    assert(out(12L).getAs[Long]("n_dup_spans") == 1L)   // within-batch dup
+    assert(out(13L).getAs[Long]("dup_chars") == 0L)     // fresh doc untouched
+  }
+
+  test("incrementalSubstringSpans == full pass over corpus ∪ batch restricted to batch") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      .unionByName(corpus.filter($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          concat(lit("fresh-"), $"doc_id", lit("-wrap "),
+            substring($"text", 1, 60),
+            lit(" shared-tail-boilerplate-for-batch-dup-spans")).as("text")))
+    val index = Dedup.substringWindowIndex(corpus, "text", w = 40)
+    val inc = Dedup.incrementalSubstringSpans(batch, index, "doc_id", "text", w = 40)
+    val full = Dedup.substringDedupSpans(corpus.unionByName(batch), "doc_id", "text", w = 40)
+      .filter($"doc_id" >= 1000000)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    // the fixture genuinely exercises both legs
+    assert(inc.filter($"dup_chars" > 0).count() > 0)
+  }
+
   test("substringDedupSpans keeps zero-dup docs and conserves totals on the corpus") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val out = Dedup.substringDedupSpans(docs, "doc_id", "text", w = 40)
