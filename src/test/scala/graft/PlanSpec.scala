@@ -292,6 +292,32 @@ class PlanSpec extends SparkSpec {
     assert(n == 3, s"redaction chain duplicated ($n occurrences):\n${p.take(3000)}")
   }
 
+  test("substring-dedup duplicate test shuffles on the window value (d16)") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val out = graft.operators.Dedup.substringDedupSpans(docs, "doc_id", "text", 40)
+    val p = plan(out)
+    // the duplicate test must key its one corpus-wide exchange on the
+    // window VALUE — a content-derived key space that grows with the
+    // corpus; any fixed-cardinality key here would be the hidden-quadratic
+    // anti-pattern (CLAUDE.md bucketed-similarity invariant)
+    assert("hashpartitioning\\(__win".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("incremental substring probe joins on the window value (d16b)") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.Dedup.substringWindowIndex(corpus, "text", 40)
+    val out = graft.operators.Dedup.incrementalSubstringSpans(
+      batch, index, "doc_id", "text", 40)
+    val p = plan(out)
+    // the index probe is an equi-join keyed on the window value; the
+    // corpus appears ONLY through its distinct-window index (one scan
+    // under an aggregate), never as a second text scan
+    assert("Join \\[__win#\\d+\\], \\[__win#\\d+\\]".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
   test("k-means assignment broadcasts the k centroid rows (s5)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())
