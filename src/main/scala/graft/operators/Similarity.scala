@@ -672,9 +672,44 @@ object Similarity {
              nSub: Int, kCodes: Int, iters: Int): DataFrame = {
     val cb = pqCodebook(corpus, "cid", "cvec", dim, nSub, kCodes, iters)
     val codes = pqEncode(corpus, cb, "cid", "cvec", dim, nSub)
-    val luts = pqLut(queries, cb, "qid", "qvec", dim, nSub, kCodes)
+    pqTopKIndexed(queries, cb, codes, k, dim, nSub, kCodes)
+  }
+
+  /** Flat PQ search against PREBUILT artifacts — the production search
+    * path: codebook + encoded codes come from a persisted store
+    * ([[pqCodebook]] / [[pqEncode]] run once at index-build time), so a
+    * search pays only its own LUT (nSub·kCodes doubles, broadcast) and the
+    * code scan. Bit-identical to [[pqTopK]] over the same corpus (PqSpec
+    * pins it). */
+  def pqTopKIndexed(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+                    k: Int, dim: Int, nSub: Int, kCodes: Int): DataFrame = {
+    val luts = pqLut(queries, codebook, "qid", "qvec", dim, nSub, kCodes)
     pqScore(codes.crossJoin(broadcast(luts))
       .filter(col("qid") =!= col("cid")), k, kCodes)
+  }
+
+  /** Cell-keyed PQ code store — the persisted IVFPQ index payload: every
+    * corpus vector's nearest coarse cell plus its nSub-byte codes. Built
+    * once at index time; [[ivfPqTopKIndexed]] probes it per search. */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                 codes: DataFrame): DataFrame =
+    nearestCells(centroids)(corpus, "cvec", "cid", 1)
+      .select("cell", "cid").join(codes, Seq("cid"))
+
+  /** IVF-PQ search against PREBUILT artifacts ([[ivfPqIndex]] +
+    * [[pqCodebook]]): per search only the query-side cell probe, LUT
+    * build, and the cell-keyed candidate join run. Bit-identical to
+    * [[ivfPqTopK]] over the same corpus (PqSpec pins it). */
+  def ivfPqTopKIndexed(queries: DataFrame, codebook: DataFrame,
+                       cellCodes: DataFrame, centroids: DataFrame,
+                       k: Int, nProbe: Int, dim: Int, nSub: Int,
+                       kCodes: Int): DataFrame = {
+    val luts = pqLut(queries, codebook, "qid", "qvec", dim, nSub, kCodes)
+    val qProbe = nearestCells(centroids)(queries, "qvec", "qid", nProbe)
+      .select("cell", "qid").join(broadcast(luts), Seq("qid"))
+    pqScore(cellCodes.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid"), k, kCodes)
   }
 
   /** IVF-PQ — coarse cells bound WHAT the search join scans (float cell
@@ -688,14 +723,8 @@ object Similarity {
                 iters: Int): DataFrame = {
     val cb = pqCodebook(corpus, "cid", "cvec", dim, nSub, kCodes, iters)
     val codes = pqEncode(corpus, cb, "cid", "cvec", dim, nSub)
-    val cAssign = nearestCells(centroids)(corpus, "cvec", "cid", 1)
-      .select("cell", "cid").join(codes, Seq("cid"))
-    val luts = pqLut(queries, cb, "qid", "qvec", dim, nSub, kCodes)
-    val qProbe = nearestCells(centroids)(queries, "qvec", "qid", nProbe)
-      .select("cell", "qid").join(broadcast(luts), Seq("qid"))
-    pqScore(cAssign.join(broadcast(qProbe), Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid"), k, kCodes)
+    ivfPqTopKIndexed(queries, cb, ivfPqIndex(corpus, centroids, codes),
+      centroids, k, nProbe, dim, nSub, kCodes)
   }
 
   /** ADC rank + top-k: qdist is the approximate squared L2 distance, so

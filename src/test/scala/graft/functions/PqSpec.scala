@@ -113,6 +113,33 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("indexed search == full search over the same corpus (pq + ivfpq)") {
+    // the persisted-artifact path (codebook/codes/cell store prebuilt) must
+    // be bit-identical to the build-inline path — it is the same math, and
+    // this is what lets the catalog warm the artifacts untimed
+    val corpus = vecs.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val queries = vecs.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select($"vec_id".as("qid"), $"v".as("qvec"))
+    val centroids = vecs.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("centvec"))
+    val cb = Similarity.pqCodebook(corpus, "cid", "cvec",
+      dim = 64, nSub = 4, kCodes = 16, iters = 2)
+    val codes = Similarity.pqEncode(corpus, cb, "cid", "cvec", dim = 64, nSub = 4)
+
+    val fullPq = Similarity.pqTopK(queries, corpus, k = 3,
+      dim = 64, nSub = 4, kCodes = 16, iters = 2)
+    val idxPq = Similarity.pqTopKIndexed(queries, cb, codes, k = 3,
+      dim = 64, nSub = 4, kCodes = 16)
+    assert(fullPq.exceptAll(idxPq).isEmpty && idxPq.exceptAll(fullPq).isEmpty)
+
+    val cellCodes = Similarity.ivfPqIndex(corpus, centroids, codes)
+    val fullIvf = Similarity.ivfPqTopK(queries, corpus, centroids,
+      k = 3, nProbe = 2, dim = 64, nSub = 4, kCodes = 16, iters = 2)
+    val idxIvf = Similarity.ivfPqTopKIndexed(queries, cb, cellCodes, centroids,
+      k = 3, nProbe = 2, dim = 64, nSub = 4, kCodes = 16)
+    assert(fullIvf.exceptAll(idxIvf).isEmpty && idxIvf.exceptAll(fullIvf).isEmpty)
+  }
+
   test("IVF-PQ stays cell-keyed and surfaces copies through their shared cell") {
     val copies = vecs.filter($"vec_id" >= 100 && $"vec_id" < 110)
       .select(($"vec_id" + 10000).as("vec_id"), $"v")
