@@ -72,6 +72,27 @@ object LlmQueries {
       built
     }
 
+  /** Gopher rule battery columns (t12 + llm_corpus_clean): adds n_words /
+    * mean_word_fp2 / alpha_ppm / short_ppm / stop_hits / gopher_keep over
+    * a (doc_id, text, …) frame — all integer fixed-point. */
+  private def gopherCols(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docs
+    .withColumn("toks", TextOps.tokens(col("text")))
+    .withColumn("n_words", size(col("toks")).cast("long"))
+    .withColumn("mean_word_fp2",
+      expr("(length(text) - (n_words - 1)) * 100L div n_words"))
+    .withColumn("alpha_ppm",
+      expr("size(filter(toks, t -> t rlike '[a-z]')) * 1000000L div n_words"))
+    .withColumn("short_ppm",
+      expr("size(filter(toks, t -> length(t) <= 2)) * 1000000L div n_words"))
+    .withColumn("stop_hits",
+      expr("size(filter(array('the','a','of','and','to','in','is','that'), " +
+        "w -> array_contains(toks, w)))").cast("long"))
+    .withColumn("gopher_keep",
+      col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_fp2") >= 300 && col("mean_word_fp2") <= 1000 &&
+        col("alpha_ppm") >= 800000 && col("stop_hits") >= 2)
+
   /** Drop-last-two-words transform for planted near-copies, let-bound so
     * split(text) evaluates once (CLAUDE.md letSql rule). */
   private val dropTwoSql: String = TextOps.letSql("toks", "tv") { tv =>
@@ -2053,28 +2074,93 @@ object LlmQueries {
       // because the query's fn builds it on demand
       setup = Some((s, d) => { d16Index(s, d); () })),
 
+    // Corpus-clean capstone: the r11 family composed into one per-doc
+    // verdict over a corpus with planted exact re-uploads — d1 canonical
+    // selection (min-id per content hash), d16 duplicated-substring spans
+    // (clean_chars), t12 Gopher gate, and a <50%-duplicated rule. The
+    // planted copies exercise every leg at once: a copy is non-canonical
+    // AND 100% dup-covered, its original stays canonical with 0 dup chars.
+    Q("llm_corpus_clean",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val uni = docs.unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val sub = Dedup.substringDedupSpans(uni, "doc_id", "text", w = 40)
+          .select(col("doc_id"), col("total_chars"), col("dup_chars"),
+            col("kept_chars").as("clean_chars"))
+        val canon = uni.withColumn("is_canonical",
+            col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+          .select("doc_id", "is_canonical")
+        val gop = gopherCols(uni).select("doc_id", "gopher_keep")
+        sub.join(canon, Seq("doc_id")).join(gop, Seq("doc_id"))
+          .withColumn("final_keep",
+            col("gopher_keep") && col("is_canonical") &&
+              col("clean_chars") * 2 > col("total_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH uni AS (SELECT doc_id, text FROM documents
+             |             UNION ALL
+             |             SELECT doc_id + 1000000 AS doc_id, text
+             |             FROM documents WHERE doc_id % 13 = 0),
+             |pos AS (SELECT doc_id, text,
+             |         unnest(range(1, greatest(length(text) - 38, 1)))::BIGINT AS s
+             |       FROM uni),
+             |wins AS (SELECT doc_id, s,
+             |           substr(text, CAST(s AS INTEGER), 40) AS win FROM pos),
+             |dups AS (SELECT doc_id, s, s + 40 AS e
+             |         FROM (SELECT doc_id, s,
+             |                 ROW_NUMBER() OVER (PARTITION BY win
+             |                   ORDER BY doc_id, s) AS rn,
+             |                 COUNT(*) OVER (PARTITION BY win) AS cnt
+             |               FROM wins)
+             |         WHERE cnt > 1 AND rn > 1),
+             |isl AS (SELECT doc_id, s, e,
+             |          CASE WHEN lag(e) OVER w IS NULL OR s > lag(e) OVER w
+             |               THEN 1 ELSE 0 END AS st
+             |        FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+             |spans AS (SELECT doc_id, isle, MIN(s) AS ms, MAX(e) AS me
+             |          FROM (SELECT doc_id, s, e,
+             |                  SUM(st) OVER (PARTITION BY doc_id ORDER BY s
+             |                    ROWS UNBOUNDED PRECEDING) AS isle
+             |                FROM isl)
+             |          GROUP BY 1, 2),
+             |sub AS (SELECT doc_id, CAST(SUM(me - ms) AS BIGINT) AS dup_chars
+             |        FROM spans GROUP BY 1),
+             |canon AS (SELECT doc_id,
+             |            (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)))
+             |              AS is_canonical
+             |          FROM uni),
+             |gopher AS (SELECT doc_id,
+             |  (n_words >= 50 AND n_words <= 100000
+             |   AND (n_chars2 - (n_words - 1)) * 100 // n_words BETWEEN 300 AND 1000
+             |   AND n_alpha * 1000000 // n_words >= 800000
+             |   AND n_stop >= 2) AS gopher_keep
+             | FROM (SELECT doc_id, length(text) AS n_chars2,
+             |        len(string_split(text, ' ')) AS n_words,
+             |        len(list_filter(string_split(text, ' '),
+             |          t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             |        len(list_filter(['the','a','of','and','to','in','is','that'],
+             |          w -> list_contains(string_split(text, ' '), w))) AS n_stop
+             |      FROM uni))
+             |SELECT u.doc_id, length(u.text) AS total_chars,
+             |  coalesce(sub.dup_chars, 0) AS dup_chars,
+             |  length(u.text) - coalesce(sub.dup_chars, 0) AS clean_chars,
+             |  c.is_canonical, g.gopher_keep,
+             |  (g.gopher_keep AND c.is_canonical
+             |   AND (length(u.text) - coalesce(sub.dup_chars, 0)) * 2
+             |       > length(u.text)) AS final_keep
+             |FROM uni u LEFT JOIN sub USING (doc_id)
+             |JOIN canon c USING (doc_id) JOIN gopher g USING (doc_id)
+             |ORDER BY u.doc_id""".stripMargin)),
+
     // Gopher-style quality rule battery (Rae et al. 2021, §A1.1): word
     // count bounds, mean-word-length band, alpha-word fraction, stopword
     // presence, short-word fraction. The canonical pre-training quality
     // gate as ONE codegen'd projection; every signal integer fixed-point
     // (no-raw-double-output rule).
     Q("t12_gopher_rules",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .withColumn("n_words", size(col("toks")).cast("long"))
-        .withColumn("mean_word_fp2",
-          expr("(length(text) - (n_words - 1)) * 100L div n_words"))
-        .withColumn("alpha_ppm",
-          expr("size(filter(toks, t -> t rlike '[a-z]')) * 1000000L div n_words"))
-        .withColumn("short_ppm",
-          expr("size(filter(toks, t -> length(t) <= 2)) * 1000000L div n_words"))
-        .withColumn("stop_hits",
-          expr("size(filter(array('the','a','of','and','to','in','is','that'), " +
-            "w -> array_contains(toks, w)))").cast("long"))
-        .withColumn("gopher_keep",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mean_word_fp2") >= 300 && col("mean_word_fp2") <= 1000 &&
-            col("alpha_ppm") >= 800000 && col("stop_hits") >= 2)
+      (s, d) => gopherCols(Tables.documents(s, d))
         .select("doc_id", "n_words", "mean_word_fp2", "alpha_ppm",
           "short_ppm", "stop_hits", "gopher_keep")
         .orderBy("doc_id"),
