@@ -2006,6 +2006,52 @@ object LlmQueries {
              |FROM documents d LEFT JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // The REMOVAL step downstream of d16's measurement: rebuild each doc
+    // from the gaps between its merged duplicate islands (one lag for gap
+    // starts, one deterministic ordered fold, tail re-attach). md5 of the
+    // rebuilt text proves BYTES, not lengths — same proof style as t6.
+    Q("d16c_substring_removal",
+      (s, d) => Dedup.substringDedupCleanText(
+          Tables.documents(s, d), "doc_id", "text", w = 40)
+        .orderBy("doc_id"),
+      Some("""WITH pos AS (SELECT doc_id, text,
+             |         unnest(range(1, greatest(length(text) - 38, 1)))::BIGINT AS s
+             |       FROM documents),
+             |wins AS (SELECT doc_id, s,
+             |           substr(text, CAST(s AS INTEGER), 40) AS win FROM pos),
+             |dups AS (SELECT doc_id, s, s + 40 AS e
+             |         FROM (SELECT doc_id, s,
+             |                 ROW_NUMBER() OVER (PARTITION BY win
+             |                   ORDER BY doc_id, s) AS rn,
+             |                 COUNT(*) OVER (PARTITION BY win) AS cnt
+             |               FROM wins)
+             |         WHERE cnt > 1 AND rn > 1),
+             |isl AS (SELECT doc_id, s, e,
+             |          CASE WHEN lag(e) OVER w IS NULL OR s > lag(e) OVER w
+             |               THEN 1 ELSE 0 END AS st
+             |        FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+             |spans AS (SELECT doc_id, isle, MIN(s) AS ms, MAX(e) AS me
+             |          FROM (SELECT doc_id, s, e,
+             |                  SUM(st) OVER (PARTITION BY doc_id ORDER BY s
+             |                    ROWS UNBOUNDED PRECEDING) AS isle
+             |                FROM isl)
+             |          GROUP BY 1, 2),
+             |segs AS (SELECT sp.doc_id, sp.ms, sp.me,
+             |          substr(d.text, CAST(coalesce(lag(sp.me) OVER w2, 1) AS INTEGER),
+             |                 CAST(sp.ms - coalesce(lag(sp.me) OVER w2, 1) AS INTEGER)) AS seg
+             |        FROM spans sp JOIN documents d USING (doc_id)
+             |        WINDOW w2 AS (PARTITION BY sp.doc_id ORDER BY sp.ms)),
+             |perdoc AS (SELECT doc_id, string_agg(seg, '' ORDER BY ms) AS head,
+             |             MAX(me) AS te
+             |           FROM segs GROUP BY 1),
+             |ct AS (SELECT d.doc_id,
+             |        CASE WHEN p.te IS NULL THEN d.text
+             |             ELSE p.head || substr(d.text, CAST(p.te AS INTEGER)) END AS c
+             |       FROM documents d LEFT JOIN perdoc p USING (doc_id))
+             |SELECT doc_id, CAST(length(c) AS BIGINT) AS clean_chars,
+             |  md5(c) AS clean_md5
+             |FROM ct ORDER BY doc_id""".stripMargin)),
+
     // INCREMENTAL substring dedup vs the persisted window index (the d16
     // twin of d11/d12): a new batch — 50 full re-uploads + 71 docs that
     // embed a 60-char chunk of an indexed doc inside fresh text ending in

@@ -95,6 +95,34 @@ class SubstringDedupSpec extends SparkSpec {
     assert(inc.filter($"dup_chars" > 0).count() > 0)
   }
 
+  test("substringDedupCleanText removes exactly the measured spans, byte-for-byte") {
+    // hand fixture: doc 1 repeats doc 0's 12-char passage twice — removal
+    // must excise both occurrences and nothing else
+    val docs = Seq(
+      (0L, "0123456789AB-unique-tail-zero"),
+      (1L, "xx0123456789ABy1y2y3y4y50123456789ABzz"),
+      (2L, "totally-different-content-here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupCleanText(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val expected1 = "xxy1y2y3y4y5zz"
+    assert(out(1L).getAs[Long]("clean_chars") == expected1.length.toLong)
+    assert(out(1L).getAs[String]("clean_md5") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected1.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // zero-dup docs pass through byte-identical
+    assert(out(0L).getAs[Long]("clean_chars") == 29L)
+    assert(out(2L).getAs[Long]("clean_chars") == 30L)
+
+    // and on the corpus: clean_chars agrees with the measurement op per doc
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val stats = Dedup.substringDedupSpans(corpus, "doc_id", "text", w = 40)
+      .select($"doc_id", $"kept_chars")
+    val clean = Dedup.substringDedupCleanText(corpus, "doc_id", "text", w = 40)
+      .select($"doc_id", $"clean_chars".as("kept_chars"))
+    assert(stats.exceptAll(clean).isEmpty && clean.exceptAll(stats).isEmpty)
+  }
+
   test("substringDedupSpans keeps zero-dup docs and conserves totals on the corpus") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val out = Dedup.substringDedupSpans(docs, "doc_id", "text", w = 40)
