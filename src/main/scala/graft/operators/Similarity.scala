@@ -727,6 +727,29 @@ object Similarity {
       centroids, k, nProbe, dim, nSub, kCodes)
   }
 
+  /** Two-stage search — the production ANN refinement shape (Jégou et al.
+    * 2011 §V-C's re-ranked IVFADC): stage 1 probes the PREBUILT IVF-PQ
+    * index for `rerankK` approximate candidates per query (4-byte ADC,
+    * cell-bounded scan), stage 2 re-ranks ONLY those candidates by the
+    * exact cosine over the raw full-precision vectors. At corpus scale the
+    * candidate set is tiny (|queries|·rerankK rows), so it BROADCASTS to
+    * the corpus scan and the raw vectors are fetched without shuffling the
+    * corpus — quantization bounds what stage 1 scans, the exact pass pays
+    * only rerankK vector reads per query. Deterministic end-to-end: ADC
+    * ranks break ties by cid and the rerank cosine is the native left-fold
+    * [[graft.functions.DotProduct]] the oracle replays; output contract
+    * matches [[lshTopK]] (qid, rank, cid, sim_fp). */
+  def ivfPqRerankTopK(queries: DataFrame, codebook: DataFrame,
+                      cellCodes: DataFrame, centroids: DataFrame,
+                      corpus: DataFrame, k: Int, rerankK: Int, nProbe: Int,
+                      dim: Int, nSub: Int, kCodes: Int): DataFrame = {
+    val cand = ivfPqTopKIndexed(queries, codebook, cellCodes, centroids,
+      rerankK, nProbe, dim, nSub, kCodes).select("qid", "cid")
+    val fetched = corpus.join(broadcast(cand), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+    lshTopKScore(fetched, k)
+  }
+
   /** ADC rank + top-k: qdist is the approximate squared L2 distance, so
     * ranking is ASCENDING (nearest first), ties by cid. The emitted
     * distance is fixed-point (⌊qdist·10⁵⌋ as BIGINT): the raw ADC double

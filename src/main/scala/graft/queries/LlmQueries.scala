@@ -1383,6 +1383,59 @@ object LlmQueries {
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
       setup = Some((s, d) => { pqArtifacts(s, d); () })),
 
+    // Two-stage ANN — IVF-PQ candidates re-ranked exactly (Jégou et al.
+    // 2011 §V-C): the index scan pays 4-byte ADC per candidate, then ONLY
+    // the rerankK=12 survivors per query fetch their raw vectors
+    // (broadcast candidate set — the corpus never shuffles) for the exact
+    // cosine that decides the final top-3. The production accuracy
+    // recovery step on top of s7b's bandwidth win.
+    Q("s8_pq_rerank",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("centvec"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val (cb, _, cellCodes) = pqArtifacts(s, d)
+        Similarity.ivfPqRerankTopK(q, cb, cellCodes, centroids,
+            e.select(col("vec_id").as("cid"), col("v").as("cvec")),
+            k = 3, rerankK = 12, nProbe = 2, dim = 64, nSub = 4, kCodes = 16)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $dPqCtes,
+               |cent AS (SELECT vid AS cent_id, v AS cv FROM pq_e0 WHERE vid < 16),
+               |ca AS (SELECT cid, cell FROM (
+               |        SELECT e.vid AS cid, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vid
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM pq_e0 e CROSS JOIN cent) WHERE rn = 1),
+               |qp AS (SELECT qid, cell FROM (
+               |        SELECT e.vid AS qid, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vid
+               |            ORDER BY ${dCos("e.v", "cv", Dim)} DESC, cent_id) AS rn
+               |        FROM pq_e0 e CROSS JOIN cent
+               |        WHERE e.vid >= 100 AND e.vid < 120) WHERE rn <= 2),
+               |cand AS (SELECT DISTINCT qp.qid, ca.cid
+               |         FROM ca JOIN qp USING (cell) WHERE qid <> cid),
+               |r AS (SELECT l.qid, cd.vid AS cid,
+               |        row_number() OVER (PARTITION BY l.qid
+               |          ORDER BY $dPqAdc, cd.vid) AS rank
+               |      FROM cand x JOIN pq_codes cd ON x.cid = cd.vid
+               |                  JOIN pq_luts l ON x.qid = l.qid),
+               |rk AS (SELECT qid, cid FROM r WHERE rank <= 12),
+               |x AS (SELECT t.qid, t.cid, ${dCos("qe.v", "ce.v", Dim)} AS sim
+               |      FROM rk t JOIN pq_e0 qe ON t.qid = qe.vid
+               |                JOIN pq_e0 ce ON t.cid = ce.vid),
+               |rr AS (SELECT qid, cid, sim,
+               |         row_number() OVER (PARTITION BY qid
+               |           ORDER BY sim DESC, cid) AS rank
+               |       FROM x)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid,
+               |  CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
+               |FROM rr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      setup = Some((s, d) => { pqArtifacts(s, d); () })),
+
     // Deterministic distributed k-means over the embedding corpus (2 Lloyd
     // iterations, hash-ranked seeds) — the centroid-training step IVF (s4)
     // presupposes, and the cluster-then-sample primitive of corpus

@@ -140,6 +140,50 @@ class PqSpec extends SparkSpec {
     assert(fullIvf.exceptAll(idxIvf).isEmpty && idxIvf.exceptAll(fullIvf).isEmpty)
   }
 
+  test("rerank with rerankK >= all candidates == exact IVF search") {
+    // stage 1 at rerankK >= |corpus| passes EVERY cell-mate through, so the
+    // exact-cosine stage 2 must reproduce ivfTopK bit-for-bit (same
+    // candidate set, same cosine, same (sim DESC, cid) rank) — pins that
+    // the rerank stage itself is exact and the composition loses nothing
+    val corpus = vecs.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val queries = vecs.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select($"vec_id".as("qid"), $"v".as("qvec"))
+    val centroids = vecs.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("centvec"))
+    val cb = Similarity.pqCodebook(corpus, "cid", "cvec",
+      dim = 64, nSub = 4, kCodes = 16, iters = 2)
+    val codes = Similarity.pqEncode(corpus, cb, "cid", "cvec", dim = 64, nSub = 4)
+    val cellCodes = Similarity.ivfPqIndex(corpus, centroids, codes)
+    val got = Similarity.ivfPqRerankTopK(queries, cb, cellCodes, centroids,
+      corpus, k = 3, rerankK = corpus.count().toInt, nProbe = 2,
+      dim = 64, nSub = 4, kCodes = 16)
+    val exact = Similarity.ivfTopK(queries, corpus, centroids, k = 3, nProbe = 2)
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty)
+  }
+
+  test("rerank surfaces planted exact copies at top-1") {
+    // a copy's ADC score ties its original's (byte-identical codes), so it
+    // survives any rerankK >= 1 cut; the exact stage then ranks it first
+    // (cosine 1) — quantization noise cannot demote it through the rerank
+    val copies = vecs.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select(($"vec_id" + 10000).as("vec_id"), $"v")
+    val all = vecs.unionByName(copies)
+    val corpus = all.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val queries = vecs.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select($"vec_id".as("qid"), $"v".as("qvec"))
+    val centroids = vecs.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("centvec"))
+    val cb = Similarity.pqCodebook(corpus, "cid", "cvec",
+      dim = 64, nSub = 4, kCodes = 16, iters = 2)
+    val codes = Similarity.pqEncode(corpus, cb, "cid", "cvec", dim = 64, nSub = 4)
+    val cellCodes = Similarity.ivfPqIndex(corpus, centroids, codes)
+    val got = Similarity.ivfPqRerankTopK(queries, cb, cellCodes, centroids,
+        corpus, k = 1, rerankK = 12, nProbe = 2,
+        dim = 64, nSub = 4, kCodes = 16)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    for (qid <- 100L until 110L) assert(got(qid) == qid + 10000, s"top-1 of $qid")
+  }
+
   test("IVF-PQ stays cell-keyed and surfaces copies through their shared cell") {
     val copies = vecs.filter($"vec_id" >= 100 && $"vec_id" < 110)
       .select(($"vec_id" + 10000).as("vec_id"), $"v")
