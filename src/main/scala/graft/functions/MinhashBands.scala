@@ -90,7 +90,7 @@ object MinhashBands {
     })
 
   /** First 15 md5 hex nibbles as a 60-bit long (== md5LongSql). */
-  private def md5Long60(bytes: Array[Byte]): Long = {
+  private[functions] def md5Long60(bytes: Array[Byte]): Long = {
     val d = md.get().digest(bytes)
     var v = 0L
     var i = 0

@@ -224,6 +224,35 @@ object TextOps {
           .as("rep_flagged"))
   }
 
+  /** SQL twin (Spark dialect) of [[graft.functions.HashedLinearScore]] —
+    * parity spec + oracle generation; let-bound so the gram array is built
+    * once (catalyst-eval-cost invariant). Weight arithmetic is all-integer:
+    * slot = md5_60(gram) % buckets, weight = md5_60("w:"+slot) % 2001 − 1000. */
+  def hashedLinearSql(toks: String, buckets: Int): String =
+    letSql(s"concat($toks, ${allGramsSql(toks, 2)})", "gs")(gs =>
+      s"named_struct('n_grams', cast(size($gs) as bigint), 'score_sum', " +
+        s"aggregate($gs, cast(0 as bigint), (acc, g) -> acc + " +
+        s"((${md5LongSql(s"concat('w:', cast(${md5LongSql("g")} % $buckets as string))")} % 2001) - 1000)))")
+
+  /** Model-based quality filter — the fastText/DCLM classifier-filter
+    * inference shape over hashed unigram+bigram features (native kernel:
+    * [[graft.functions.HashedLinearScore]], weight table executor-resident).
+    * `thresholdMilli` is the keep cut on the MEAN slot weight in
+    * milli-units (integer weights span ±1000 ≙ a ±1.0 trained weight):
+    * keep ⟺ score_sum > thresholdMilli·n_grams — pure integer, so the
+    * verdict is engine-exact. Zero shuffle: one codegen'd projection per
+    * document. */
+  def hashedLinearQuality(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int, thresholdMilli: Long): DataFrame =
+    df.select(col(idCol),
+        graft.functions.HashedLinearScore.hashedLinearScore(
+          tokens(col(textCol)), buckets).as("__hl"))
+      .select(col(idCol),
+        col("__hl").getField("n_grams").as("n_grams"),
+        col("__hl").getField("score_sum").as("score_sum"),
+        (col("__hl").getField("score_sum") >
+          col("__hl").getField("n_grams") * lit(thresholdMilli)).as("keep"))
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -2283,6 +2283,33 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Model-based quality filter — the fastText/DCLM classifier-filter
+    // inference shape (Joulin et al. 2016): hashed unigram+bigram features
+    // → executor-resident weight table lookup → integer mean-weight
+    // threshold. Weights are a deterministic stand-in for trained
+    // parameters (see HashedLinearScore — swapping in a real model changes
+    // table contents only); the hot kernel is one native codegen'd pass
+    // per doc, zero shuffle, and the oracle replays the identical md5
+    // arithmetic below.
+    Q("t13_hashed_linear_quality",
+      (s, d) => TextOps.hashedLinearQuality(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", buckets = 4096, thresholdMilli = -105L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id,
+             |        list_concat(toks,
+             |          list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+             |            i -> concat_ws(' ', toks[i], toks[i+1]))) AS grams
+             |      FROM t),
+             |s AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+             |        CAST(list_sum(list_transform(grams, g ->
+             |          ((('0x' || substr(md5('w:' || CAST((('0x' || substr(md5(g),1,15))::BIGINT) % 4096 AS VARCHAR)),1,15))::BIGINT) % 2001) - 1000)) AS BIGINT) AS score_sum
+             |      FROM g)
+             |SELECT doc_id, n_grams, score_sum,
+             |  score_sum > -105 * n_grams AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ——— Multimodal ———————————————————————————————————————————————————
 
     // Binary-column metadata path: payload as `binary`, typed byte-level
