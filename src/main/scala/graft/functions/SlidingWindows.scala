@@ -77,3 +77,82 @@ object SlidingWindows {
   def slidingWindows(text: Column, w: Int): Column =
     Bridge.column(SlidingWindows(Bridge.expression(text), w))
 }
+/** Native codegen'd rolling-hash sliding windows — the SCALE form of
+  * [[SlidingWindows]]: the same `w`-codepoint windows, emitted as 64-bit
+  * polynomial hashes instead of strings. One O(n) rolling pass per
+  * document (h·B + cp in, − cp·B^(w−1) out, mod 2⁶⁴), so the kernel never
+  * allocates a window string and the downstream shuffle carries 8 bytes
+  * per window instead of ≥w — the "swap the window value for a 64-bit
+  * rolling hash" parameter change the d16 design documents (≈6× less
+  * shuffle volume at w=40). Keys only: equality-of-hash stands in for
+  * equality-of-window (collisions are ~n²/2⁶⁴ — vanishing below corpus
+  * sizes where the string form already needs the hash form; the exact
+  * string path remains the oracle-replayable catalog default).
+  */
+case class SlidingWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sliding_window_hashes requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    SlidingWindowHashes.compute(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SlidingWindowHashes.compute($c, $w);")
+  override protected def withNewChildInternal(newChild: Expression): SlidingWindowHashes =
+    copy(child = newChild)
+}
+
+object SlidingWindowHashes {
+  private val empty = new GenericArrayData(Array.empty[Any])
+  /** Polynomial base — odd 64-bit constant (golden-ratio multiplier). */
+  val B: Long = 0x9E3779B97F4A7C15L
+
+  /** 64-bit rolling polynomial hash of every w-codepoint window, stride 1.
+    * Same code-point segmentation as [[SlidingWindows.compute]]. */
+  def compute(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // decode code points in one scan
+    val cps = new Array[Int](nb)
+    var n = 0
+    var i = 0
+    while (i < nb) {
+      val u = bytes(i) & 0xFF
+      val len = if (u < 0x80) 1 else if (u < 0xE0) 2 else if (u < 0xF0) 3 else 4
+      var cp = if (len == 1) u else u & (0x7F >> len)
+      var j = 1
+      while (j < len && i + j < nb) { cp = (cp << 6) | (bytes(i + j) & 0x3F); j += 1 }
+      cps(n) = cp
+      n += 1
+      i += len
+    }
+    if (n < w) return empty
+    // B^(w-1) mod 2^64 for the outgoing term
+    var bw1 = 1L
+    var e = 0
+    while (e < w - 1) { bw1 *= B; e += 1 }
+    val out = new Array[Any](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + cps(i); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - w) {
+      h = (h - cps(p - 1) * bw1) * B + cps(p + w - 1)
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper. */
+  def slidingWindowHashes(text: Column, w: Int): Column =
+    Bridge.column(SlidingWindowHashes(Bridge.expression(text), w))
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
-import graft.functions.SlidingWindows
+import graft.functions.{SlidingWindowHashes, SlidingWindows}
 
 class SubstringDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -26,6 +26,49 @@ class SubstringDedupSpec extends SparkSpec {
       .collect()
     assert(out(0).isNullAt(0))
     assert(out(1).getSeq[String](0) == Seq("ab", "bc", "cd"))
+  }
+
+  test("SlidingWindowHashes: rolling recurrence == direct hash at every offset") {
+    // hashes(s)[p] must equal the hash of the isolated window string —
+    // i.e. the O(n) rolling pass reproduces the direct polynomial at every
+    // position, including across multibyte code points
+    val df = Seq("abcdefghij", "héllo wörld — ünïcode £text", "aaaaaaaa",
+        "0123456789AB0123456789AB").toDF("t")
+    val w = 5
+    val pairs = df
+      .select(posexplode(SlidingWindows.slidingWindows($"t", w)).as(Seq("p", "win")),
+        SlidingWindowHashes.slidingWindowHashes($"t", w).as("hs"))
+      .select(element_at($"hs", $"p" + 1).as("rolled"),
+        element_at(SlidingWindowHashes.slidingWindowHashes($"win", w), 1).as("direct"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter($"rolled" =!= $"direct").isEmpty)
+  }
+
+  test("hashed full pass == exact full pass on the corpus") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val docs = corpus.unionByName(corpus.filter($"doc_id" % 9 === 1)
+      .select(($"doc_id" + 3000000).as("doc_id"), $"text"))
+    val exact = Dedup.substringDedupSpans(docs, "doc_id", "text", w = 40)
+    val hashed = Dedup.substringDedupSpansHashed(docs, "doc_id", "text", w = 40)
+    assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty)
+    assert(exact.filter($"dup_chars" > 0).count() > 0)
+  }
+
+  test("hashed incremental == exact incremental on the corpus") {
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      .unionByName(corpus.filter($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          concat(lit("fresh-"), $"doc_id", lit("-wrap "),
+            substring($"text", 1, 60),
+            lit(" shared-tail-boilerplate-for-batch-dup-spans")).as("text")))
+    val sIdx = Dedup.substringWindowIndex(corpus, "text", w = 40)
+    val hIdx = Dedup.substringWindowIndexHashed(corpus, "text", w = 40)
+    val exact = Dedup.incrementalSubstringSpans(batch, sIdx, "doc_id", "text", w = 40)
+    val hashed = Dedup.incrementalSubstringSpansHashed(batch, hIdx, "doc_id", "text", w = 40)
+    assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty)
+    assert(exact.filter($"dup_chars" > 0).count() > 0)
   }
 
   test("substringDedupSpans marks all-but-first occurrences and merges islands") {
