@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, DetHash, Similarity, TextOps}
+import graft.operators.{Dedup, DetHash, Images, Similarity, TextOps}
 import QH._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
@@ -474,6 +474,38 @@ object LlmQueries {
        |       LEFT JOIN pq_lutE l ON l.qid = q.qid AND l.i = sp.i)
        |  GROUP BY qid)""".stripMargin
   }
+  /** m4/m4b's shared oracle body: the synthetic image set over `documents`
+    * (base + exact re-uploads + perturbed re-encodes), its pixel formula
+    * ([[graft.operators.Images.synthPixel]] verbatim), exact 2×2 block
+    * sums, and the 64-bit dHash as two 32-bit halves — ends in CTE
+    * h = (media_id, dhash_hi, dhash_lo). All integer. */
+  private val m4Ctes: String =
+    """m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed, FALSE AS noise
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL SELECT doc_id + 1000000, doc_id, FALSE
+      |  FROM documents WHERE doc_id % 50 = 1
+      |  UNION ALL SELECT doc_id + 2000000, doc_id, TRUE
+      |  FROM documents WHERE doc_id % 50 = 11),
+      |px AS (SELECT media_id, seed, noise, x, y,
+      |         (xor(seed * 2654435761, (y * 18 + x) * 2654435789) % 241)
+      |           + CASE WHEN noise AND (x + y) % 5 = 0 THEN 11 ELSE 0 END AS v
+      |       FROM m, (SELECT unnest(range(0, 18)) AS x),
+      |              (SELECT unnest(range(0, 16)) AS y)),
+      |bs AS (SELECT media_id, x // 2 AS bx, y // 2 AS by, SUM(v) AS s
+      |       FROM px GROUP BY 1, 2, 3),
+      |bits AS (SELECT a.media_id, a.by, a.bx,
+      |           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      |         FROM bs a JOIN bs b ON a.media_id = b.media_id
+      |           AND a.by = b.by AND b.bx = a.bx + 1
+      |         WHERE a.bx < 8),
+      |h AS (SELECT media_id,
+      |        CAST(SUM(CASE WHEN by*8+bx >= 32
+      |          THEN bit::BIGINT << (by*8+bx-32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |        CAST(SUM(CASE WHEN by*8+bx < 32
+      |          THEN bit::BIGINT << (by*8+bx) ELSE 0 END) AS BIGINT) AS dhash_lo
+      |      FROM bits GROUP BY 1)""".stripMargin
+
   private val dPqAdc =
     "list_sum(list_transform(range(0, 4), m -> l.lut[m * 16 + cd.codes[m + 1] + 1]))"
 
@@ -2430,6 +2462,66 @@ object LlmQueries {
              |  CAST(floor(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) * 1000000.0) AS BIGINT)
              |    AS rms_fp
              |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // Perceptual image hashing over REAL PNG decode — the image-dedup
+    // primitive of multimodal pipelines (hash → band → verify, LAION
+    // shape). The corpus is deterministic synthetic PNGs (real containers,
+    // pixel values a pure-integer formula) with planted exact re-uploads
+    // and slightly-perturbed re-encodes; Spark runs the full
+    // encode → ImageIO decode → block-sum dHash path, the oracle replays
+    // the HASHES in closed form from the pixel formula. n_bytes stays
+    // operator-only (deflate output length is encoder-specific).
+    Q("m4_image_dhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val meta = docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+              lit(false).as("noise"))
+          .unionByName(docs.filter(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 1000000).as("media_id"),
+              col("doc_id").as("seed"), lit(false).as("noise")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 11)
+            .select((col("doc_id") + 2000000).as("media_id"),
+              col("doc_id").as("seed"), lit(true).as("noise")))
+        Images.dHash(Images.synthPngCorpus(meta, "media_id", "seed", "noise"),
+            "media_id", "image")
+          .select("media_id", "dhash_hi", "dhash_lo")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $m4Ctes
+             |SELECT media_id, dhash_hi, dhash_lo FROM h ORDER BY media_id""".stripMargin)),
+
+    // Image near-dup pairs by dHash hamming ≤ 6 — banded pigeonhole join
+    // (8 disjoint 8-bit bands; ≤ 7 differing bits force one identical
+    // band), so candidates come from an equality join and only candidates
+    // pay the hamming check — never all-pairs (the d3b SimHash argument
+    // applied to images). The oracle goes all-pairs (oracle-side only).
+    Q("m4b_image_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val meta = docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+              lit(false).as("noise"))
+          .unionByName(docs.filter(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 1000000).as("media_id"),
+              col("doc_id").as("seed"), lit(false).as("noise")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 11)
+            .select((col("doc_id") + 2000000).as("media_id"),
+              col("doc_id").as("seed"), lit(true).as("noise")))
+        val hashes = Images.dHash(
+          Images.synthPngCorpus(meta, "media_id", "seed", "noise"),
+          "media_id", "image")
+        Images.dHashNearDupPairs(hashes, "media_id", maxHamming = 6)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $m4Ctes
+             |SELECT a.media_id AS a_id, b.media_id AS b_id,
+             |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+             |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+             |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 6
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // ——— Corpus layout ———————————————————————————————————————————————————
 
