@@ -153,4 +153,98 @@ object Audio {
       StructField("sum_sq", LongType, nullable = true),
       StructField("rms", DoubleType, nullable = true))))
   }
+
+  // ——— Perceptual fingerprint (the dHash of audio, m5 family) ————————————
+
+  /** Fingerprint blocks: 65 equal time slices → 64 neighbor comparisons. */
+  val FpBlocks = 65
+
+  /** Deterministic jitter for "re-encoded copy" clips: ±2 per sample —
+    * far below the block-energy scale, so the energy-gradient signs
+    * survive (the perceptual-hash promise, mirroring the image path's
+    * sparse +11 noise lattice). Pure integer, SQL-replayable. */
+  def synthJitter(seed: Long, i: Long): Int =
+    (((seed * 31L + i * 7L) % 5L) - 2L).toInt
+
+  /** Synthetic WAV corpus with an explicit seed and jitter flag per row —
+    * same-seed rows are exact byte copies (jitter=false) or slightly
+    * perturbed re-encodes (jitter=true, samples clamped to 16-bit). */
+  def synthCorpusSeeded(df: DataFrame, idCol: String, seedCol: String,
+                        jitterCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val meta = df.select(col(idCol).cast("long"), col(seedCol).cast("long"),
+      col(jitterCol).cast("boolean")).rdd
+    val rows = meta.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val seed = r.getLong(1)
+      val jitter = r.getBoolean(2)
+      val n = synthLen(seed)
+      val samples = Array.tabulate(n) { i =>
+        val base = synthSample(seed, i.toLong)
+        val v = if (jitter) base + synthJitter(seed, i.toLong) else base
+        math.max(-32768, math.min(32767, v)).toShort
+      }
+      Row(id, wavBytes(samples, synthRate(seed)))
+    })
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("audio", BinaryType, nullable = true))))
+  }
+
+  /** 64-bit energy-difference fingerprint of decoded PCM, split
+    * (hi32, lo32): the clip is cut into [[FpBlocks]] equal time slices
+    * (block of sample i = i·65 / n — every block nonempty for n ≥ 65),
+    * block energy = Σ|s| (integer), and bit j = E(j) > E(j+1) for
+    * j = 0..63 — the audio analogue of the image dHash: robust to
+    * small-amplitude perturbation, discriminative across unrelated clips
+    * (energies of disjoint slices are independent). All integer; the
+    * same closed form replays in SQL over the synth sample formula. */
+  def fingerprintOf(samples: Array[Short]): Option[(Long, Long)] = {
+    val n = samples.length
+    if (n < FpBlocks) return None
+    val sums = new Array[Long](FpBlocks)
+    var i = 0
+    while (i < n) {
+      sums(((i.toLong * FpBlocks) / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > sums(j + 1)) bits |= 1L << j
+      j += 1
+    }
+    Some((bits >>> 32, bits & 0xFFFFFFFFL))
+  }
+
+  /** Distributed per-clip fingerprint over a binary WAV column — REAL
+    * RIFF parse + PCM decode inside mapPartitions, like [[wavFeatures]].
+    * Undecodable or too-short payloads yield null halves (corpus-audit
+    * shape: count the bad, keep the row). */
+  def energyFingerprint(media: DataFrame, idCol: String,
+                        binCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val ii = media.schema.fieldIndex(idCol)
+    val bi = media.schema.fieldIndex(binCol)
+    val rows = media.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(ii)
+      val bytes = r.getAs[Array[Byte]](bi)
+      val fp = decodeWav(if (bytes == null) Array.emptyByteArray else bytes)
+        .flatMap { case (_, _, samples) => fingerprintOf(samples) }
+      fp match {
+        case Some((hi, lo)) => Row(id, hi, lo)
+        case None           => Row(id, null, null)
+      }
+    })
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fp_hi", LongType, nullable = true),
+      StructField("fp_lo", LongType, nullable = true))))
+  }
+
+  /** Near-duplicate clip pairs by fingerprint hamming ≤ `maxHamming` —
+    * the shared 8-band pigeonhole join ([[Hash64]]), never all-pairs. */
+  def fpNearDupPairs(fps: DataFrame, idCol: String,
+                     maxHamming: Int): DataFrame =
+    Hash64.bandedNearDupPairs(fps, idCol, "fp_hi", "fp_lo", maxHamming)
 }

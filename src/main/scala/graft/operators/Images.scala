@@ -156,29 +156,6 @@ object Images {
     * equality join on (band index, band value) and only candidates pay
     * the exact hamming check. Output (id_a < id_b, hamming). */
   def dHashNearDupPairs(hashes: DataFrame, idCol: String,
-                        maxHamming: Int): DataFrame = {
-    require(maxHamming < 8, s"pigeonhole over 8 bands needs maxHamming < 8")
-    val h = hashes.filter(col("dhash_hi").isNotNull)
-      .select(col(idCol), col("dhash_hi"), col("dhash_lo"))
-    def banded(side: String) = h.select(
-        col(idCol).as(s"${side}_id"),
-        col("dhash_hi").as(s"${side}_hi"), col("dhash_lo").as(s"${side}_lo"),
-        explode(expr(
-          """transform(sequence(0, 7), b -> named_struct(
-            |  'band', b,
-            |  'val', if(b < 4, shiftright(dhash_lo, b * 8),
-            |            shiftright(dhash_hi, (b - 4) * 8)) & 255L))""".stripMargin))
-          .as("bv"))
-      .select(col(s"${side}_id"), col(s"${side}_hi"), col(s"${side}_lo"),
-        col("bv.band").as("band"), col("bv.val").as("val"))
-    val cand = banded("a").join(banded("b"), Seq("band", "val"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo")
-      .dropDuplicates("a_id", "b_id")
-    cand
-      .withColumn("hamming",
-        bit_count(expr("a_hi ^ b_hi")) + bit_count(expr("a_lo ^ b_lo")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
-  }
+                        maxHamming: Int): DataFrame =
+    Hash64.bandedNearDupPairs(hashes, idCol, "dhash_hi", "dhash_lo", maxHamming)
 }

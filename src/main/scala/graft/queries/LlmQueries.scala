@@ -506,6 +506,43 @@ object LlmQueries {
       |          THEN bit::BIGINT << (by*8+bx) ELSE 0 END) AS BIGINT) AS dhash_lo
       |      FROM bits GROUP BY 1)""".stripMargin
 
+  /** m5/m5b's shared oracle body: the synthetic WAV clip set over
+    * `documents` (base + exact re-uploads + jittered re-encodes), the
+    * pure-integer sample formula ([[graft.operators.Audio.synthSample]] /
+    * [[graft.operators.Audio.synthJitter]] verbatim, clamped to 16-bit),
+    * 65 equal-slice block energies Σ|s|, and the 64-bit
+    * energy-difference fingerprint as two 32-bit halves — ends in CTE
+    * h = (media_id, fp_hi, fp_lo). All integer. */
+  private val m5Ctes: String =
+    """m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed, FALSE AS jit
+      |  FROM documents WHERE doc_id % 10 = 2
+      |  UNION ALL SELECT doc_id + 1000000, doc_id, FALSE
+      |  FROM documents WHERE doc_id % 50 = 2
+      |  UNION ALL SELECT doc_id + 2000000, doc_id, TRUE
+      |  FROM documents WHERE doc_id % 50 = 12),
+      |sm AS (SELECT media_id, n, i,
+      |        GREATEST(-32768, LEAST(32767,
+      |          ((seed * 2654435761 + i * 40503) % 65536) - 32768
+      |          + CASE WHEN jit THEN ((seed * 31 + i * 7) % 5) - 2
+      |            ELSE 0 END)) AS v
+      |      FROM (SELECT media_id, seed, jit, n, unnest(range(0, n)) AS i
+      |            FROM (SELECT media_id, seed, jit, 800 + seed % 400 AS n
+      |                  FROM m))),
+      |bs AS (SELECT media_id, i * 65 // n AS b, SUM(ABS(v)) AS e
+      |       FROM sm GROUP BY 1, 2),
+      |bits AS (SELECT a.media_id, a.b AS j,
+      |           CASE WHEN a.e > c.e THEN 1 ELSE 0 END AS bit
+      |         FROM bs a JOIN bs c ON a.media_id = c.media_id
+      |           AND c.b = a.b + 1
+      |         WHERE a.b < 64),
+      |h AS (SELECT media_id,
+      |        CAST(SUM(CASE WHEN j >= 32
+      |          THEN bit::BIGINT << (j - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+      |        CAST(SUM(CASE WHEN j < 32
+      |          THEN bit::BIGINT << j ELSE 0 END) AS BIGINT) AS fp_lo
+      |      FROM bits GROUP BY 1)""".stripMargin
+
   private val dPqAdc =
     "list_sum(list_transform(range(0, 4), m -> l.lut[m * 16 + cd.codes[m + 1] + 1]))"
 
@@ -2521,6 +2558,68 @@ object LlmQueries {
              |FROM h a JOIN h b ON a.media_id < b.media_id
              |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
              |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 6
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Audio perceptual fingerprint over REAL WAV decode — the dHash idea
+    // applied to PCM: 65 equal time slices, integer block energies Σ|s|,
+    // bit j = E(j) > E(j+1). Robust to small-amplitude jitter (the
+    // re-encoded-copy shape), discriminative across unrelated clips.
+    // Spark runs the full container round-trip (RIFF walk → 16-bit PCM →
+    // block sums); the oracle replays the fingerprint in closed form from
+    // the pure-integer sample formula — a parser or decoder bug is a hash
+    // mismatch. All integer end to end.
+    Q("m5_audio_fingerprint",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val meta = docs.filter(col("doc_id") % 10 === 2)
+            .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+              lit(false).as("jit"))
+          .unionByName(docs.filter(col("doc_id") % 50 === 2)
+            .select((col("doc_id") + 1000000).as("media_id"),
+              col("doc_id").as("seed"), lit(false).as("jit")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 12)
+            .select((col("doc_id") + 2000000).as("media_id"),
+              col("doc_id").as("seed"), lit(true).as("jit")))
+        graft.operators.Audio.energyFingerprint(
+          graft.operators.Audio.synthCorpusSeeded(meta, "media_id", "seed", "jit"),
+          "media_id", "audio")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $m5Ctes
+             |SELECT media_id, fp_hi, fp_lo FROM h ORDER BY media_id""".stripMargin)),
+
+    // Audio near-dup pairs by fingerprint hamming ≤ 6 — the SAME banded
+    // pigeonhole join as the image path (shared Hash64 operator): 8
+    // disjoint 8-bit bands, candidates from an equality join, exact
+    // hamming verify on candidates only — never all-pairs. Exact
+    // re-uploads land at hamming 0, jittered re-encodes within the
+    // threshold; unrelated clips sit near hamming 32. The oracle goes
+    // all-pairs (oracle-side only).
+    Q("m5b_audio_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val meta = docs.filter(col("doc_id") % 10 === 2)
+            .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+              lit(false).as("jit"))
+          .unionByName(docs.filter(col("doc_id") % 50 === 2)
+            .select((col("doc_id") + 1000000).as("media_id"),
+              col("doc_id").as("seed"), lit(false).as("jit")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 12)
+            .select((col("doc_id") + 2000000).as("media_id"),
+              col("doc_id").as("seed"), lit(true).as("jit")))
+        val fps = graft.operators.Audio.energyFingerprint(
+          graft.operators.Audio.synthCorpusSeeded(meta, "media_id", "seed", "jit"),
+          "media_id", "audio")
+        graft.operators.Audio.fpNearDupPairs(fps, "media_id", maxHamming = 6)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $m5Ctes
+             |SELECT a.media_id AS a_id, b.media_id AS b_id,
+             |  CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+             |     + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+             |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ——— Corpus layout ———————————————————————————————————————————————————

@@ -53,6 +53,58 @@ class AudioSpec extends SparkSpec {
     assert(row.getAs[Long]("duration_us") === 6L * 1000000L / (48000L * 2L))
   }
 
+  test("energy fingerprint over the real container equals the closed form") {
+    // independent re-derivation: group sample indices by the block formula
+    // and fold, instead of the operator's streaming array pass
+    for (seed <- Seq(3L, 481L, 9977L); jit <- Seq(false, true)) {
+      val n = Audio.synthLen(seed)
+      val raw = (0 until n).map { i =>
+        val v = Audio.synthSample(seed, i.toLong) +
+          (if (jit) Audio.synthJitter(seed, i.toLong) else 0)
+        math.max(-32768, math.min(32767, v))
+      }
+      val energies = raw.indices.groupBy(i => i.toLong * 65 / n)
+        .map { case (b, is) => b -> is.map(i => math.abs(raw(i).toLong)).sum }
+      val bits = (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (energies(j.toLong) > energies(j + 1L)) acc | (1L << j) else acc
+      }
+      val media = Seq((seed, Audio.wavBytes(raw.map(_.toShort).toArray,
+        Audio.synthRate(seed)))).toDF("media_id", "audio")
+      val row = Audio.energyFingerprint(media, "media_id", "audio")
+        .collect().head
+      assert(row.getAs[Long]("fp_hi") === (bits >>> 32), s"seed=$seed jit=$jit")
+      assert(row.getAs[Long]("fp_lo") === (bits & 0xFFFFFFFFL))
+    }
+  }
+
+  test("exact copies collide, jittered copies stay near, unrelated far; " +
+       "banded pairs == brute force") {
+    val meta = ((0L until 40L).map(s => (s, s, false)) ++      // base clips
+      Seq((1000L, 5L, false), (1001L, 17L, false)) ++          // exact copies
+      Seq((2000L, 5L, true), (2001L, 29L, true)))              // jittered
+      .toDF("media_id", "seed", "jit")
+    val fps = Audio.energyFingerprint(
+      Audio.synthCorpusSeeded(meta, "media_id", "seed", "jit"),
+      "media_id", "audio")
+    val rows = fps.collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("fp_hi") << 32) | r.getAs[Long]("fp_lo"))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(rows(a) ^ rows(b))
+    assert(ham(1000L, 5L) === 0 && ham(1001L, 17L) === 0)
+    assert(ham(2000L, 5L) <= 6 && ham(2001L, 29L) <= 6)
+    // banded join finds exactly the brute-force pair set
+    val ids = rows.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if ham(ids(i), ids(j)) <= 6
+    } yield (ids(i), ids(j), ham(ids(i), ids(j)).toLong)).toSet
+    val banded = Audio.fpNearDupPairs(fps, "media_id", maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(banded === brute)
+    assert(brute.exists(_._3 === 0L)) // the planted exact pairs are in it
+  }
+
   test("malformed payloads reject instead of mis-reading") {
     assert(Audio.decodeWav(Array.emptyByteArray).isEmpty)
     assert(Audio.decodeWav("RIFFxxxxWAVE".getBytes("ASCII")).isEmpty) // no chunks
