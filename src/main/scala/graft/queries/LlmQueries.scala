@@ -2652,6 +2652,44 @@ object LlmQueries {
       Some("""SELECT lang, source, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
               FROM documents WHERE lang IN ('fr', 'de')
-              GROUP BY lang, source ORDER BY lang, source"""))
+              GROUP BY lang, source ORDER BY lang, source""")),
+
+    // Deterministic range-sharded export WITHOUT a global sort — the
+    // ordered-layout primitive for training-shard writes. Spark's own
+    // orderBy/repartitionByRange samples its boundaries (two runs land
+    // rows in different files); RangeShard instead computes EXACT cut
+    // keys by distributed selection (f18c's two-pass shape, Θ(shards)
+    // collects) and assigns shard = ⌊rank·B/n⌋ via a codegen'd branch
+    // chain — so the oracle can replay the layout in closed form from a
+    // rank formula, and the manifest read-back proves the landed files.
+    Q("layout2_range_sharded",
+      (s, d) => {
+        val path = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir")),
+          s"graft-rangeshard-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+            s"-p${ProcessHandle.current.pid}").toString
+        graft.sources.Writers.deleteTreeOnExit(path)
+        // unique, order-preserving key: (n_chars, doc_id) packed in a long
+        val docs = Tables.documents(s, d)
+          .withColumn("__key",
+            col("n_chars") * lit(100000000L) + col("doc_id"))
+        graft.operators.RangeShard.layout(docs, "__key", path, nShards = 16)
+        s.read.parquet(path)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("shard")
+      },
+      Some("""WITH r AS (SELECT n_chars,
+             |            row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r0,
+             |            COUNT(*) OVER () AS n
+             |          FROM documents)
+             |SELECT CAST(r0 * 16 // n AS BIGINT) AS shard,
+             |  COUNT(*) AS n_docs,
+             |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }
