@@ -37,6 +37,33 @@ object Similarity {
         floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
   }
 
+  /** Embedding-space decontamination: flag every corpus vector whose
+    * cosine to ANY benchmark vector reaches `tauFp` (fixed-point
+    * ⌊cos·10⁶⌋ — the no-raw-double-output invariant; per-pair doubles are
+    * bit-identical via the native left-fold [[graft.functions.DotProduct]],
+    * so the floor is engine-exact). The semantic sibling of the d7/d9
+    * n-gram decontamination: eval sets leak into crawls as paraphrases
+    * and re-encodes that share no exact grams.
+    *
+    * Scale shape: a benchmark suite is small by nature, so it BROADCASTS
+    * and the corpus streams once — no corpus shuffle, no LSH needed; the
+    * per-row cost is |bench| codegen'd dot products and the only exchange
+    * carries one (cid, sim) row per corpus×bench pair into a map-side-
+    * combined max. A benchmark too large to broadcast routes to the
+    * bucketed path instead ([[cosineDedupRemoved]]'s corpus-sized planes).
+    *
+    * @param corpus (cid, cvec: array<double>)
+    * @param bench  (bid, bvec: array<double>) — small, broadcast */
+  def embeddingDecontaminate(corpus: DataFrame, bench: DataFrame,
+                             tauFp: Long): DataFrame =
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("__sim_fp",
+        floor(cosine(col("cvec"), col("bvec")) * lit(1000000.0)).cast("long"))
+      .groupBy(col("cid"))
+      .agg(max(col("__sim_fp")).as("max_sim_fp"),
+        count(when(col("__sim_fp") >= tauFp, 1)).as("n_contacts"))
+      .withColumn("contaminated", col("max_sim_fp") >= tauFp)
+
   /** Deterministic random-hyperplane bucket id (nPlanes sign bits) for one
     * LSH table. The planes are driver-derived md5 literals (DetHash.planes),
     * inlined into the expression — per-row cost is nPlanes dot products, no

@@ -277,4 +277,58 @@ object TextOps {
         org.apache.spark.sql.graft.Bridge.expression(
           num.cast("long") * lit(1000000L)),
         org.apache.spark.sql.graft.Bridge.expression(den.cast("long"))))
+
+  /** Spark-dialect SQL: crude-but-real HTML→text extraction — script and
+    * style blocks removed WITH their content, then every remaining tag,
+    * each replaced by a space; the three core entities decoded (&amp;
+    * LAST, so a double-escaped `&amp;lt;` correctly yields the literal
+    * text `&lt;`); whitespace collapsed and trimmed. Patterns stay in the
+    * Java∩RE2 intersection (the t9 rule) so the DuckDB twin replays them
+    * with 'g'-flag regexp_replace. Each stage is referenced exactly once,
+    * so the chain needs no let-binding. */
+  def htmlToTextSql(h: String): String = {
+    val noScript = s"regexp_replace($h, '(?s)<script.*?</script>', ' ')"
+    val noStyle  = s"regexp_replace($noScript, '(?s)<style.*?</style>', ' ')"
+    val noTags   = s"regexp_replace($noStyle, '<[^>]*>', ' ')"
+    val decoded  =
+      s"replace(replace(replace($noTags, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    s"trim(regexp_replace($decoded, ' +', ' '))"
+  }
+
+  /** C4 cleaning battery (Raffel et al. 2020 §2.2) over an array-of-lines
+    * SQL expression: a line is retained iff it ends in terminal
+    * punctuation AND has ≥ `minWords` words AND does not contain the word
+    * "javascript"; page-level flags drop any page containing "lorem
+    * ipsum" or a curly brace, or with fewer than `minKept` surviving
+    * lines. One let-bound projection per document (zero shuffle, stays in
+    * whole-stage codegen); the cleaned text is proven by md5 so BYTES are
+    * compared cross-engine, never re-rendered strings. The corpus-level
+    * half of C4 (three-sentence span dedup) is the d16 substring family.
+    */
+  def c4Rules(df: DataFrame, idCol: String, linesSql: String,
+              minWords: Int = 5, minKept: Int = 3): DataFrame = {
+    val st = org.apache.spark.sql.functions.expr(letSql(linesSql, "ls") { ls =>
+      letSql(
+        s"""filter($ls, l -> right(l, 1) = '.'
+           |  and size(split(l, ' ')) >= $minWords
+           |  and not contains(l, 'javascript'))""".stripMargin, "ks") { ks =>
+        s"""named_struct(
+           |  'n_lines', cast(size($ls) as bigint),
+           |  'n_kept', cast(size($ks) as bigint),
+           |  'has_lorem', size(filter($ls, l -> contains(l, 'lorem ipsum'))) > 0,
+           |  'has_brace', size(filter($ls, l -> contains(l, '{'))) > 0,
+           |  'clean_md5', md5(array_join($ks, ' ')))""".stripMargin
+      }
+    })
+    df.select(col(idCol), st.as("__c4"))
+      .select(col(idCol),
+        col("__c4").getField("n_lines").as("n_lines"),
+        col("__c4").getField("n_kept").as("n_kept"),
+        col("__c4").getField("has_lorem").as("has_lorem"),
+        col("__c4").getField("has_brace").as("has_brace"),
+        (col("__c4").getField("n_kept") >= minKept &&
+          !col("__c4").getField("has_lorem") &&
+          !col("__c4").getField("has_brace")).as("page_keep"),
+        col("__c4").getField("clean_md5").as("clean_md5"))
+  }
 }

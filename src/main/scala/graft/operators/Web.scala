@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL / domain operators for crawl-corpus curation: host extraction,
+  * registrable-domain (eTLD+1) resolution against a public-suffix table,
+  * and RefinedWeb-style per-domain document caps (Penedo et al. 2023 —
+  * bounding any single site's share of the training set).
+  *
+  * Everything is a pure column expression except the cap, which is one
+  * hash-ordered rank per domain. */
+object Web {
+
+  /** Spark-dialect SQL: host of an http(s) URL string expr. */
+  def hostSql(url: String): String =
+    s"regexp_extract($url, 'https?://([^/]+)', 1)"
+
+  /** Two-level public suffixes the resolver knows. The real mechanism is
+    * the full public-suffix list; swapping it in changes this literal set
+    * only (the t13 trained-weights argument). */
+  val twoLevelSuffixes: Seq[String] = Seq("co.uk", "com.au", "co.jp")
+
+  /** Spark-dialect SQL: registrable domain (eTLD+1) of a host expr —
+    * last two labels, or last three when the last two form a two-level
+    * public suffix. Let-bound so the label split evaluates once. */
+  def registrableDomainSql(host: String): String = {
+    val set = twoLevelSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
+    TextOps.letSql(s"split($host, '\\\\.')", "ls") { ls =>
+      s"""if(array_join(slice($ls, size($ls) - 1, 2), '.') in $set,
+         |   array_join(slice($ls, size($ls) - 2, 3), '.'),
+         |   array_join(slice($ls, size($ls) - 1, 2), '.'))""".stripMargin
+    }
+  }
+
+  /** Per-domain document cap: deterministic md5-ordered rank within each
+    * registrable domain plus the domain's total count; `kept` keeps the
+    * first `cap` docs of every domain. One shuffle (both window specs
+    * share the domain partitioning).
+    *
+    * Scale: domains are a naturally high-cardinality key, so the window
+    * partitions evenly; a pathological single-domain crawl (one domain
+    * holding a whole task's worth of rows) routes to the distributed
+    * selection machinery instead (`Distribution.distributedQuantiles`
+    * shape — rank boundaries, not per-row sort), the same escape hatch
+    * f18c documents for few-huge-groups. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("domain_docs", count(lit(1)).over(Window.partitionBy(col(domainCol))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rk") <= cap)
+  }
+}

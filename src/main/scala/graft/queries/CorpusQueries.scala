@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Similarity, TextOps, Web}
+
+/** Web-corpus cleaning operators — the published filter batteries and
+  * corpus-organization steps a crawl-to-training-set pipeline runs
+  * between raw extraction and dedup: C4 line rules, domain-level caps,
+  * HTML-to-text extraction, epoch-aware mixture upsampling.
+  *
+  * The synthetic `documents` corpus has no newlines, markup, or URLs, so
+  * each query PLANTS its structure deterministically from (doc_id, text)
+  * — the same closed formula on both engines (the t9 planted-PII
+  * precedent) — and the operator under test then removes/extracts it.
+  * Cleaned text is always proven by md5 (bytes, not re-rendered strings).
+  */
+object CorpusQueries {
+
+  /** Planted "lines" for t14: the token stream cut into 10-token lines,
+    * with C4-rule violations injected by closed formula — a "lorem ipsum"
+    * prefix on ~1/23 of lines, a trailing brace on ~1/29, a "javascript"
+    * prefix on ~1/17, and terminal punctuation withheld from 1/4. The
+    * prefix/suffix CASE pair keeps the base-line expression single-use so
+    * the DuckDB twin needs no nested lambda. */
+  private val c4PlantSpark: String = TextOps.letSql("split(text, ' ')", "tv") { tv =>
+    s"""transform(sequence(0, cast(ceil(size($tv) / 10.0) as int) - 1),
+       |  i -> concat(
+       |    case when (doc_id * 7 + i) % 23 = 0 then 'lorem ipsum '
+       |         when (doc_id * 13 + i) % 29 = 0 then ''
+       |         when (doc_id * 11 + i) % 17 = 0 then 'javascript '
+       |         else '' end,
+       |    array_join(slice($tv, cast(i * 10 + 1 as int), 10), ' '),
+       |    case when (doc_id * 7 + i) % 23 = 0 then '.'
+       |         when (doc_id * 13 + i) % 29 = 0 then ' {'
+       |         when (doc_id * 11 + i) % 17 = 0 then '.'
+       |         when (doc_id + i) % 4 != 0 then '.'
+       |         else '' end))""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // C4 cleaning battery (Raffel et al. 2020 §2.2): line-level retention
+    // (terminal punctuation, >=5 words, no "javascript") and page-level
+    // drops ("lorem ipsum", curly brace, <3 surviving lines) — the second
+    // published rule battery alongside t12's Gopher gate. Zero shuffle:
+    // one codegen'd projection; the corpus-level half of C4 (duplicate
+    // three-sentence spans) is the d16 substring family.
+    Q("t14_c4_rules",
+      (s, d) => TextOps.c4Rules(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", c4PlantSpark)
+        .orderBy("doc_id"),
+      Some(
+        """WITH lines AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)),
+          |      i -> (CASE WHEN (doc_id * 7 + i) % 23 = 0 THEN 'lorem ipsum '
+          |                 WHEN (doc_id * 13 + i) % 29 = 0 THEN ''
+          |                 WHEN (doc_id * 11 + i) % 17 = 0 THEN 'javascript '
+          |                 ELSE '' END)
+          |           || array_to_string(list_slice(string_split(text, ' '), i * 10 + 1, i * 10 + 10), ' ')
+          |           || (CASE WHEN (doc_id * 7 + i) % 23 = 0 THEN '.'
+          |                 WHEN (doc_id * 13 + i) % 29 = 0 THEN ' {'
+          |                 WHEN (doc_id * 11 + i) % 17 = 0 THEN '.'
+          |                 WHEN (doc_id + i) % 4 != 0 THEN '.'
+          |                 ELSE '' END)) AS ls
+          |  FROM documents),
+          |k AS (
+          |  SELECT doc_id, ls,
+          |    list_filter(ls, l -> right(l, 1) = '.'
+          |      AND len(string_split(l, ' ')) >= 5
+          |      AND NOT contains(l, 'javascript')) AS ks
+          |  FROM lines)
+          |SELECT doc_id,
+          |  CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(len(ks) AS BIGINT) AS n_kept,
+          |  len(list_filter(ls, l -> contains(l, 'lorem ipsum'))) > 0 AS has_lorem,
+          |  len(list_filter(ls, l -> contains(l, '{'))) > 0 AS has_brace,
+          |  (len(ks) >= 3
+          |   AND len(list_filter(ls, l -> contains(l, 'lorem ipsum'))) = 0
+          |   AND len(list_filter(ls, l -> contains(l, '{'))) = 0) AS page_keep,
+          |  md5(COALESCE(array_to_string(ks, ' '), '')) AS clean_md5
+          |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain document caps (RefinedWeb, Penedo et al. 2023): planted
+    // URLs → host via regexp → registrable domain via a public-suffix
+    // table (two-level suffixes resolved to eTLD+1) → deterministic
+    // md5-ranked cap of 20 docs per domain. 21 planted domains × ~24 docs
+    // at sf0.01, so the cap genuinely trims. One shuffle (both window
+    // specs share the domain partitioning).
+    Q("u1_domain_caps",
+      (s, d) => {
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          expr("""concat('https://',
+            |  case when element_at(array('www','blog','news',''), cast(doc_id % 4 as int) + 1) = ''
+            |       then ''
+            |       else concat(element_at(array('www','blog','news',''), cast(doc_id % 4 as int) + 1), '.') end,
+            |  element_at(array('alpha','beta','gamma','delta','epsilon','zeta','eta'), cast(doc_id * 3 % 7 as int) + 1),
+            |  '.', element_at(array('com','co.uk','org'), cast(doc_id % 3 as int) + 1),
+            |  '/p/', cast(doc_id as string))""".stripMargin).as("url"))
+        val hosts = planted
+          .select(col("doc_id"), expr(Web.hostSql("url")).as("host"))
+          .withColumn("domain", expr(Web.registrableDomainSql("host")))
+        Web.domainCap(hosts, "doc_id", "domain", cap = 20)
+          .select("doc_id", "host", "domain", "domain_docs", "rk", "kept")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    list_extract(['www','blog','news',''], CAST(doc_id % 4 AS INTEGER) + 1) AS sub,
+          |    list_extract(['alpha','beta','gamma','delta','epsilon','zeta','eta'], CAST(doc_id * 3 % 7 AS INTEGER) + 1) AS word,
+          |    list_extract(['com','co.uk','org'], CAST(doc_id % 3 AS INTEGER) + 1) AS tld
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id,
+          |    regexp_extract('https://' ||
+          |      (CASE WHEN sub = '' THEN '' ELSE sub || '.' END) ||
+          |      word || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR),
+          |      'https?://([^/]+)', 1) AS host
+          |  FROM u),
+          |dm AS (
+          |  SELECT doc_id, host,
+          |    CASE WHEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.')
+          |              IN ('co.uk', 'com.au', 'co.jp')
+          |         THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.')
+          |         ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') END AS domain
+          |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)),
+          |r AS (
+          |  SELECT doc_id, host, domain,
+          |    COUNT(*) OVER (PARTITION BY domain) AS domain_docs,
+          |    row_number() OVER (PARTITION BY domain
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM dm)
+          |SELECT doc_id, host, domain, CAST(domain_docs AS BIGINT) AS domain_docs,
+          |  CAST(rk AS BIGINT) AS rk, rk <= 20 AS kept
+          |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // HTML→text extraction (the crawl pipeline's first real transform):
+    // each doc is wrapped in a deterministic HTML shell (head/title,
+    // style and script blocks with content, entities planted into the
+    // body), then TextOps.htmlToTextSql strips blocks/tags, decodes
+    // entities and collapses whitespace. Zero shuffle; the cleaned text
+    // is proven by md5 (bytes, not re-rendered strings).
+    Q("t15_html_extract",
+      (s, d) => {
+        val plant =
+          """concat('<html><head><title>Doc ', cast(doc_id as string),
+            |  '</title><style>p { color: red; }</style><script>var id = ',
+            |  cast(doc_id as string), '; track(id);</script></head><body><h1>Doc ',
+            |  cast(doc_id as string), '</h1><p>', replace(text, 'data', '&amp;'),
+            |  '</p><div class="foot">powered &lt;by&gt; graft</div></body></html>')""".stripMargin
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(plant).as("__h"))
+          .select(col("doc_id"),
+            length(col("__h")).cast("long").as("n_html_chars"),
+            expr(TextOps.htmlToTextSql("__h")).as("__c"))
+          .select(col("doc_id"), col("n_html_chars"),
+            length(col("__c")).cast("long").as("n_clean_chars"),
+            md5(col("__c")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |    '</title><style>p { color: red; }</style><script>var id = ' ||
+          |    CAST(doc_id AS VARCHAR) || '; track(id);</script></head><body><h1>Doc ' ||
+          |    CAST(doc_id AS VARCHAR) || '</h1><p>' || replace(text, 'data', '&amp;') ||
+          |    '</p><div class="foot">powered &lt;by&gt; graft</div></body></html>' AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, CAST(length(h) AS BIGINT) AS n_html_chars,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(
+          |        regexp_replace(
+          |          regexp_replace(
+          |            regexp_replace(h, '(?s)<script.*?</script>', ' ', 'g'),
+          |            '(?s)<style.*?</style>', ' ', 'g'),
+          |          '<[^>]*>', ' ', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+          |      ' +', ' ', 'g')) AS cl
+          |  FROM p)
+          |SELECT doc_id, n_html_chars,
+          |  CAST(length(cl) AS BIGINT) AS n_clean_chars, md5(cl) AS clean_md5
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Epoch-aware mixture upsampling: per-source weights in eighths
+    // (md5-derived stand-ins for tuned mixture weights — swapping in real
+    // weights changes the literal derivation only), full epochs replicate
+    // every doc, the fractional remainder admits a deterministic
+    // hash-gated subset (the samp1 gate applied per epoch). Each emitted
+    // row carries its md5 interleave key and 8-way shard — the
+    // deterministic "shuffled, weighted, sharded" training order, no
+    // global sort. Explode is the only fan-out; no shuffle until the
+    // export's own layout step.
+    Q("samp4_epoch_upsample",
+      (s, d) => {
+        val w8 = s"(8 + ${TextOps.md5LongSql("source")} % 17)"
+        val fracGate = TextOps.md5LongSql("concat(source, ':', cast(doc_id as string))")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("__n", expr(
+            s"$w8 div 8 + if($fracGate % 8 < $w8 % 8, 1, 0)"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(0, cast(__n as int) - 1)")).as("epoch"))
+          .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"),
+            md5(expr("concat(cast(epoch as string), ':', cast(doc_id as string))")).as("ord_key"))
+          .withColumn("shard", expr(s"${TextOps.md5LongSql("ord_key")} % 8"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT source,
+          |    8 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 17) AS w8
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |d AS (
+          |  SELECT doc_id, dd.source,
+          |    w8 // 8 + CASE WHEN (('0x' || substr(md5(dd.source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8) < w8 % 8
+          |              THEN 1 ELSE 0 END AS n_copies
+          |  FROM documents dd JOIN w USING (source)),
+          |e AS (
+          |  SELECT doc_id, source, unnest(range(0, n_copies)) AS epoch FROM d),
+          |o AS (
+          |  SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+          |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ord_key
+          |  FROM e)
+          |SELECT doc_id, source, epoch, ord_key,
+          |  ('0x' || substr(md5(ord_key), 1, 15))::BIGINT % 8 AS shard
+          |FROM o ORDER BY doc_id, epoch""".stripMargin)),
+
+    // Embedding-space decontamination — the semantic sibling of d7/d9:
+    // benchmark vectors (vec_id % 50 = 0) broadcast against the corpus;
+    // planted contamination (every 7th corpus vector replaced by a
+    // benchmark vector through a broadcast fetch) must flag at
+    // tau = 0.999, organic vectors (max cross-sim 0.45 in this corpus)
+    // must not. Corpus never shuffles; one map-side-combined max per cid.
+    Q("d17_embedding_decontam",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val bench = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("bid"), col("v").as("bvec"))
+        val corpus = e.filter(col("vec_id") % 50 =!= 0)
+          .withColumn("__pb", expr("if(vec_id % 7 = 3, (vec_id * 3 % 10) * 50, -1)"))
+          .join(broadcast(bench.select(col("bid").as("__pbid"), col("bvec").as("__pbv"))),
+            col("__pb") === col("__pbid"), "left")
+          .select(col("vec_id").as("cid"), coalesce(col("__pbv"), col("v")).as("cvec"))
+        Similarity.embeddingDecontaminate(corpus, bench, tauFp = 999000L)
+          .orderBy("cid")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |          FROM embeddings),
+           |b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 50 = 0),
+           |c0 AS (SELECT vec_id AS cid, v,
+           |         CASE WHEN vec_id % 7 = 3 THEN (vec_id * 3 % 10) * 50 ELSE -1 END AS pb
+           |       FROM e WHERE vec_id % 50 <> 0),
+           |c AS (SELECT cid, COALESCE(bv, v) AS cv
+           |      FROM c0 LEFT JOIN b ON pb = bid),
+           |s AS (SELECT cid, bid,
+           |        CAST(floor((list_sum(list_transform(range(1, 65), i -> cv[i] * bv[i])) /
+           |          (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) *
+           |           sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i]))))) * 1000000.0) AS BIGINT) AS sim_fp
+           |      FROM c CROSS JOIN b)
+           |SELECT cid, MAX(sim_fp) AS max_sim_fp,
+           |  CAST(COUNT(CASE WHEN sim_fp >= 999000 THEN 1 END) AS BIGINT) AS n_contacts,
+           |  MAX(sim_fp) >= 999000 AS contaminated
+           |FROM s GROUP BY cid ORDER BY cid""".stripMargin))
+  )
+}
