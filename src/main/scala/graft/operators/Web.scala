@@ -53,4 +53,33 @@ object Web {
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("kept", col("rk") <= cap)
   }
+
+  /** The persisted artifact for the incremental cap: the KEPT (id, domain)
+    * membership rows of [[domainCap]] — presence rows, so the cap's state
+    * is just the store's per-domain row count. */
+  def domainKeptIndex(df: DataFrame, idCol: String, domainCol: String,
+                      cap: Int): DataFrame =
+    domainCap(df, idCol, domainCol, cap).filter(col("kept"))
+      .select(col(idCol), col(domainCol))
+
+  /** Incremental per-domain cap against a persisted membership index:
+    * arrival-order priority (indexed docs hold their quota — the d12
+    * later-batches-demoted semantic). The index contributes ONE count
+    * aggregation per batch and only its per-domain COUNTS move over the
+    * wire — a broadcast-sized frame bounded by the registrable-domain
+    * space, not the corpus; batch docs rank within themselves by md5 and
+    * keep while `prior + rank <= cap`. Equals the full [[domainCap]] over
+    * index ∪ batch under index-first ordering (WebSpec pins the
+    * equivalence). */
+  def incrementalDomainCap(index: DataFrame, batch: DataFrame, idCol: String,
+                           domainCol: String, cap: Int): DataFrame = {
+    val prior = index.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("prior"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    batch.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(prior), Seq(domainCol), "left")
+      .withColumn("prior", coalesce(col("prior"), lit(0L)))
+      .withColumn("kept", col("prior") + col("rk") <= cap)
+  }
 }

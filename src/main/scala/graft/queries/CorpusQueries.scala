@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -38,6 +39,96 @@ object CorpusQueries {
        |         when (doc_id + i) % 4 != 0 then '.'
        |         else '' end))""".stripMargin
   }
+
+  /** Planted URL per doc — 21 registrable domains (7 words × 3 TLDs,
+    * one of them a two-level public suffix) with rotating subdomains;
+    * shared by u1/u1b/web1. */
+  private val urlPlantSpark =
+    """concat('https://',
+      |  case when element_at(array('www','blog','news',''), cast(doc_id % 4 as int) + 1) = ''
+      |       then ''
+      |       else concat(element_at(array('www','blog','news',''), cast(doc_id % 4 as int) + 1), '.') end,
+      |  element_at(array('alpha','beta','gamma','delta','epsilon','zeta','eta'), cast(doc_id * 3 % 7 as int) + 1),
+      |  '.', element_at(array('com','co.uk','org'), cast(doc_id % 3 as int) + 1),
+      |  '/p/', cast(doc_id as string))""".stripMargin
+
+  /** (doc_id, host, domain) over the planted URLs. */
+  private def plantedDomains(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(urlPlantSpark).as("url"))
+      .select(col("doc_id"), expr(Web.hostSql("url")).as("host"))
+      .withColumn("domain", expr(Web.registrableDomainSql("host")))
+
+  /** DuckDB twin of [[plantedDomains]]: CTEs `u`, `h`, `dm` ending in
+    * dm(doc_id, host, domain). */
+  private val dDomainsCte =
+    """u AS (
+      |  SELECT doc_id,
+      |    list_extract(['www','blog','news',''], CAST(doc_id % 4 AS INTEGER) + 1) AS sub,
+      |    list_extract(['alpha','beta','gamma','delta','epsilon','zeta','eta'], CAST(doc_id * 3 % 7 AS INTEGER) + 1) AS word,
+      |    list_extract(['com','co.uk','org'], CAST(doc_id % 3 AS INTEGER) + 1) AS tld
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    regexp_extract('https://' ||
+      |      (CASE WHEN sub = '' THEN '' ELSE sub || '.' END) ||
+      |      word || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/]+)', 1) AS host
+      |  FROM u),
+      |dm AS (
+      |  SELECT doc_id, host,
+      |    CASE WHEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.')
+      |              IN ('co.uk', 'com.au', 'co.jp')
+      |         THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.')
+      |         ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') END AS domain
+      |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM h))""".stripMargin
+
+  /** u1b's persisted artifact: the capped corpus's domain membership
+    * ([[Web.domainKeptIndex]]), memoized per sf dir with an eager
+    * localCheckpoint — the d13/d15/d16 persisted-index pattern (one
+    * untimed build via Q.setup; Verify stays correct without it). */
+  private val u1Indexes =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def u1Index(s: SparkSession, d: String): DataFrame =
+    u1Indexes.get(d).filter(_.sparkSession eq s).getOrElse {
+      val built = Web.domainKeptIndex(plantedDomains(s, d), "doc_id", "domain", 20)
+        .localCheckpoint(true)
+      u1Indexes(d) = built
+      built
+    }
+
+  /** Deterministic HTML shell around each doc (t15/web1): head/title,
+    * style + script blocks with content, entities planted in the body. */
+  private val htmlPlantSpark =
+    """concat('<html><head><title>Doc ', cast(doc_id as string),
+      |  '</title><style>p { color: red; }</style><script>var id = ',
+      |  cast(doc_id as string), '; track(id);</script></head><body><h1>Doc ',
+      |  cast(doc_id as string), '</h1><p>', replace(text, 'data', '&amp;'),
+      |  '</p><div class="foot">powered &lt;by&gt; graft</div></body></html>')""".stripMargin
+
+  /** DuckDB twin of the plant + extraction: CTEs `p`, `c` ending in
+    * c(doc_id, n_html_chars, cl). */
+  private val dHtmlCte =
+    """p AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p { color: red; }</style><script>var id = ' ||
+      |    CAST(doc_id AS VARCHAR) || '; track(id);</script></head><body><h1>Doc ' ||
+      |    CAST(doc_id AS VARCHAR) || '</h1><p>' || replace(text, 'data', '&amp;') ||
+      |    '</p><div class="foot">powered &lt;by&gt; graft</div></body></html>' AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(length(h) AS BIGINT) AS n_html_chars,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(h, '(?s)<script.*?</script>', ' ', 'g'),
+      |            '(?s)<style.*?</style>', ' ', 'g'),
+      |          '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+      |      ' +', ' ', 'g')) AS cl
+      |  FROM p)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -91,52 +182,68 @@ object CorpusQueries {
     // at sf0.01, so the cap genuinely trims. One shuffle (both window
     // specs share the domain partitioning).
     Q("u1_domain_caps",
+      (s, d) => Web.domainCap(plantedDomains(s, d), "doc_id", "domain", cap = 20)
+        .select("doc_id", "host", "domain", "domain_docs", "rk", "kept")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $dDomainsCte,
+           |r AS (
+           |  SELECT doc_id, host, domain,
+           |    COUNT(*) OVER (PARTITION BY domain) AS domain_docs,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM dm)
+           |SELECT doc_id, host, domain, CAST(domain_docs AS BIGINT) AS domain_docs,
+           |  CAST(rk AS BIGINT) AS rk, rk <= 20 AS kept
+           |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Incremental domain caps vs the persisted membership store — the
+    // u-family joins the d11–d16 incremental pattern: the capped corpus's
+    // kept (doc, domain) rows are the persisted artifact (built once,
+    // untimed via setup); a new upload batch re-ranks ONLY itself and
+    // consumes the store as per-domain counts (broadcast-sized — domains,
+    // not docs). Arrival-order priority: earlier uploads hold their quota
+    // (the d12 later-batches-demoted semantic, pinned == full-pass-with-
+    // priority in WebSpec). Batch = every 5th doc re-uploaded under a new
+    // id — half into its original (saturated) domain, which the store
+    // demotes; half into a fresh `.net` mirror domain, which admits.
+    Q("u1b_incremental_domain_caps",
       (s, d) => {
-        val planted = Tables.documents(s, d).select(col("doc_id"),
-          expr("""concat('https://',
-            |  case when element_at(array('www','blog','news',''), cast(doc_id % 4 as int) + 1) = ''
-            |       then ''
-            |       else concat(element_at(array('www','blog','news',''), cast(doc_id % 4 as int) + 1), '.') end,
-            |  element_at(array('alpha','beta','gamma','delta','epsilon','zeta','eta'), cast(doc_id * 3 % 7 as int) + 1),
-            |  '.', element_at(array('com','co.uk','org'), cast(doc_id % 3 as int) + 1),
-            |  '/p/', cast(doc_id as string))""".stripMargin).as("url"))
-        val hosts = planted
-          .select(col("doc_id"), expr(Web.hostSql("url")).as("host"))
-          .withColumn("domain", expr(Web.registrableDomainSql("host")))
-        Web.domainCap(hosts, "doc_id", "domain", cap = 20)
-          .select("doc_id", "host", "domain", "domain_docs", "rk", "kept")
-          .orderBy("doc_id")
+        val batch = plantedDomains(s, d).filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("bid"),
+            expr("""if(doc_id % 2 = 0, domain,
+                   |   concat(element_at(split(domain, '\\.'), 1), '.net'))""".stripMargin)
+              .as("domain"))
+        Web.incrementalDomainCap(u1Index(s, d), batch, "bid", "domain", cap = 20)
+          .select("bid", "domain", "prior", "rk", "kept")
+          .orderBy("bid")
       },
       Some(
-        """WITH u AS (
-          |  SELECT doc_id,
-          |    list_extract(['www','blog','news',''], CAST(doc_id % 4 AS INTEGER) + 1) AS sub,
-          |    list_extract(['alpha','beta','gamma','delta','epsilon','zeta','eta'], CAST(doc_id * 3 % 7 AS INTEGER) + 1) AS word,
-          |    list_extract(['com','co.uk','org'], CAST(doc_id % 3 AS INTEGER) + 1) AS tld
-          |  FROM documents),
-          |h AS (
-          |  SELECT doc_id,
-          |    regexp_extract('https://' ||
-          |      (CASE WHEN sub = '' THEN '' ELSE sub || '.' END) ||
-          |      word || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR),
-          |      'https?://([^/]+)', 1) AS host
-          |  FROM u),
-          |dm AS (
-          |  SELECT doc_id, host,
-          |    CASE WHEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.')
-          |              IN ('co.uk', 'com.au', 'co.jp')
-          |         THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.')
-          |         ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') END AS domain
-          |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)),
-          |r AS (
-          |  SELECT doc_id, host, domain,
-          |    COUNT(*) OVER (PARTITION BY domain) AS domain_docs,
-          |    row_number() OVER (PARTITION BY domain
-          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-          |  FROM dm)
-          |SELECT doc_id, host, domain, CAST(domain_docs AS BIGINT) AS domain_docs,
-          |  CAST(rk AS BIGINT) AS rk, rk <= 20 AS kept
-          |FROM r ORDER BY doc_id""".stripMargin)),
+        s"""WITH $dDomainsCte,
+           |cr AS (
+           |  SELECT doc_id, domain,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM dm),
+           |pr AS (
+           |  SELECT domain, COUNT(CASE WHEN rk <= 20 THEN 1 END) AS prior
+           |  FROM cr GROUP BY domain),
+           |b AS (
+           |  SELECT doc_id + 1000000 AS bid,
+           |    CASE WHEN doc_id % 2 = 0 THEN domain
+           |         ELSE string_split(domain, '.')[1] || '.net' END AS domain
+           |  FROM dm WHERE doc_id % 5 = 0),
+           |br AS (
+           |  SELECT bid, domain,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY md5(CAST(bid AS VARCHAR)), bid) AS rk
+           |  FROM b)
+           |SELECT bid, br.domain, CAST(COALESCE(pr.prior, 0) AS BIGINT) AS prior,
+           |  CAST(br.rk AS BIGINT) AS rk,
+           |  COALESCE(pr.prior, 0) + br.rk <= 20 AS kept
+           |FROM br LEFT JOIN pr ON br.domain = pr.domain
+           |ORDER BY bid""".stripMargin),
+      setup = Some((s, d) => { u1Index(s, d); () })),
 
     // HTML→text extraction (the crawl pipeline's first real transform):
     // each doc is wrapped in a deterministic HTML shell (head/title,
@@ -146,14 +253,8 @@ object CorpusQueries {
     // is proven by md5 (bytes, not re-rendered strings).
     Q("t15_html_extract",
       (s, d) => {
-        val plant =
-          """concat('<html><head><title>Doc ', cast(doc_id as string),
-            |  '</title><style>p { color: red; }</style><script>var id = ',
-            |  cast(doc_id as string), '; track(id);</script></head><body><h1>Doc ',
-            |  cast(doc_id as string), '</h1><p>', replace(text, 'data', '&amp;'),
-            |  '</p><div class="foot">powered &lt;by&gt; graft</div></body></html>')""".stripMargin
         Tables.documents(s, d)
-          .select(col("doc_id"), expr(plant).as("__h"))
+          .select(col("doc_id"), expr(htmlPlantSpark).as("__h"))
           .select(col("doc_id"),
             length(col("__h")).cast("long").as("n_html_chars"),
             expr(TextOps.htmlToTextSql("__h")).as("__c"))
@@ -163,29 +264,62 @@ object CorpusQueries {
           .orderBy("doc_id")
       },
       Some(
-        """WITH p AS (
-          |  SELECT doc_id,
-          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-          |    '</title><style>p { color: red; }</style><script>var id = ' ||
-          |    CAST(doc_id AS VARCHAR) || '; track(id);</script></head><body><h1>Doc ' ||
-          |    CAST(doc_id AS VARCHAR) || '</h1><p>' || replace(text, 'data', '&amp;') ||
-          |    '</p><div class="foot">powered &lt;by&gt; graft</div></body></html>' AS h
-          |  FROM documents),
-          |c AS (
-          |  SELECT doc_id, CAST(length(h) AS BIGINT) AS n_html_chars,
-          |    trim(regexp_replace(
-          |      replace(replace(replace(
-          |        regexp_replace(
-          |          regexp_replace(
-          |            regexp_replace(h, '(?s)<script.*?</script>', ' ', 'g'),
-          |            '(?s)<style.*?</style>', ' ', 'g'),
-          |          '<[^>]*>', ' ', 'g'),
-          |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
-          |      ' +', ' ', 'g')) AS cl
-          |  FROM p)
-          |SELECT doc_id, n_html_chars,
-          |  CAST(length(cl) AS BIGINT) AS n_clean_chars, md5(cl) AS clean_md5
-          |FROM c ORDER BY doc_id""".stripMargin)),
+        s"""WITH $dHtmlCte
+           |SELECT doc_id, n_html_chars,
+           |  CAST(length(cl) AS BIGINT) AS n_clean_chars, md5(cl) AS clean_md5
+           |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Web-pipeline capstone: HTML extraction (t15) → model-based quality
+    // filter on the EXTRACTED text (t13's hashed-linear inference) →
+    // per-domain cap over the quality survivors (u1, cap 10 so it bites)
+    // → one per-doc verdict. The crawl-to-corpus spine in one frame:
+    // zero-shuffle extraction + scoring, then the one domain-window
+    // shuffle; every stage replayed in the oracle below.
+    Q("web1_pipeline_end_to_end",
+      (s, d) => {
+        val extracted = Tables.documents(s, d)
+          .select(col("doc_id"), expr(htmlPlantSpark).as("__h"))
+          .select(col("doc_id"), expr(TextOps.htmlToTextSql("__h")).as("__t"))
+        val qual = TextOps.hashedLinearQuality(extracted, "doc_id", "__t",
+          buckets = 4096, thresholdMilli = -105L)
+        val dom = plantedDomains(s, d).select("doc_id", "domain")
+        val capped = Web.domainCap(
+            qual.filter(col("keep")).join(dom, Seq("doc_id")),
+            "doc_id", "domain", cap = 10)
+          .select(col("doc_id"), col("kept").as("__domain_kept"))
+        qual.join(dom, Seq("doc_id"))
+          .join(capped, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("domain"), col("n_grams"), col("score_sum"),
+            col("keep").as("quality_keep"),
+            coalesce(col("__domain_kept"), lit(false)).as("final_keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $dHtmlCte,
+           |t AS (SELECT doc_id, string_split(cl, ' ') AS toks FROM c),
+           |g AS (SELECT doc_id,
+           |        list_concat(toks,
+           |          list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+           |            i -> concat_ws(' ', toks[i], toks[i+1]))) AS grams
+           |      FROM t),
+           |sc AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           |        CAST(list_sum(list_transform(grams, g ->
+           |          ((('0x' || substr(md5('w:' || CAST((('0x' || substr(md5(g),1,15))::BIGINT) % 4096 AS VARCHAR)),1,15))::BIGINT) % 2001) - 1000)) AS BIGINT) AS score_sum
+           |      FROM g),
+           |q AS (SELECT doc_id, n_grams, score_sum,
+           |        score_sum > -105 * n_grams AS quality_keep
+           |      FROM sc),
+           |$dDomainsCte,
+           |k AS (SELECT q.doc_id, dm.domain FROM q JOIN dm USING (doc_id)
+           |      WHERE q.quality_keep),
+           |r AS (SELECT doc_id, domain,
+           |        row_number() OVER (PARTITION BY domain
+           |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |      FROM k)
+           |SELECT q.doc_id, dm.domain, q.n_grams, q.score_sum, q.quality_keep,
+           |  COALESCE(r.rk <= 10, FALSE) AS final_keep
+           |FROM q JOIN dm USING (doc_id) LEFT JOIN r ON q.doc_id = r.doc_id
+           |ORDER BY q.doc_id""".stripMargin)),
 
     // Epoch-aware mixture upsampling: per-source weights in eighths
     // (md5-derived stand-ins for tuned mixture weights — swapping in real

@@ -51,4 +51,36 @@ class WebSpec extends SparkSpec {
     assert(out.filter(col("domain") === "big.com")
       .select("domain_docs").distinct().collect().head.getLong(0) === 5L)
   }
+
+  test("incrementalDomainCap == full cap under index-first ordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 10
+    // a.com saturated (12 > cap), b.org has slack (5), c.net unseen
+    val corpus = ((1L to 12L).map(i => (i, "a.com")) ++
+      (21L to 25L).map(i => (i, "b.org"))).toDF("id", "domain")
+    val idx = Web.domainKeptIndex(corpus, "id", "domain", cap)
+    val batch = ((101L to 110L).map(i => (i, "a.com")) ++
+      (121L to 123L).map(i => (i, "b.org")) ++
+      Seq((131L, "c.net"))).toDF("id", "domain")
+    val inc = Web.incrementalDomainCap(idx, batch, "id", "domain", cap)
+    // the full pass, with index docs sorting strictly before batch docs
+    val union = corpus.withColumn("pri", lit(0))
+      .unionByName(batch.withColumn("pri", lit(1)))
+    val w = Window.partitionBy($"domain")
+      .orderBy($"pri", md5($"id".cast("string")), $"id")
+    val full = union.withColumn("rk", row_number().over(w))
+      .filter($"pri" === 1 && $"rk" <= cap)
+    assert(inc.filter($"kept").select("id").collect().map(_.getLong(0)).toSet ===
+      full.select("id").collect().map(_.getLong(0)).toSet)
+    // prior counts surface per domain; unseen domains start at zero
+    def prior(dm: String) = inc.filter($"domain" === dm)
+      .select("prior").distinct().collect().head.getLong(0)
+    assert(prior("a.com") === 10L)
+    assert(prior("b.org") === 5L)
+    assert(prior("c.net") === 0L)
+    // partial quota: b.org admits exactly cap - prior = 5 more at most
+    assert(inc.filter($"domain" === "b.org" && $"kept").count() === 3L)
+    assert(inc.filter($"domain" === "a.com" && $"kept").count() === 0L)
+  }
 }
