@@ -106,17 +106,44 @@ object Similarity {
         floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
   }
 
+  /** Attribute-filtered IVF search — the filtered-ANN production shape
+    * (per-query metadata constraint, e.g. same-language retrieval): the
+    * identical cell-keyed probe join as [[ivfTopK]] with the attribute as
+    * an extra equi-constraint inside the join, so the top-k stays full
+    * WITHIN the query's attribute slice (post-filtering an unfiltered
+    * top-k starves recall — the documented filtered-ANN failure mode).
+    * The join key space is cells × attribute values — still growing with
+    * the corpus. Both frames must carry `attrCol`. */
+  def ivfTopKFiltered(queries: DataFrame, corpus: DataFrame,
+                      centroids: DataFrame, attrCol: String, k: Int,
+                      nProbe: Int = 2): DataFrame = {
+    val cAssign = nearestCells(centroids)(
+      corpus.withColumnRenamed(attrCol, "__cattr"), "cvec", "cid", 1, Seq("__cattr"))
+    val qProbe = nearestCells(centroids)(
+      queries.withColumnRenamed(attrCol, "__qattr"), "qvec", "qid", nProbe, Seq("__qattr"))
+    val scored = cAssign.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("qid") =!= col("cid") && col("__cattr") === col("__qattr"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"),
+        floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
+  }
+
   /** n nearest centroid cells per vector (cosine, ties by cent_id) — the
     * coarse-quantization step shared by [[ivfTopK]] and [[int8IvfTopK]].
     * Centroids are a k-row broadcast; the argmin is a window over k
-    * candidate rows per vector. */
+    * candidate rows per vector. `keep` carries extra columns (e.g. the
+    * filtered-search attribute) through the assignment. */
   private def nearestCells(centroids: DataFrame)(
-      df: DataFrame, vecCol: String, idCol: String, n: Int): DataFrame = {
+      df: DataFrame, vecCol: String, idCol: String, n: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
       .withColumn("__csim", cosine(col(vecCol), col("centvec")))
     val w = Window.partitionBy(idCol).orderBy(desc("__csim"), asc("cent_id"))
     scored.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= n)
-      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+      .select(col(idCol) +: col(vecCol) +: keep.map(col) :+ col("cent_id").as("cell"): _*)
   }
 
   /** Hyperplane count sized to the corpus — THE knob that keeps LSH

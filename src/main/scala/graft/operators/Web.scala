@@ -34,6 +34,27 @@ object Web {
     }
   }
 
+  /** Spark-dialect SQL: canonical form of an http(s) URL — the dedup key
+    * of crawl-frontier / re-crawl pipelines. Rules: drop the fragment,
+    * lowercase scheme+host, strip trailing slashes from the path, drop
+    * `utm_*` tracking params while PRESERVING every other param in order.
+    * Let-bound per stage (catalyst-eval-cost invariant); patterns in the
+    * Java∩RE2 intersection so the DuckDB twin replays them ('g'-flag
+    * regexp_replace, COALESCE over its empty-list array_to_string). */
+  def canonicalizeUrlSql(url: String): String =
+    TextOps.letSql(s"regexp_replace($url, '#.*$$', '')", "nf") { nf =>
+      TextOps.letSql(s"lower(regexp_extract($nf, '(?i)^(https?://[^/?]+)', 1))", "sh") { sh =>
+        TextOps.letSql(
+          s"regexp_replace(regexp_extract($nf, '(?i)^https?://[^/?]+([^?]*)', 1), '/+$$', '')", "pa") { pa =>
+          TextOps.letSql(
+            s"""array_join(filter(split(regexp_extract($nf, '\\\\?(.*)$$', 1), '&'),
+               |  p -> p != '' and not startswith(p, 'utm_')), '&')""".stripMargin, "qq") { qq =>
+            s"concat($sh, $pa, if($qq = '', '', concat('?', $qq)))"
+          }
+        }
+      }
+    }
+
   /** Per-domain document cap: deterministic md5-ordered rank within each
     * registrable domain plus the domain's total count; `kept` keeps the
     * first `cap` docs of every domain. One shuffle (both window specs

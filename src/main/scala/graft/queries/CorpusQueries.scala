@@ -40,6 +40,16 @@ object CorpusQueries {
        |         else '' end))""".stripMargin
   }
 
+  private val Dim = 64
+
+  /** DuckDB left-fold cosine over [[Dim]] dims (the LlmQueries idiom —
+    * same accumulation order as the native DotProduct expression). */
+  private def dCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i] * $y[i]))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
   /** Planted URL per doc — 21 registrable domains (7 words × 3 TLDs,
     * one of them a two-level public suffix) with rotating subdomains;
     * shared by u1/u1b/web1. */
@@ -402,6 +412,118 @@ object CorpusQueries {
            |SELECT cid, MAX(sim_fp) AS max_sim_fp,
            |  CAST(COUNT(CASE WHEN sim_fp >= 999000 THEN 1 END) AS BIGINT) AS n_contacts,
            |  MAX(sim_fp) >= 999000 AS contaminated
-           |FROM s GROUP BY cid ORDER BY cid""".stripMargin))
+           |FROM s GROUP BY cid ORDER BY cid""".stripMargin)),
+
+
+    // URL canonicalization dedup — the crawl-frontier dedup key BEFORE any
+    // content hashing: fragment dropped, scheme+host lowercased, trailing
+    // slash stripped, utm_* tracking params removed (other params kept in
+    // order). Planted: every 3 consecutive docs share a resource; variant
+    // 1 adds tracking params + fragment, variant 2 re-crawls with an
+    // uppercased host + trailing slash; every 5th group's variant 1
+    // carries a REAL param that must survive and stay distinct. One
+    // shuffle, keyed on the canonical string (content-derived key space).
+    Q("d18_url_dedup",
+      (s, d) => {
+        val urls = Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("__g", expr("doc_id div 3"))
+          .withColumn("url", expr(TextOps.letSql(
+            """case when element_at(array('www','blog','news',''), cast(__g % 4 as int) + 1) = ''
+              |     then concat(element_at(array('alpha','beta','gamma','delta','epsilon','zeta','eta'), cast(__g * 3 % 7 as int) + 1),
+              |       '.', element_at(array('com','co.uk','org'), cast(__g % 3 as int) + 1))
+              |     else concat(element_at(array('www','blog','news',''), cast(__g % 4 as int) + 1), '.',
+              |       element_at(array('alpha','beta','gamma','delta','epsilon','zeta','eta'), cast(__g * 3 % 7 as int) + 1),
+              |       '.', element_at(array('com','co.uk','org'), cast(__g % 3 as int) + 1)) end""".stripMargin, "hh") { hh =>
+            s"""case when doc_id % 3 = 0 then concat('https://', $hh, '/p/', cast(__g as string))
+               |     when doc_id % 3 = 1 then concat('https://', $hh, '/p/', cast(__g as string),
+               |       if(__g % 5 = 0, '?page=2&utm_source=feed#top', '?utm_source=feed&utm_campaign=c#top'))
+               |     else concat('HTTPS://', upper($hh), '/p/', cast(__g as string), '/?utm_medium=m') end""".stripMargin
+          }))
+        val canon = urls.withColumn("canon", expr(Web.canonicalizeUrlSql("url")))
+          .select("doc_id", "url", "canon")
+        val grp = canon.groupBy(col("canon"))
+          .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_variants"))
+        canon.join(grp, Seq("canon"))
+          .select(col("doc_id"), col("canon"), col("kept_id"), col("n_variants"),
+            (col("doc_id") === col("kept_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH g0 AS (SELECT doc_id, doc_id // 3 AS g FROM documents),
+          |hp AS (SELECT doc_id, g,
+          |    list_extract(['www','blog','news',''], CAST(g % 4 AS INTEGER) + 1) AS sub,
+          |    list_extract(['alpha','beta','gamma','delta','epsilon','zeta','eta'], CAST(g * 3 % 7 AS INTEGER) + 1) AS word,
+          |    list_extract(['com','co.uk','org'], CAST(g % 3 AS INTEGER) + 1) AS tld
+          |  FROM g0),
+          |hh AS (SELECT doc_id, g,
+          |    CASE WHEN sub = '' THEN word || '.' || tld
+          |         ELSE sub || '.' || word || '.' || tld END AS h
+          |  FROM hp),
+          |uu AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN 'https://' || h || '/p/' || CAST(g AS VARCHAR)
+          |         WHEN doc_id % 3 = 1 THEN 'https://' || h || '/p/' || CAST(g AS VARCHAR) ||
+          |              CASE WHEN g % 5 = 0 THEN '?page=2&utm_source=feed#top'
+          |                   ELSE '?utm_source=feed&utm_campaign=c#top' END
+          |         ELSE 'HTTPS://' || upper(h) || '/p/' || CAST(g AS VARCHAR) || '/?utm_medium=m' END AS url
+          |  FROM hh),
+          |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS nf FROM uu),
+          |c2 AS (SELECT doc_id, url,
+          |    lower(regexp_extract(nf, '(?i)^(https?://[^/?]+)', 1)) ||
+          |    regexp_replace(regexp_extract(nf, '(?i)^https?://[^/?]+([^?]*)', 1), '/+$', '', 'g') ||
+          |    CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon
+          |  FROM (SELECT doc_id, url, nf,
+          |          COALESCE(array_to_string(list_filter(string_split(regexp_extract(nf, '\?(.*)$', 1), '&'),
+          |            p -> p != '' AND NOT starts_with(p, 'utm_')), '&'), '') AS q2
+          |        FROM c1)),
+          |grp AS (SELECT canon, MIN(doc_id) AS kept_id, COUNT(*) AS n_variants
+          |        FROM c2 GROUP BY canon)
+          |SELECT c2.doc_id, c2.canon, grp.kept_id,
+          |  CAST(grp.n_variants AS BIGINT) AS n_variants,
+          |  c2.doc_id = grp.kept_id AS is_canonical
+          |FROM c2 JOIN grp USING (canon) ORDER BY c2.doc_id""".stripMargin)),
+
+    // Attribute-filtered IVF search (same-label retrieval — the filtered-
+    // ANN production shape): identical cell-keyed probe join as s4 with
+    // the label as an extra equi-constraint INSIDE the join, so k stays
+    // full within the query's slice (post-filtering a plain top-k would
+    // starve recall — the documented filtered-ANN failure mode).
+    Q("s9_filtered_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"),
+            col("label"))
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("centvec"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"), col("label"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"), col("label"))
+        Similarity.ivfTopKFiltered(q, c, centroids, "label", k = 3, nProbe = 2)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               |            label
+               |          FROM embeddings),
+               |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+               |ca AS (SELECT cid, cvec, clabel, cell FROM (
+               |        SELECT e.vec_id AS cid, e.v AS cvec, e.label AS clabel, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vec_id
+               |            ORDER BY ${dCos("e.v", "cv")} DESC, cent_id) AS rn
+               |        FROM e CROSS JOIN cent) WHERE rn = 1),
+               |qp AS (SELECT qid, qvec, qlabel, cell FROM (
+               |        SELECT e.vec_id AS qid, e.v AS qvec, e.label AS qlabel, cent_id AS cell,
+               |          row_number() OVER (PARTITION BY e.vec_id
+               |            ORDER BY ${dCos("e.v", "cv")} DESC, cent_id) AS rn
+               |        FROM e CROSS JOIN cent
+               |        WHERE e.vec_id >= 100 AND e.vec_id < 120) WHERE rn <= 2),
+               |cand AS (SELECT DISTINCT qid, qvec, cid, cvec
+               |         FROM ca JOIN qp USING (cell)
+               |         WHERE qid <> cid AND clabel = qlabel),
+               |sc AS (SELECT qid, cid, ${dCos("qvec", "cvec")} AS sim FROM cand),
+               |r AS (SELECT qid, cid, sim,
+               |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |      FROM sc)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   )
 }

@@ -52,6 +52,25 @@ class WebSpec extends SparkSpec {
       .select("domain_docs").distinct().collect().head.getLong(0) === 5L)
   }
 
+  test("canonicalizeUrlSql: fragment, case, trailing slash, utm params") {
+    import spark.implicits._
+    val in = Seq(
+      "https://www.alpha.com/p/3",
+      "HTTPS://WWW.ALPHA.COM/p/3/?utm_medium=m",
+      "https://www.alpha.com/p/3?utm_source=feed&utm_campaign=c#top",
+      "https://www.alpha.com/p/3?page=2&utm_source=f",
+      "http://beta.co.uk/x")
+    val out = in.toDF("url")
+      .select(expr(Web.canonicalizeUrlSql("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq(
+      "https://www.alpha.com/p/3",
+      "https://www.alpha.com/p/3",
+      "https://www.alpha.com/p/3",
+      "https://www.alpha.com/p/3?page=2",
+      "http://beta.co.uk/x"))
+  }
+
   test("incrementalDomainCap == full cap under index-first ordering") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
