@@ -334,4 +334,37 @@ class PlanSpec extends SparkSpec {
       p.contains("HashAggregate"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("embedding decontamination broadcasts the benchmark; one shuffle for the per-doc max (d17)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val bench = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bid"), col("v").as("bvec"))
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val out = Similarity.embeddingDecontaminate(corpus, bench, 999000L)
+    val p = plan(out)
+    // the benchmark rides a broadcast; corpus payloads never shuffle —
+    // the only SHUFFLE exchange carries the map-side-combined (cid, max)
+    // rows (the broadcast's own BroadcastExchange is not a shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    assert(p.contains("partial_max"), p.take(3000))
+  }
+
+  test("incremental domain cap ships the store as broadcast COUNTS, not rows (u1b)") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source").as("domain"))
+    val index = graft.operators.Web.domainKeptIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "domain", 10)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val out = graft.operators.Web.incrementalDomainCap(
+      index, batch, "doc_id", "domain", 10)
+    val p = plan(out)
+    // the store reaches the batch only through an aggregate feeding a
+    // broadcast join — its rows never co-shuffle with the batch
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
 }
