@@ -175,6 +175,31 @@ object SourceQueries {
              |  MIN(o_orderkey) AS first_key
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // Avro container round-trip — Spark ships avro-core but not the
+    // spark-avro datasource, so graft.sources.Avro is the dependency-light
+    // path: distributed per-container parse over binaryFile rows (the
+    // Xlsx/Xls precedent), one container per partition on the sink side.
+    // The aggregate proves the whole sink+source round-trip preserves
+    // values against the parquet twin in DuckDB.
+    Q("src6_avro_roundtrip",
+      (s, d) => {
+        val dir = fixtureDir("src6", d)
+        val path = s"$dir/orders_avro"
+        graft.sources.Avro.write(
+          Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          path)
+        graft.sources.Avro.read(s, s"$path/*.avro")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            QH.moneySum(col("o_totalprice")).as("rev"),
+            min(col("o_orderkey")).as("first_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |  ${QH.sqlMoneySum("o_totalprice")} AS rev,
+             |  MIN(o_orderkey) AS first_key
+             |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // S4 legacy: region → a REAL BIFF8 .xls inside an OLE2 compound file
     // (decoy tab first, numbers as NUMBER records, names via the shared
     // string table) → magic-dispatched pure-JDK Xls reader → aggregate.
