@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CorpusQueries, ExtraQueries, FunctionQueries, GeoQueries, LlmQueries, MetricsQueries, Q, RelationalQueries, SourceQueries}
+import graft.queries.{CorpusQueries, ExtraQueries, FunctionQueries, GeoQueries, IrQueries, LlmQueries, MetricsQueries, Q, RelationalQueries, SketchQueries, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,8 @@ object SparkEntry {
   private def catalog: Seq[Q] =
     RelationalQueries.all ++ FunctionQueries.all ++ LlmQueries.all ++
       CorpusQueries.all ++ ExtraQueries.all ++ GeoQueries.all ++
-      MetricsQueries.all ++ SourceQueries.all
+      MetricsQueries.all ++ SourceQueries.all ++ IrQueries.all ++
+      SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DVF-style multi-scale monthly stats: lineitem×orders×customer×nation×

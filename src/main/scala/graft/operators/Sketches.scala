@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches — integer-exact HyperLogLog and KMV
+  * (k-minimum-values), the mergeable distinct-count machinery a 100 TB
+  * pipeline uses where exact `COUNT(DISTINCT)` would shuffle every value:
+  * the sketch register is a few KB per group, map-side combinable (max per
+  * bucket / min-k per group are associative), and unions across shards,
+  * days, or sources without rescanning.
+  *
+  * Float parity: the classic estimators divide through doubles
+  * (`alpha·m²/Σ2^(−Mⱼ)`, `(k−1)/h_k`); here every estimate is an exact
+  * integer expression over the register —
+  *  - HLL: `E = alpha_ppm·m²·2^R div (Z·10⁶)` where
+  *    `Z = Σ 2^(R−Mⱼ)` (empty buckets contribute `2^R`) is an exact
+  *    integer, R = 53 (the 60-bit md5 hash minus 8 bucket bits leaves a
+  *    52-bit field; rho = 53 − bitlen(rem) ∈ [1, 53], so the first-bit
+  *    geometric starts at 1 with probability ½ — the estimator's 2^R
+  *    numerator must match this field width or it is off by a power of
+  *    two). `alpha_ppm = 718272` is the m = 256
+  *    bias constant `0.7213/(1+1.079/m)` quantized once, as a DEFINED
+  *    constant of the operator (not an engine-library value). Powers of
+  *    two are integer `shiftleft`, never libm `pow`.
+  *  - KMV: union size `(k−1)·2⁶⁰ div u_k` (u_k = k-th smallest hash of
+  *    the union), intersection via the Jaccard scale-up
+  *    `n_common·(k−1)·2⁶⁰ div (k·u_k)` — products in DECIMAL(38,0) /
+  *    HUGEINT, floor-division back to BIGINT.
+  * The raw HLL estimator is emitted WITHOUT the small-range linear-
+  * counting correction (`m·ln(m/V)` is libm-bound — the float-parity
+  * invariant); the zero-bucket count V is emitted alongside so a consumer
+  * owning a libm can apply it. Hash = the repo-wide 60-bit md5 primitive
+  * ([[DetHash.md5Long]] ≡ `TextOps.md5LongSql`).
+  */
+object Sketches {
+
+  /** HLL parameters: m = 2^B buckets; rho ∈ [1, R]. */
+  val B = 8
+  val M: Int = 1 << B          // 256 buckets
+  val R = 53                   // max rho: 52-bit remainder field + 1
+  val AlphaPpm = 718272L       // 0.7213/(1 + 1.079/256), ppm, defined constant
+
+  /** Per-(group, bucket) HLL register: Mⱼ = max rho over the group's
+    * hashed values. `valueSql` must be a STRING expression (the hash
+    * input). One groupBy shuffle on (group, bucket) with map-side-combined
+    * max — the scale shape. */
+  def hllRegister(df: DataFrame, groupCol: String, valueSql: String): DataFrame =
+    df
+      .withColumn("__h", expr(TextOps.md5LongSql(valueSql)))
+      .withColumn("__bucket", expr(s"__h % $M"))
+      .withColumn("__rem", expr(s"__h div $M"))
+      .withColumn("__rho",
+        when(col("__rem") === 0, lit(R))
+          .otherwise(lit(R) - length(bin(col("__rem")))))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(max("__rho").as("mj"))
+      .withColumnRenamed("__bucket", "bucket")
+
+  /** Integer-exact raw HLL estimate per group from a register frame:
+    * (group, est, n_buckets, v_zero). Z and the numerator run in
+    * DECIMAL(38,0) (≈10²⁷ peak — HUGEINT on DuckDB). */
+  def hllEstimate(reg: DataFrame, groupCol: String): DataFrame =
+    reg
+      .withColumn("__term",
+        expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $R - mj) AS DECIMAL(38,0))"))
+      .groupBy(col(groupCol))
+      .agg(sum("__term").as("__zpresent"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("__z",
+        expr(s"__zpresent + CAST($M - n_buckets AS DECIMAL(38,0))" +
+          s" * CAST(${1L << R} AS DECIMAL(38,0))"))
+      .withColumn("est", expr(
+        s"CAST(CAST($AlphaPpm AS DECIMAL(38,0)) * ${M.toLong * M}" +
+          s" * CAST(${1L << R} AS DECIMAL(38,0)) div (__z * 1000000) AS BIGINT)"))
+      .withColumn("v_zero", (lit(M) - col("n_buckets")).cast("long"))
+      .select(col(groupCol), col("est"), col("n_buckets").cast("long").as("n_buckets"),
+        col("v_zero"))
+
+  /** KMV sketch: the k smallest 60-bit hashes of `valueSql` per group —
+    * duplicates collapse first (distinct), then a per-group bottom-k.
+    * Registers are tiny (k longs/group) and merge by re-minning. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueSql: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    df
+      .select(col(groupCol), expr(TextOps.md5LongSql(valueSql)).as("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Pairwise distinct-set overlap estimates from KMV sketches: for every
+    * unordered group pair, the union sketch's k-th minimum gives
+    * est_union = (k−1)·2⁶⁰ div u_k, and the common-hash count inside the
+    * union's bottom-k scales it to the intersection estimate. A union with
+    * fewer than k distinct hashes is EXACT (u_k is not a k-th order
+    * statistic then): est_union = n_k, est_inter = n_common.
+    * @return (ga, gb, n_common, est_union, est_inter) — all BIGINT. */
+  def kmvOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = sketch.select(col(groupCol).as("ga"), col("h"))
+    val b = sketch.select(col(groupCol).as("gb"), col("h"))
+    val pairs = a.select("ga").distinct()
+      .join(b.select("gb").distinct(), col("ga") < col("gb"))
+    val unioned = pairs.join(a, "ga")
+      .select("ga", "gb", "h")
+      .unionByName(pairs.join(b, "gb").select("ga", "gb", "h"))
+      .distinct()
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val bottomK = unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("ga", "gb", "h")
+    val uk = bottomK.groupBy("ga", "gb")
+      .agg(max("h").as("u_k"), count(lit(1)).as("n_k"))
+    val common = bottomK
+      .join(a, Seq("ga", "h"))
+      .join(b, Seq("gb", "h"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_common"))
+    uk.join(common, Seq("ga", "gb"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("est_union",
+        when(col("n_k") < k, col("n_k"))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))" +
+              s" div u_k AS BIGINT)")))
+      .withColumn("est_inter",
+        when(col("n_k") < k, col("n_common"))
+          .otherwise(expr(
+            s"CAST(CAST(n_common AS DECIMAL(38,0)) * ${k - 1}" +
+              s" * CAST(${1L << 60} AS DECIMAL(38,0))" +
+              s" div (CAST($k AS DECIMAL(38,0)) * u_k) AS BIGINT)")))
+      .select(col("ga"), col("gb"), col("n_common"), col("est_union"), col("est_inter"))
+  }
+}

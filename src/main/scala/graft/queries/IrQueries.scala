@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ir
+
+/** Keyword-retrieval catalog entries (operators/Ir.scala): integer-exact
+  * BM25 search over an inverted posting index, the persisted-index
+  * variant, and positional phrase search. The search twin of the ANN
+  * family — see Ir.scala's scaladoc for the scale shape.
+  */
+object IrQueries {
+
+  /** The fixed query set: literal (query_id, term) rows — mixed document
+    * frequencies (dup df≈5% of docs; the rest common terms), one
+    * no-hit query exercising the empty path. Shared verbatim by the
+    * Spark frame and the oracle VALUES list. */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "dup",
+    1L -> "hash", 1L -> "join",
+    2L -> "dup", 2L -> "merge", 2L -> "batch",
+    3L -> "vector", 3L -> "scan",
+    4L -> "the", 4L -> "fast", 4L -> "key", 4L -> "query",
+    5L -> "zzz_missing")
+
+  /** Phrase set for ir3 — includes a self-overlapping phrase (dup dup) and
+    * a 3-word phrase. */
+  private val phrases: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join"),
+    1 -> Seq("slow", "fast", "table"),
+    2 -> Seq("dup", "dup"),
+    3 -> Seq("the", "fast"))
+
+  private val topK = 10
+
+  /** ir2's persisted artifact: postings + term df + (N, T) stats, memoized
+    * per sf dir with eager localCheckpoints (the d13/d15/d16 pattern —
+    * setup-warmed in Bench, built on demand in Verify). */
+  private final case class IrIndex(post: org.apache.spark.sql.DataFrame,
+                                   dfreq: org.apache.spark.sql.DataFrame,
+                                   n: Long, t: Long)
+  private val irIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, IrIndex]
+  private def irIndex(s: org.apache.spark.sql.SparkSession, d: String): IrIndex =
+    irIndexes.get(d).filter(_.post.sparkSession eq s).getOrElse {
+      val post = Ir.postings(Tables.documents(s, d), "doc_id", "text")
+        .localCheckpoint(true)
+      val dfreq = Ir.docFreq(post).localCheckpoint(true)
+      val (n, t) = Ir.corpusStats(Tables.documents(s, d), "doc_id", "text")
+      val built = IrIndex(post, dfreq, n, t)
+      irIndexes(d) = built
+      built
+    }
+
+  private def queriesDf(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    bm25Queries.toDF("query_id", "term")
+  }
+
+  /** Shared ir1/ir2 oracle: the full index build + search replayed in
+    * DuckDB — HUGEINT products, `//` floor-division, identical stopword
+    * gate and tiebreaks. */
+  private val bm25Oracle: String = {
+    val values = bm25Queries.map { case (q, w) => s"($q, '$w')" }.mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+       |docl AS (SELECT doc_id, CAST(len(list_filter(tl, x -> x <> '')) AS BIGINT) AS dl
+       |         FROM docs),
+       |tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(tl) AS t FROM docs)
+       |       WHERE t <> '' GROUP BY 1, 2),
+       |post AS (SELECT term, tf.doc_id, tf.tf, docl.dl
+       |         FROM tf JOIN docl USING (doc_id)),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |stats AS (SELECT COUNT(*)::HUGEINT AS n, SUM(dl)::HUGEINT AS t FROM docl),
+       |q(query_id, term) AS (VALUES $values),
+       |cand AS (SELECT q.query_id, p.doc_id,
+       |           SUM(${Ir.termScoreOracleSql("st.n", "st.t")}) AS score_fp
+       |         FROM post p
+       |         JOIN dfreq USING (term)
+       |         JOIN q ON q.term = p.term
+       |         CROSS JOIN stats st
+       |         WHERE df * 10 < st.n * 9
+       |         GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score_fp,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY score_fp DESC, doc_id) AS rank
+       |           FROM cand)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, CAST(score_fp AS BIGINT) AS score_fp
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val phraseOracle: String = {
+    val legs = phrases.map { case (pid, words) =>
+      val joins = words.zipWithIndex.tail.map { case (w, i) =>
+        s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '$w'"
+      }.mkString(" ")
+      s"""SELECT CAST($pid AS BIGINT) AS phrase_id, t0.doc_id, COUNT(*) AS n_occ
+         |FROM pos t0 $joins WHERE t0.term = '${words.head}' GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+       |pos AS (SELECT doc_id, t AS term, CAST(p AS BIGINT) AS pos
+       |        FROM (SELECT doc_id, unnest(tl) AS t,
+       |                generate_subscripts(tl, 1) AS p FROM docs)
+       |        WHERE t <> ''),
+       |occ AS ($legs),
+       |ranked AS (SELECT phrase_id, doc_id, n_occ,
+       |             row_number() OVER (PARTITION BY phrase_id
+       |               ORDER BY n_occ DESC, doc_id) AS rank
+       |           FROM occ)
+       |SELECT phrase_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(n_occ AS BIGINT) AS n_occ
+       |FROM ranked WHERE rank <= $topK ORDER BY phrase_id, rank""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Full-pipeline BM25 search: build postings + df + stats, then rank
+    // the fixed query set. Integer-exact scoring end to end (see
+    // Ir.scala's float-parity note); two-phase per-query top-k.
+    Q("ir1_bm25_topk",
+      (s, d) => {
+        val post = Ir.postings(Tables.documents(s, d), "doc_id", "text")
+        val dfreq = Ir.docFreq(post)
+        val (n, t) = Ir.corpusStats(Tables.documents(s, d), "doc_id", "text")
+        Ir.bm25TopK(post, dfreq, n, t, queriesDf(s), topK)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25Oracle)),
+
+    // The PERSISTED-INDEX search — the deployment shape: postings, df and
+    // stats are a setup-warmed localCheckpoint artifact (the s7/d16b
+    // persisted-artifact premise), so the timed work is ONLY the
+    // broadcast-filtered probe + scoring + top-k. Same oracle as ir1.
+    Q("ir2_bm25_persisted",
+      (s, d) => {
+        val ix = irIndex(s, d)
+        Ir.bm25TopK(ix.post, ix.dfreq, ix.n, ix.t, queriesDf(s), topK)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25Oracle),
+      setup = Some((s, d) => { irIndex(s, d); () })),
+
+    // Positional phrase search: m-way (doc, pos−i) equi-join over the
+    // positional postings, each leg map-side filtered to one term. The
+    // oracle replays ADJACENCY (not substring-replace counting — replace
+    // is non-overlapping so it undercounts self-overlapping phrases like
+    // 'dup dup').
+    Q("ir3_phrase_topk",
+      (s, d) => Ir.phraseTopK(
+          Ir.positionalPostings(Tables.documents(s, d), "doc_id", "text"),
+          phrases, topK)
+        .orderBy("phrase_id", "rank"),
+      Some(phraseOracle)))
+}

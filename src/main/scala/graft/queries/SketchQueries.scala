@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sketches
+
+/** Cardinality-sketch catalog entries (operators/Sketches.scala): integer-
+  * exact HyperLogLog daily-actives and KMV cross-group overlap, each
+  * emitted NEXT TO the exact answer so the query itself demonstrates
+  * accuracy — the catalog-SF role of the sketches; at deployment scale the
+  * exact leg is what the sketch replaces. */
+object SketchQueries {
+
+  /** The sketched value: one integer per (user, day) — pure epoch-micro
+    * arithmetic (ts_us_long div 86.4e9), no date formatting. */
+  private val valueSparkSql = "CAST(user_id * 100000 + ts_us_long div 86400000000 AS STRING)"
+  private val valueDuckSql = "CAST(user_id * 100000 + ts_us_long // 86400000000 AS VARCHAR)"
+
+  private def dMd5Long(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
+  private val kmvK = 64
+
+  val all: Seq[Q] = Seq(
+
+    // HLL-256 daily actives per event_type, est vs exact. Register build
+    // is ONE (group, bucket) shuffle with map-side-combined max — the
+    // 100 TB shape; countDistinct's value-wide shuffle is the exact leg
+    // the sketch replaces. Integer-exact estimator (Sketches scaladoc).
+    Q("sk1_hll_daily_actives",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_type"), expr(valueSparkSql).as("__v"))
+        val est = Sketches.hllEstimate(
+          Sketches.hllRegister(base, "event_type", "__v"), "event_type")
+        val exact = base.groupBy("event_type")
+          .agg(countDistinct("__v").as("n_exact"))
+        est.join(exact, "event_type")
+          .withColumn("err_ppm", expr("abs(est - n_exact) * 1000000L div n_exact"))
+          .select(col("event_type"), col("est"), col("n_buckets"), col("v_zero"),
+            col("n_exact"), col("err_ppm"))
+          .orderBy("event_type")
+      },
+      Some(s"""${QH.evCte},
+         |vals AS (SELECT event_type, $valueDuckSql AS v FROM ev),
+         |h AS (SELECT event_type, ${dMd5Long("v")} AS h FROM vals),
+         |rb AS (SELECT event_type, h % 256 AS bucket, h // 256 AS rem FROM h),
+         |rr AS (SELECT event_type, bucket,
+         |         CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho
+         |       FROM rb),
+         |reg AS (SELECT event_type, bucket, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+         |z AS (SELECT event_type,
+         |        SUM((1::BIGINT << (53 - mj))::HUGEINT)
+         |          + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 53) AS zz,
+         |        COUNT(*) AS n_buckets
+         |      FROM reg GROUP BY 1),
+         |est AS (SELECT event_type,
+         |          CAST((718272::HUGEINT * 65536 * (1::BIGINT << 53))
+         |               // (zz * 1000000) AS BIGINT) AS est,
+         |          CAST(n_buckets AS BIGINT) AS n_buckets,
+         |          CAST(256 - n_buckets AS BIGINT) AS v_zero
+         |        FROM z),
+         |exact AS (SELECT event_type, COUNT(DISTINCT v) AS n_exact FROM vals GROUP BY 1)
+         |SELECT e.event_type, est, n_buckets, v_zero, n_exact,
+         |  abs(est - n_exact) * 1000000 // n_exact AS err_ppm
+         |FROM est e JOIN exact USING (event_type)
+         |ORDER BY event_type""".stripMargin)),
+
+    // KMV-64 pairwise user-day overlap across event types: per-pair union
+    // and intersection estimates from two tiny (k longs) registers, next
+    // to the exact join answers. Sketch side never touches the raw values
+    // after the per-group bottom-k — the cross-source-overlap shape where
+    // sources are too big to join exactly.
+    Q("sk2_kmv_overlap",
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_type"), expr(valueSparkSql).as("__v"))
+        val sk = Sketches.kmvSketch(base, "event_type", "__v", kmvK)
+        val over = Sketches.kmvOverlap(sk, "event_type", kmvK)
+        val dv = base.distinct()
+        val ex = dv.toDF("ga", "v")
+          .join(dv.toDF("gb", "v"), Seq("v"))
+          .filter(col("ga") < col("gb"))
+          .groupBy("ga", "gb").agg(count(lit(1)).as("n_inter_exact"))
+        val sizes = dv.groupBy("event_type").agg(count(lit(1)).as("nd"))
+        over.join(ex, Seq("ga", "gb"), "left")
+          .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+          .join(sizes.toDF("ga", "na"), "ga")
+          .join(sizes.toDF("gb", "nb"), "gb")
+          .withColumn("n_union_exact", col("na") + col("nb") - col("n_inter_exact"))
+          .select(col("ga"), col("gb"), col("n_common"), col("est_union"),
+            col("est_inter"), col("n_union_exact"), col("n_inter_exact"))
+          .orderBy("ga", "gb")
+      },
+      Some(s"""${QH.evCte},
+         |vals AS (SELECT DISTINCT event_type, $valueDuckSql AS v FROM ev),
+         |hs AS (SELECT DISTINCT event_type, ${dMd5Long("v")} AS h FROM vals),
+         |sk AS (SELECT event_type, h FROM (
+         |         SELECT event_type, h,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |         FROM hs) WHERE rn <= $kmvK),
+         |pairs AS (SELECT a.event_type AS ga, b.event_type AS gb
+         |          FROM (SELECT DISTINCT event_type FROM sk) a,
+         |               (SELECT DISTINCT event_type FROM sk) b
+         |          WHERE a.event_type < b.event_type),
+         |uni AS (SELECT DISTINCT ga, gb, h FROM (
+         |          SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.event_type = p.ga
+         |          UNION ALL
+         |          SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.event_type = p.gb)),
+         |bk AS (SELECT ga, gb, h FROM (
+         |         SELECT ga, gb, h,
+         |           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |         FROM uni) WHERE rn <= $kmvK),
+         |uk AS (SELECT ga, gb, MAX(h) AS u_k, COUNT(*) AS n_k FROM bk GROUP BY 1, 2),
+         |com AS (SELECT bk.ga, bk.gb, COUNT(*) AS n_common
+         |        FROM bk
+         |        JOIN sk sa ON sa.event_type = bk.ga AND sa.h = bk.h
+         |        JOIN sk sb ON sb.event_type = bk.gb AND sb.h = bk.h
+         |        GROUP BY 1, 2),
+         |over_ AS (SELECT uk.ga, uk.gb, coalesce(com.n_common, 0) AS n_common,
+         |           CASE WHEN uk.n_k < $kmvK THEN uk.n_k
+         |                ELSE CAST((${kmvK - 1}::HUGEINT * ${1L << 60})
+         |                          // u_k AS BIGINT) END AS est_union,
+         |           CASE WHEN uk.n_k < $kmvK THEN coalesce(com.n_common, 0)
+         |                ELSE CAST((coalesce(com.n_common, 0)::HUGEINT * ${kmvK - 1}
+         |                           * ${1L << 60})
+         |                          // ($kmvK::HUGEINT * u_k) AS BIGINT) END AS est_inter
+         |          FROM uk LEFT JOIN com ON com.ga = uk.ga AND com.gb = uk.gb),
+         |ex AS (SELECT a.event_type AS ga, b.event_type AS gb, COUNT(*) AS n_inter_exact
+         |       FROM vals a JOIN vals b ON a.v = b.v AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |sizes AS (SELECT event_type, COUNT(*) AS nd FROM vals GROUP BY 1)
+         |SELECT o.ga, o.gb, CAST(n_common AS BIGINT) AS n_common,
+         |  est_union, est_inter,
+         |  CAST(sa.nd + sb.nd - coalesce(ex.n_inter_exact, 0) AS BIGINT) AS n_union_exact,
+         |  CAST(coalesce(ex.n_inter_exact, 0) AS BIGINT) AS n_inter_exact
+         |FROM over_ o
+         |LEFT JOIN ex ON ex.ga = o.ga AND ex.gb = o.gb
+         |JOIN sizes sa ON sa.event_type = o.ga
+         |JOIN sizes sb ON sb.event_type = o.gb
+         |ORDER BY o.ga, o.gb""".stripMargin)))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sketches.scala: register layout vs a BigInt reference, estimator
+  * exactness, mergeability (the scale claim), and accuracy envelopes. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala replica of the register/estimator pipeline for a value set. */
+  private def refHll(values: Seq[String]): (Map[Long, Int], Long, Int) = {
+    val reg = values.map { v =>
+      val h = DetHash.md5Long(v)
+      val bucket = h % Sketches.M
+      val rem = h / Sketches.M
+      val rho = if (rem == 0) Sketches.R
+                else Sketches.R - java.lang.Long.toBinaryString(rem).length
+      bucket -> rho
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val z = reg.values.map(mj => BigInt(1) << (Sketches.R - mj)).sum +
+      BigInt(Sketches.M - reg.size) * (BigInt(1) << Sketches.R)
+    val est = BigInt(Sketches.AlphaPpm) * Sketches.M * Sketches.M *
+      (BigInt(1) << Sketches.R) / (z * 1000000)
+    (reg, est.toLong, Sketches.M - reg.size)
+  }
+
+  test("hllRegister and hllEstimate match the BigInt reference") {
+    val values = (0 until 3000).map(i => s"val:$i")
+    val df = values.map(v => ("g", v)).toDF("g", "v")
+    val reg = Sketches.hllRegister(df, "g", "v")
+    val (refReg, refEst, refVZero) = refHll(values)
+    val gotReg = reg.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("mj")).toMap
+    assert(gotReg === refReg)
+    val est = Sketches.hllEstimate(reg, "g").collect().head
+    assert(est.getAs[Long]("est") === refEst)
+    assert(est.getAs[Long]("v_zero") === refVZero.toLong)
+  }
+
+  test("HLL raw estimate lands within 15% at n/m ~ 12 (3000 over 256)") {
+    val df = (0 until 3000).map(i => ("g", s"val:$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(Sketches.hllRegister(df, "g", "v"), "g")
+      .collect().head.getAs[Long]("est")
+    assert(math.abs(est - 3000L) <= 450L, s"est=$est")
+  }
+
+  test("HLL registers merge: max-merge of shard registers == global register") {
+    val all = (0 until 2000).map(i => ("g", s"m:$i"))
+    val (s1, s2) = all.splitAt(700)
+    val merged = Sketches.hllRegister(s1.toDF("g", "v"), "g", "v")
+      .unionByName(Sketches.hllRegister(s2.toDF("g", "v"), "g", "v"))
+      .groupBy("g", "bucket").agg(max("mj").as("mj"))
+    val global = Sketches.hllRegister(all.toDF("g", "v"), "g", "v")
+    assert(merged.exceptAll(global).count() == 0)
+    assert(global.exceptAll(merged).count() == 0)
+  }
+
+  test("kmvSketch keeps exactly the k smallest distinct hashes") {
+    val df = (0 until 500).map(i => ("g", s"k:${i % 300}")).toDF("g", "v")
+    val sk = Sketches.kmvSketch(df, "g", "v", k = 32).collect()
+      .map(_.getAs[Long]("h")).sorted.toSeq
+    val ref = (0 until 300).map(i => DetHash.md5Long(s"k:$i"))
+      .distinct.sorted.take(32)
+    assert(sk === ref)
+  }
+
+  test("kmvOverlap matches the BigInt reference and is exact under k") {
+    // two groups: 400 shared + 300/200 private values -> estimator path;
+    // and two tiny groups (10 shared of 15/12) -> exact path
+    val ga = (0 until 700).map(i => ("A", s"s:${if (i < 400) i else 1000 + i}"))
+    val gb = (0 until 600).map(i => ("B", s"s:${if (i < 400) i else 5000 + i}"))
+    val ta = (0 until 15).map(i => ("C", s"t:$i"))
+    val tb = (0 until 12).map(i => ("D", s"t:${i + 5}"))
+    val df = (ga ++ gb ++ ta ++ tb).toDF("g", "v")
+    val k = 64
+    val sk = Sketches.kmvSketch(df, "g", "v", k)
+    val got = Sketches.kmvOverlap(sk, "g", k).collect()
+      .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb")) -> r).toMap
+
+    // estimator-path reference for (A, B)
+    val hA = ga.map(x => DetHash.md5Long(x._2)).distinct.sorted.take(k)
+    val hB = gb.map(x => DetHash.md5Long(x._2)).distinct.sorted.take(k)
+    val union = (hA ++ hB).distinct.sorted.take(k)
+    val uk = union.last
+    val nCommon = union.count(h => hA.contains(h) && hB.contains(h))
+    val estU = (BigInt(k - 1) * (BigInt(1) << 60) / uk).toLong
+    val estI = (BigInt(nCommon) * (k - 1) * (BigInt(1) << 60) / (BigInt(k) * uk)).toLong
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Long]("n_common") === nCommon.toLong)
+    assert(ab.getAs[Long]("est_union") === estU)
+    assert(ab.getAs[Long]("est_inter") === estI)
+    // sanity: estimates in the right ballpark (truth: union 900, inter 400)
+    assert(math.abs(estU - 900L) < 350, s"estU=$estU")
+    assert(math.abs(estI - 400L) < 250, s"estI=$estI")
+
+    // exact path for (C, D): union 17 < k -> exact counts
+    val cd = got(("C", "D"))
+    assert(cd.getAs[Long]("est_union") === 17L)
+    assert(cd.getAs[Long]("est_inter") === 10L)
+    assert(cd.getAs[Long]("n_common") === 10L)
+  }
+}
