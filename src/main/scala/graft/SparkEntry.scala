@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CorpusQueries, ExtraQueries, FunctionQueries, GeoQueries, IrQueries, LlmQueries, MetricsQueries, Q, RelationalQueries, SketchQueries, SourceQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, ExtraQueries, FunctionQueries, GeoQueries, GraphQueries, IrQueries, LlmQueries, MetricsQueries, Q, RelationalQueries, SketchQueries, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,7 @@ object SparkEntry {
     RelationalQueries.all ++ FunctionQueries.all ++ LlmQueries.all ++
       CorpusQueries.all ++ ExtraQueries.all ++ GeoQueries.all ++
       MetricsQueries.all ++ SourceQueries.all ++ IrQueries.all ++
-      SketchQueries.all
+      SketchQueries.all ++ GraphQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DVF-style multi-scale monthly stats: lineitem×orders×customer×nation×

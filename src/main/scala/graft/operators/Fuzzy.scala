@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy matching — the JOIN form of edit-distance record linkage
+  * (the scalar `levenshtein` is F20): SymSpell-style deletion-neighborhood
+  * blocking. Every reference string is expanded to its 1-deletion variants
+  * ONCE; a probe matches iff it equals some variant (candidate generation
+  * is an EQUI-join on the variant string — a content-derived key space
+  * that grows with the reference set, never an all-pairs scan), then the
+  * exact `levenshtein == 1` check verifies candidates only.
+  *
+  * Scale shape: |ref|·avg_len variant rows, one equi-join keyed on the
+  * variant value; the quadratic all-pairs fuzzy join never exists. At
+  * deployment scale the variant column is hashed to 8 bytes (the d16d
+  * lever) and distance-2 adds the probe's own deletions (symmetric
+  * SymSpell) — parameter swaps on the same plan. Variant generation is a
+  * per-row HOF (transform over a position range) — corpus-scale hot use
+  * would promote it to a native codegen Expression like SlidingWindows;
+  * the join shape is the scale-bearing part.
+  */
+object Fuzzy {
+
+  /** 1-deletion variants of `strCol`: (variant, pos). Positions are
+    * 1-based; a length-L string yields L variants. */
+  def deletionVariants(df: DataFrame, strCol: String): DataFrame =
+    df.withColumn("__vars", expr(
+        s"transform(sequence(1, length($strCol)), " +
+          s"p -> struct(concat(substring($strCol, 1, p - 1), " +
+          s"substring($strCol, p + 1, length($strCol))) AS variant, " +
+          s"CAST(p AS BIGINT) AS pos))"))
+      .select(col("*"), explode(col("__vars")).as("__v"))
+      .drop("__vars")
+      .withColumn("variant", col("__v.variant"))
+      .withColumn("pos", col("__v.pos"))
+      .drop("__v")
+
+  /** Deletion-neighborhood fuzzy join: probes (probeId, probeCol) against
+    * references (refId, refCol), matching exactly the pairs at edit
+    * distance 1 where the edit is a deletion FROM the reference (the
+    * spelling-correction direction). Verified with the built-in
+    * levenshtein on candidates only. Distinct pairs (a probe can equal
+    * several variants of the same reference — e.g. a doubled letter).
+    * @return (probeId, refId, lev) ordered by caller */
+  def deletionJoin(probes: DataFrame, probeId: String, probeCol: String,
+                   refs: DataFrame, refId: String, refCol: String): DataFrame = {
+    val vars = deletionVariants(refs.select(col(refId), col(refCol)), refCol)
+      .select(col(refId), col(refCol), col("variant"))
+    probes.select(col(probeId), col(probeCol))
+      .join(vars, col(probeCol) === col("variant"))
+      .select(col(probeId), col(refId),
+        levenshtein(col(probeCol), col(refCol)).cast("long").as("lev"))
+      .distinct()
+      .filter(col("lev") === 1)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Graph analytics over corpus-derived graphs — integer-exact PageRank and
+  * the TextRank co-occurrence graph builder (keyword centrality: PageRank
+  * over the word-adjacency graph, Mihalcea & Tarau 2004), plus seeded
+  * (personalized) teleportation for similarity-to-seed ranking.
+  *
+  * Scale shape (100 TB): nodes/edges are keyed on corpus-derived values
+  * (vocabulary terms here — the content-derived key-space invariant), so
+  * every iteration is one edge⋈rank join partitioned by the edge key plus
+  * one map-side-combined dst aggregation; nothing global, nothing
+  * broadcast except the two driver scalars (node count, scale). Plan depth
+  * stays constant in the iteration count: each round's vocabulary-sized
+  * rank frame is localCheckpoint'ed and the superseded round's blocks are
+  * freed through [[Bridge.freeCheckpointExcept]] with the INPUT's ids
+  * protected (the r10 composition rule — CheckpointHygieneSpec).
+  *
+  * Float parity: ranks are fixed-point BIGINT (scale 10⁹). Every
+  * per-edge contribution is individually floor-divided —
+  * `(85·w·r_src) div (100·W_src)` in DECIMAL(38,0)/HUGEINT — and summed
+  * as integers, so addition order cannot matter and no libm call exists.
+  * The floor leaks < 1 ulp of mass per in-edge per round; that loss is
+  * partof the operator's DEFINITION (identical on both engines), not an
+  * approximation the oracle could disagree on.
+  */
+object Graph {
+
+  /** Rank scale: ranks sum to ~10⁹ (exactly 10⁹ minus deterministic
+    * floor leakage). */
+  val Scale = 1000000000L
+
+  /** Damping numerator/denominator: d = 85/100. */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Symmetric word co-occurrence edges (window 2 — token adjacency):
+    * (src, dst, w) with w = adjacency count, self-pairs dropped, both
+    * directions emitted. ONE shuffle (the pair groupBy). */
+  def cooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame = {
+    val adj = docs
+      .select(expr(s"filter(split($textCol, ' '), t -> t <> '')").as("__toks"))
+      .select(posexplode(col("__toks")).as(Seq("__i", "a")), col("__toks"))
+      .filter(col("__i") < size(col("__toks")) - 1)
+      .select(col("a"), expr("__toks[__i + 1]").as("b"))
+      .filter(col("a") =!= col("b"))
+    adj.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(adj.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Integer-exact PageRank over weighted directed edges (src, dst, w).
+    * @param seed teleport target: None = uniform base (15·S div (100·n)
+    *             to every node); Some(term) = the full teleport mass
+    *             15·S div 100 to that node only (personalized PageRank —
+    *             ranks become similarity-to-seed).
+    * @return (node, rank_fp) — every node reachable in the edge list. */
+  def pagerank(edges: DataFrame, iters: Int, seed: Option[String] = None): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .unionByName(edges.select(col("dst").as("node")).distinct())
+      .distinct()
+    val nNodes = nodes.count()
+    val outW = edges.groupBy("src").agg(sum("w").as("wout"))
+    // base teleport shares, computed ONCE in exact Long arithmetic (the
+    // oracle's // over positive longs agrees with Scala / here)
+    def baseCol = seed match {
+      case None => lit((DampDen - DampNum) * Scale / (DampDen * nNodes))
+      case Some(s) =>
+        when(col("node") === s, lit((DampDen - DampNum) * Scale / DampDen)).otherwise(lit(0L))
+    }
+    val protectIds = Bridge.checkpointIds(edges)
+    var r = nodes.withColumn("rank_fp",
+      seed match {
+        case None => lit(Scale / nNodes)
+        case Some(s) => when(col("node") === s, lit(Scale)).otherwise(lit(0L))
+      })
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outW, "src")
+        .withColumn("__c", expr(
+          s"CAST(($DampNum * CAST(w AS DECIMAL(38,0)) * rank_fp)" +
+            s" div ($DampDen * CAST(wout AS DECIMAL(38,0))) AS BIGINT)"))
+        .groupBy("dst").agg(sum("__c").as("__in"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .withColumn("rank_fp", baseCol + coalesce(col("__in"), lit(0L)))
+        .select("node", "rank_fp")
+        .localCheckpoint()
+      Bridge.freeCheckpointExcept(r, protectIds)
+      r = next
+    }
+    r
+  }
+}

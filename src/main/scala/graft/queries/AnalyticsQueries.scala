@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Fuzzy, TextOps}
+
+/** Session-11 analytics additions: time-series gap-fill with forward
+  * fill, sequential funnel stages, the deletion-neighborhood fuzzy JOIN
+  * (the join form of F20's scalar levenshtein), and tokenizer-prep
+  * vocabulary/OOV accounting. All outputs integer/string — the
+  * float-parity invariant. */
+object AnalyticsQueries {
+
+  /** Deterministic in-day ordering key: zero-padded (ts, event_id) —
+    * lexicographic == numeric (the pack2 idiom). */
+  private val ordKeySpark = "format_string('%020d%012d', ts_us_long, event_id)"
+  private val ordKeyDuck = "printf('%020d%012d', ts_us_long, event_id)"
+
+  private val vocabV = 20
+
+  val all: Seq[Q] = Seq(
+
+    // Time-series gap-fill: per (user, day) activity regularized onto each
+    // user's full [min_day, max_day] grid — gap days materialized with
+    // n_events = 0, the last active day's dominant event type forward-
+    // filled, and an exact days-since-activity counter. Day = pure
+    // epoch-micro integer division (no date formatting); the grid explode
+    // is per-user (sequence over a bounded span), everything else is one
+    // (user, day) aggregation + one per-user window.
+    Q("ts1_gapfill_ffill",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .withColumn("day", expr("ts_us_long div 86400000000"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_events"),
+            max_by(col("event_type"), expr(ordKeySpark)).as("day_type"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("__mind"), max("day").as("__maxd"))
+          .select(col("user_id"),
+            explode(expr("sequence(__mind, __maxd)")).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+          .withColumn("last_type", last(col("day_type"), ignoreNulls = true).over(w))
+          .withColumn("days_since",
+            col("day") - last(when(col("n_events") > 0, col("day")),
+              ignoreNulls = true).over(w))
+          .select("user_id", "day", "n_events", "last_type", "days_since")
+          .orderBy("user_id", "day")
+      },
+      Some(s"""${QH.evCte},
+         |daily AS (SELECT user_id, ts_us_long // 86400000000 AS day,
+         |            COUNT(*) AS n_events,
+         |            arg_max(event_type, $ordKeyDuck) AS day_type
+         |          FROM ev GROUP BY 1, 2),
+         |grid AS (SELECT user_id, unnest(range(mind, maxd + 1)) AS day
+         |         FROM (SELECT user_id, MIN(day) AS mind, MAX(day) AS maxd
+         |               FROM daily GROUP BY 1)),
+         |j AS (SELECT g.user_id, g.day,
+         |        COALESCE(d.n_events, 0) AS n_events, d.day_type
+         |      FROM grid g LEFT JOIN daily d
+         |        ON d.user_id = g.user_id AND d.day = g.day)
+         |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+         |  last_value(day_type IGNORE NULLS) OVER w AS last_type,
+         |  day - last_value(CASE WHEN n_events > 0 THEN day END IGNORE NULLS)
+         |          OVER w AS days_since
+         |FROM j
+         |WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, day""".stripMargin)),
+
+    // Sequential funnel view -> click -> purchase: each user's first view,
+    // first click strictly after it, first purchase strictly after that —
+    // stage timestamps in exact epoch micros plus the reached-stage count.
+    // Two passes over the (tiny) per-user event set expressed as
+    // conditional mins: stage k+1 = min ts of the next type past stage k.
+    Q("fn1_funnel_stages",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_us_long"))
+        val t0 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us_long").as("t_view"))
+        val t1 = ev.join(t0, "user_id")
+          .filter(col("event_type") === "click" && col("ts_us_long") > col("t_view"))
+          .groupBy("user_id").agg(min("ts_us_long").as("t_click"))
+        val t2 = ev.join(t1, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts_us_long") > col("t_click"))
+          .groupBy("user_id").agg(min("ts_us_long").as("t_purchase"))
+        t0.join(t1, Seq("user_id"), "left").join(t2, Seq("user_id"), "left")
+          .withColumn("stage_reached",
+            lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+              + when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .select("user_id", "t_view", "t_click", "t_purchase", "stage_reached")
+          .orderBy("user_id")
+      },
+      Some(s"""${QH.evCte},
+         |t0 AS (SELECT user_id, MIN(ts_us_long) AS t_view FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |t1 AS (SELECT ev.user_id, MIN(ts_us_long) AS t_click
+         |       FROM ev JOIN t0 ON t0.user_id = ev.user_id
+         |       WHERE event_type = 'click' AND ts_us_long > t0.t_view
+         |       GROUP BY 1),
+         |t2 AS (SELECT ev.user_id, MIN(ts_us_long) AS t_purchase
+         |       FROM ev JOIN t1 ON t1.user_id = ev.user_id
+         |       WHERE event_type = 'purchase' AND ts_us_long > t1.t_click
+         |       GROUP BY 1)
+         |SELECT t0.user_id, t_view, t_click, t_purchase,
+         |  CAST(1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS stage_reached
+         |FROM t0
+         |LEFT JOIN t1 ON t1.user_id = t0.user_id
+         |LEFT JOIN t2 ON t2.user_id = t0.user_id
+         |ORDER BY t0.user_id""".stripMargin)),
+
+    // Deletion-neighborhood fuzzy JOIN (operators/Fuzzy.scala): probes =
+    // every 7th part name with one md5-chosen NON-FIRST character deleted;
+    // candidates from an equi-join on the reference side's 1-deletion
+    // variants (never all-pairs), verified levenshtein == 1. A probe may
+    // legitimately match several parts.
+    Q("fz1_fuzzy_deletion_join",
+      (s, d) => {
+        val parts = Tables.part(s, d).select("p_partkey", "p_name")
+        val probes = parts.filter(col("p_partkey") % 7 === 0)
+          .withColumn("__h", expr(TextOps.md5LongSql("cast(p_partkey as string)")))
+          .withColumn("__pos", col("__h") % (length(col("p_name")) - 1) + 2)
+          .select(col("p_partkey").as("probe_key"),
+            expr("concat(substring(p_name, 1, __pos - 1)," +
+              " substring(p_name, __pos + 1, length(p_name)))").as("probe_name"))
+        Fuzzy.deletionJoin(probes, "probe_key", "probe_name",
+            parts, "p_partkey", "p_name")
+          .select(col("probe_key"), col("p_partkey").as("match_key"), col("lev"))
+          .orderBy("probe_key", "match_key")
+      },
+      Some(s"""WITH probes AS (
+         |  SELECT p_partkey AS probe_key,
+         |    substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, length(p_name))
+         |      AS probe_name
+         |  FROM (SELECT p_partkey, p_name,
+         |          (('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT)
+         |            % (length(p_name) - 1) + 2 AS pos
+         |        FROM part WHERE p_partkey % 7 = 0)),
+         |vars AS (
+         |  SELECT p_partkey, p_name,
+         |    substr(p_name, 1, p - 1) || substr(p_name, p + 1, length(p_name)) AS variant
+         |  FROM (SELECT p_partkey, p_name, unnest(range(1, length(p_name) + 1)) AS p
+         |        FROM part)),
+         |cand AS (SELECT DISTINCT probe_key, p_partkey AS match_key,
+         |           levenshtein(probe_name, p_name) AS lev
+         |         FROM probes JOIN vars ON probe_name = variant)
+         |SELECT probe_key, match_key, CAST(lev AS BIGINT) AS lev
+         |FROM cand WHERE lev = 1
+         |ORDER BY probe_key, match_key""".stripMargin)),
+
+    // Tokenizer-prep vocabulary accounting: top-V corpus vocabulary by
+    // total tf (deterministic term tiebreak), per-doc OOV token count and
+    // ppm rate — the coverage check run before committing to a vocab size.
+    Q("t16_vocab_oov",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val w = Window.orderBy(col("__tf").desc, col("term"))
+        val vocab = toks.groupBy("term").agg(count(lit(1)).as("__tf"))
+          .withColumn("__r", row_number().over(w)).filter(col("__r") <= vocabV)
+          .select(col("term"), lit(1L).as("__inv"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_ppm", expr("n_oov * 1000000L div n_toks"))
+          .select("doc_id", "n_toks", "n_oov", "oov_ppm")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, t AS term
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |              FROM documents)
+         |        WHERE t <> ''),
+         |vocab AS (SELECT term FROM (
+         |            SELECT term, row_number() OVER (
+         |              ORDER BY COUNT(*) DESC, term) AS r
+         |            FROM toks GROUP BY term) WHERE r <= $vocabV),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_toks,
+         |          SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |        FROM toks LEFT JOIN vocab v USING (term)
+         |        GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(n_oov AS BIGINT) AS n_oov,
+         |  n_oov * 1000000 // n_toks AS oov_ppm
+         |FROM agg ORDER BY doc_id""".stripMargin)))
+}

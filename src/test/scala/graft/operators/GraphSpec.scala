@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph.scala: co-occurrence edge builder, integer PageRank vs a BigInt
+  * reference loop, seeded teleport, partitioning invariance, and the
+  * iterative-operator checkpoint-hygiene contract. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cooccurrenceEdges: adjacency counts, symmetric, self-pairs dropped") {
+    val docs = Seq("a b a b", "b c c").toDF("text")
+    val e = Graph.cooccurrenceEdges(docs, "text").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("w"))
+      .toMap
+    // "a b a b": a-b, b-a, a-b adjacencies; "b c": one; "c c" self dropped
+    assert(e(("a", "b")) === 3L)
+    assert(e(("b", "a")) === 3L)
+    assert(e(("b", "c")) === 1L)
+    assert(e(("c", "b")) === 1L)
+    assert(!e.contains(("c", "c")))
+  }
+
+  /** BigInt replica of the fixed-point iteration. */
+  private def refPr(edges: Map[(String, String), Long], iters: Int,
+                    seed: Option[String]): Map[String, Long] = {
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSeq.distinct.sorted
+    val n = nodes.size
+    val wout = edges.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    var r: Map[String, BigInt] = seed match {
+      case None => nodes.map(_ -> BigInt(Graph.Scale / n)).toMap
+      case Some(s) => nodes.map(x => x -> (if (x == s) BigInt(Graph.Scale) else BigInt(0))).toMap
+    }
+    val base: String => BigInt = seed match {
+      case None =>
+        val b = BigInt((Graph.DampDen - Graph.DampNum) * Graph.Scale / (Graph.DampDen * n))
+        _ => b
+      case Some(s) =>
+        val b = BigInt((Graph.DampDen - Graph.DampNum) * Graph.Scale / Graph.DampDen)
+        x => if (x == s) b else BigInt(0)
+    }
+    for (_ <- 1 to iters)
+      r = nodes.map { dst =>
+        dst -> (base(dst) + edges.collect { case ((s2, d2), w) if d2 == dst =>
+          BigInt(Graph.DampNum) * w * r(s2) / (BigInt(Graph.DampDen) * wout(s2))
+        }.sum)
+      }.toMap
+    r.map { case (k, v) => k -> v.toLong }
+  }
+
+  private val pathEdges = Seq(
+    ("a", "b", 1L), ("b", "a", 1L), ("b", "c", 2L), ("c", "b", 2L))
+
+  test("pagerank matches the BigInt reference on a weighted path graph") {
+    val e = pathEdges.toDF("src", "dst", "w")
+    val got = Graph.pagerank(e, iters = 5).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    val ref = refPr(pathEdges.map(t => (t._1, t._2) -> t._3).toMap, 5, None)
+    assert(got === ref)
+    // total mass stays within floor leakage of the scale
+    val total = got.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 1000)
+  }
+
+  test("seeded pagerank matches reference and concentrates mass near the seed") {
+    val e = pathEdges.toDF("src", "dst", "w")
+    val got = Graph.pagerank(e, iters = 5, seed = Some("a")).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    val ref = refPr(pathEdges.map(t => (t._1, t._2) -> t._3).toMap, 5, Some("a"))
+    assert(got === ref)
+    assert(got("a") > got("c"), "seed side must outrank the far end")
+  }
+
+  test("pagerank is invariant under input partitioning") {
+    val e = pathEdges.toDF("src", "dst", "w")
+    val a = Graph.pagerank(e, 4).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = Graph.pagerank(e.repartition(7), 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b)
+  }
+
+  test("pagerank over a checkpointed edge frame leaves the input readable") {
+    val e = pathEdges.toDF("src", "dst", "w").localCheckpoint(true)
+    val r = Graph.pagerank(e, 4)
+    assert(r.count() === 3L)
+    // the caller's checkpoint must survive the loop's hygiene frees
+    assert(e.count() === 4L)
+    assert(e.agg(sum("w")).head().getLong(0) === 6L)
+  }
+}
