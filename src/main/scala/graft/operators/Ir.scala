@@ -46,18 +46,19 @@ object Ir {
 
   /** Inverted postings: one row per (term, doc) with the term frequency
     * and the document length in tokens. Tokens are whitespace splits
-    * (`TextOps.tokens` ≡ DuckDB `string_split(text, ' ')`), empty tokens
-    * dropped. ONE shuffle: dl rides the groupBy key (it is functionally
-    * dependent on the doc id). */
+    * (≡ DuckDB `string_split(text, ' ')`), empty tokens dropped.
+    * ZERO shuffle: the native codegen'd
+    * [[graft.functions.TermCounts]] kernel emits each document's distinct
+    * (term, tf, dl) structs in one byte scan, so the posting rows are a
+    * pure explode — the (doc, term) groupBy this plan once needed (the
+    * build's only corpus-wide shuffle) is gone, and the streaming
+    * maintainer can run the SAME code as a stateless per-row transform. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("dl", expr("size(filter(__toks, t -> t <> ''))").cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
-      .select("term", "doc_id", "tf", "dl")
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TermCounts.termCounts(col(textCol))).as("__tc"))
+      .select(col("__tc.term").as("term"), col("doc_id"),
+        col("__tc.tf").as("tf"), col("__tc.dl").as("dl"))
 
   /** Per-term document frequency over a postings frame (term-keyed agg —
     * the second, vocabulary-sized shuffle of the index build). */

@@ -47,6 +47,12 @@ object Sketches {
     * input). One groupBy shuffle on (group, bucket) with map-side-combined
     * max — the scale shape. */
   def hllRegister(df: DataFrame, groupCol: String, valueSql: String): DataFrame =
+    hllRegisterBy(df, Seq(groupCol), valueSql)
+
+  /** [[hllRegister]] over a COMPOSITE group — the sketch-cube primitive:
+    * register once at the finest cell (e.g. (group, day)), answer any
+    * coarser slice later by max-merging cells, never rescanning. */
+  def hllRegisterBy(df: DataFrame, groupCols: Seq[String], valueSql: String): DataFrame =
     df
       .withColumn("__h", expr(TextOps.md5LongSql(valueSql)))
       .withColumn("__bucket", expr(s"__h % $M"))
@@ -54,7 +60,7 @@ object Sketches {
       .withColumn("__rho",
         when(col("__rem") === 0, lit(R))
           .otherwise(lit(R) - length(bin(col("__rem")))))
-      .groupBy(col(groupCol), col("__bucket"))
+      .groupBy(groupCols.map(col) :+ col("__bucket"): _*)
       .agg(max("__rho").as("mj"))
       .withColumnRenamed("__bucket", "bucket")
 
@@ -77,6 +83,41 @@ object Sketches {
       .withColumn("v_zero", (lit(M) - col("n_buckets")).cast("long"))
       .select(col(groupCol), col("est"), col("n_buckets").cast("long").as("n_buckets"),
         col("v_zero"))
+
+  /** Count-Min parameters: d hash rows × w counters (4 KB of longs). */
+  val CmD = 4
+  val CmW = 1024
+
+  /** Count-Min register over a weighted item stream (itemCol, weightCol):
+    * cell (row i, bucket hᵢ(item)) accumulates the weight. d·|items| rows
+    * fan out map-side, then ONE (row, bucket) aggregation — d·w counters
+    * out regardless of input volume; registers merge by cell sum. Row
+    * hashes are the repo md5 primitive seeded by the row index
+    * (`md5('i:' || item)`). */
+  def cmRegister(items: DataFrame, itemCol: String, weightCol: String): DataFrame =
+    items
+      .select(col(itemCol).as("__it"), col(weightCol).as("__w"),
+        explode(expr(s"sequence(0, ${CmD - 1})")).as("row"))
+      .withColumn("bucket",
+        expr(TextOps.md5LongSql(s"concat(row, ':', __it)") + s" % $CmW"))
+      .groupBy("row", "bucket")
+      .agg(sum("__w").as("cnt"))
+
+  /** Count-Min point estimates for a candidate item set: est(item) =
+    * minᵢ cell(i, hᵢ(item)) — an OVERestimate by construction (collisions
+    * only add), integer-exact. Candidates broadcast (they are top-k
+    * candidates by nature); d lookups per item. */
+  def cmEstimate(reg: DataFrame, candidates: DataFrame, itemCol: String): DataFrame = {
+    val probes = candidates
+      .select(col(itemCol).as("__it"), explode(expr(s"sequence(0, ${CmD - 1})")).as("row"))
+      .withColumn("bucket",
+        expr(TextOps.md5LongSql(s"concat(row, ':', __it)") + s" % $CmW"))
+    broadcast(probes).join(reg, Seq("row", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("__it")
+      .agg(min("cnt").as("est"))
+      .select(col("__it").as(itemCol), col("est"))
+  }
 
   /** KMV sketch: the k smallest 60-bit hashes of `valueSql` per group —
     * duplicates collapse first (distinct), then a per-group bottom-k.

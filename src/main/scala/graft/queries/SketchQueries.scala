@@ -21,6 +21,17 @@ object SketchQueries {
 
   private val kmvK = 64
 
+  /** Oracle helper: Z + integer estimate CTEs over a register CTE. */
+  private def estSql(reg: String, z: String, est: String): String =
+    s"""$z AS (SELECT event_type,
+       |        SUM((1::BIGINT << (53 - mj))::HUGEINT)
+       |          + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 53) AS zz
+       |      FROM $reg GROUP BY 1),
+       |$est AS (SELECT event_type,
+       |          CAST((718272::HUGEINT * 65536 * (1::BIGINT << 53))
+       |               // (zz * 1000000) AS BIGINT) AS est
+       |        FROM $z)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // HLL-256 daily actives per event_type, est vs exact. Register build
@@ -138,5 +149,107 @@ object SketchQueries {
          |LEFT JOIN ex ON ex.ga = o.ga AND ex.gb = o.gb
          |JOIN sizes sa ON sa.event_type = o.ga
          |JOIN sizes sb ON sb.event_type = o.gb
-         |ORDER BY o.ga, o.gb""".stripMargin)))
+         |ORDER BY o.ga, o.gb""".stripMargin)),
+
+    // Sketch CUBE: HLL registers built ONCE at the finest (event_type,
+    // day) cell; any coarser slice — here the first two weeks and the
+    // full month — is answered by max-merging cell registers, never
+    // rescanning raw data. The OLAP pre-aggregation pattern sketches
+    // exist for; both slices emitted beside their exact answers.
+    Q("sk3_hll_cube",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr(valueSparkSql).as("__v"),
+            expr("ts_us_long div 86400000000").as("day"))
+        val reg = Sketches.hllRegisterBy(ev, Seq("event_type", "day"), "__v")
+        val dmin = ev.agg(min("day")).head().getLong(0)
+        def merged(cond: org.apache.spark.sql.Column) =
+          reg.filter(cond).groupBy("event_type", "bucket")
+            .agg(max("mj").as("mj"))
+        val est2w = Sketches.hllEstimate(merged(col("day") < dmin + 14), "event_type")
+          .select(col("event_type"), col("est").as("est_2w"))
+        val estAll = Sketches.hllEstimate(merged(lit(true)), "event_type")
+          .select(col("event_type"), col("est").as("est_month"))
+        val ex2w = ev.filter(col("day") < dmin + 14).groupBy("event_type")
+          .agg(countDistinct("__v").as("exact_2w"))
+        val exAll = ev.groupBy("event_type")
+          .agg(countDistinct("__v").as("exact_month"))
+        est2w.join(estAll, "event_type").join(ex2w, "event_type")
+          .join(exAll, "event_type")
+          .select("event_type", "est_2w", "est_month", "exact_2w", "exact_month")
+          .orderBy("event_type")
+      },
+      Some(s"""${QH.evCte},
+         |vals AS (SELECT event_type, ts_us_long // 86400000000 AS day,
+         |           $valueDuckSql AS v FROM ev),
+         |dmin AS (SELECT MIN(day) AS d0 FROM vals),
+         |h AS (SELECT event_type, day, ${dMd5Long("v")} AS h FROM vals),
+         |rb AS (SELECT event_type, day, h % 256 AS bucket, h // 256 AS rem FROM h),
+         |rr AS (SELECT event_type, day, bucket,
+         |         CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho
+         |       FROM rb),
+         |reg AS (SELECT event_type, day, bucket, MAX(rho) AS mj
+         |        FROM rr GROUP BY 1, 2, 3),
+         |m2w AS (SELECT event_type, bucket, MAX(mj) AS mj
+         |        FROM reg, dmin WHERE day < d0 + 14 GROUP BY 1, 2),
+         |mall AS (SELECT event_type, bucket, MAX(mj) AS mj
+         |         FROM reg GROUP BY 1, 2),
+         |${estSql("m2w", "z2w", "e2w")},
+         |${estSql("mall", "zall", "eall")},
+         |x2w AS (SELECT event_type, COUNT(DISTINCT v) AS exact_2w
+         |        FROM vals, dmin WHERE day < d0 + 14 GROUP BY 1),
+         |xall AS (SELECT event_type, COUNT(DISTINCT v) AS exact_month
+         |         FROM vals GROUP BY 1)
+         |SELECT e2w.event_type, e2w.est AS est_2w, eall.est AS est_month,
+         |  exact_2w, exact_month
+         |FROM e2w JOIN eall USING (event_type)
+         |JOIN x2w USING (event_type) JOIN xall USING (event_type)
+         |ORDER BY event_type""".stripMargin)),
+
+    // Count-Min frequency sketch: the corpus term-frequency stream folded
+    // into 4×1024 integer counters (4 KB regardless of vocabulary size,
+    // cells merge by sum); point estimates = min over the 4 rows — an
+    // OVERestimate by construction (collisions only add), emitted beside
+    // exact counts with the nonneg overcount. One unseen probe term
+    // exercises the empty-cell path. Completes the sketch trio:
+    // cardinality (HLL), set overlap (KMV), frequency (CM).
+    Q("sk4_countmin_heavy",
+      (s, d) => {
+        val post = graft.operators.Ir.postings(
+          Tables.documents(s, d), "doc_id", "text")
+        val reg = Sketches.cmRegister(post, "term", "tf")
+        import s.implicits._
+        val cand = post.select("term").distinct()
+          .unionByName(Seq("zzz_unseen").toDF("term"))
+        val est = Sketches.cmEstimate(reg, cand, "term")
+        val exact = post.groupBy("term").agg(sum("tf").as("exact"))
+        est.join(exact, Seq("term"), "left")
+          .withColumn("exact", coalesce(col("exact"), lit(0L)))
+          .withColumn("overcount", col("est") - col("exact"))
+          .select("term", "est", "exact", "overcount")
+          .orderBy("term")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tl
+         |              FROM documents),
+         |items AS (SELECT doc_id, t AS term, COUNT(*) AS tf
+         |          FROM (SELECT doc_id, unnest(tl) AS t FROM docs)
+         |          WHERE t <> '' GROUP BY 1, 2),
+         |cells AS (SELECT i AS r,
+         |            ${dMd5Long("concat(i, ':', term)")} % 1024 AS bucket,
+         |            SUM(tf) AS cnt
+         |          FROM items CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+         |          GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT term FROM items
+         |         UNION ALL SELECT 'zzz_unseen'),
+         |probes AS (SELECT term, i AS r,
+         |             ${dMd5Long("concat(i, ':', term)")} % 1024 AS bucket
+         |           FROM cand CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         |est AS (SELECT term, MIN(COALESCE(cnt, 0)) AS est
+         |        FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY 1),
+         |exact AS (SELECT term, SUM(tf) AS exact FROM items GROUP BY 1)
+         |SELECT e.term, CAST(est AS BIGINT) AS est,
+         |  CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+         |  CAST(est - COALESCE(x.exact, 0) AS BIGINT) AS overcount
+         |FROM est e LEFT JOIN exact x USING (term)
+         |ORDER BY e.term""".stripMargin)))
 }

@@ -23,6 +23,25 @@ class IrSpec extends SparkSpec {
   private lazy val dfreq = Ir.docFreq(post)
   private lazy val (n, t) = Ir.corpusStats(docs, "doc_id", "text")
 
+  test("TermCounts postings == groupBy reference, incl unicode/empties/blank") {
+    val d2 = Seq((1L, "héllo wörld héllo"), (2L, "  a  b a "), (3L, ""), (4L, "é"))
+      .toDF("doc_id", "text")
+    val viaExpr = Ir.postings(d2, "doc_id", "text")
+    val ref = d2.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .withColumn("dl", expr("size(filter(__toks, t -> t <> ''))").cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    assert(viaExpr.exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(viaExpr).count() == 0)
+  }
+
+  test("posting build is zero-exchange (native kernel, no groupBy)") {
+    val plan = post.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"posting build must not shuffle:\n$plan")
+  }
+
   test("postings carry tf and dl per (term, doc)") {
     val m = post.collect().map(r =>
       (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->

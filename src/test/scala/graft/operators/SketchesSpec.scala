@@ -57,6 +57,19 @@ class SketchesSpec extends SparkSpec {
     assert(global.exceptAll(merged).count() == 0)
   }
 
+  test("composite-cell registers max-merge to the single-group register") {
+    // the sketch-cube premise: registers at (g, day) cells, any day range
+    // answered by max-merging cells == registering the slice directly
+    val rows = (0 until 1500).map(i => ("g", (i % 5).toLong, s"c:$i"))
+      .toDF("g", "day", "v")
+    val cells = Sketches.hllRegisterBy(rows, Seq("g", "day"), "v")
+    val mergedDays = cells.filter(col("day") < 3)
+      .groupBy("g", "bucket").agg(max("mj").as("mj"))
+    val direct = Sketches.hllRegister(rows.filter(col("day") < 3), "g", "v")
+    assert(mergedDays.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(mergedDays).count() == 0)
+  }
+
   test("kmvSketch keeps exactly the k smallest distinct hashes") {
     val df = (0 until 500).map(i => ("g", s"k:${i % 300}")).toDF("g", "v")
     val sk = Sketches.kmvSketch(df, "g", "v", k = 32).collect()
@@ -64,6 +77,28 @@ class SketchesSpec extends SparkSpec {
     val ref = (0 until 300).map(i => DetHash.md5Long(s"k:$i"))
       .distinct.sorted.take(32)
     assert(sk === ref)
+  }
+
+  test("count-min register matches a manual fold; estimates never undercount") {
+    val items = Seq(("x", 5L), ("y", 3L), ("x", 2L), ("z", 1L)).toDF("it", "w")
+    val reg = Sketches.cmRegister(items, "it", "w").collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt"))
+      .toMap
+    // manual fold with the same seeded hash
+    val exp = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for ((it, w) <- Seq(("x", 7L), ("y", 3L), ("z", 1L)); i <- 0 until Sketches.CmD) {
+      val b = DetHash.md5Long(s"$i:$it") % Sketches.CmW
+      exp((i, b)) = exp.getOrElse((i, b), 0L) + w
+    }
+    assert(reg === exp.toMap)
+    val cand = Seq("x", "y", "z", "never_seen").toDF("it")
+    val est = Sketches.cmEstimate(Sketches.cmRegister(items, "it", "w"), cand, "it")
+      .collect().map(r => r.getAs[String]("it") -> r.getAs[Long]("est")).toMap
+    assert(est("x") >= 7L && est("y") >= 3L && est("z") >= 1L)
+    assert(est("never_seen") >= 0L)
+    // with 3 items in 4x1024 cells, collisions are absent: exact equality
+    assert(est("x") === 7L && est("y") === 3L && est("z") === 1L)
+    assert(est("never_seen") === 0L)
   }
 
   test("kmvOverlap matches the BigInt reference and is exact under k") {
