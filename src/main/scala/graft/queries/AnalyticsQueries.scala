@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Fuzzy, TextOps}
+import graft.operators.{Fuzzy, TextOps, ZOrder}
 
 /** Session-11 analytics additions: time-series gap-fill with forward
   * fill, sequential funnel stages, the deletion-neighborhood fuzzy JOIN
@@ -190,5 +190,127 @@ object AnalyticsQueries {
          |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(n_oov AS BIGINT) AS n_oov,
          |  n_oov * 1000000 // n_toks AS oov_ppm
-         |FROM agg ORDER BY doc_id""".stripMargin)))
+         |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Z-ORDER layout: events clustered by the Morton interleave of
+    // (user_id, day), landed through the deterministic RangeShard writer
+    // (exact cut keys — no sampled boundaries), then read back. The
+    // per-shard bounding boxes over BOTH dimensions are the point: a
+    // range predicate on either dimension prunes most shards. The oracle
+    // replays the whole layout from the rank closed form over the same
+    // z expression (engine-exact shift/mask arithmetic).
+    Q("layout3_zorder_sharded",
+      (s, d) => {
+        val path = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir")),
+          s"graft-zorder-${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+            s"-p${ProcessHandle.current.pid}").toString
+        graft.sources.Writers.deleteTreeOnExit(path)
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("ts_us_long div 86400000000"))
+          .withColumn("__z",
+            expr(ZOrder.zSparkSql("(user_id % 65536)", "(day % 65536)")))
+          .withColumn("__key", col("__z") * lit(100000000L) + col("event_id"))
+          .select("__key", "event_id", "user_id", "day")
+        graft.operators.RangeShard.layout(ev, "__key", path, nShards = 16)
+        s.read.parquet(path)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_events"),
+            min("user_id").as("u_min"), max("user_id").as("u_max"),
+            min("day").as("d_min"), max("day").as("d_max"))
+          .orderBy("shard")
+      },
+      Some(s"""${QH.evCte},
+         |z AS (SELECT event_id, user_id, ts_us_long // 86400000000 AS day,
+         |        ${ZOrder.zDuckSql("(user_id % 65536)",
+                    "((ts_us_long // 86400000000) % 65536)")} AS zv
+         |      FROM ev),
+         |r AS (SELECT user_id, day,
+         |        row_number() OVER (ORDER BY zv * 100000000 + event_id) - 1 AS r0,
+         |        COUNT(*) OVER () AS n
+         |      FROM z)
+         |SELECT CAST(r0 * 16 // n AS BIGINT) AS shard,
+         |  COUNT(*) AS n_events,
+         |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+         |  CAST(MIN(day) AS BIGINT) AS d_min, CAST(MAX(day) AS BIGINT) AS d_max
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Data-contract validation report: the engine-side form of the
+    // reference's assertion checks (operators/Checks.scala) — one row per
+    // rule with its violation count over a corpus with DETERMINISTICALLY
+    // planted corruption (every 97th order re-uploaded with a null
+    // custkey, negated price, and a colliding key; every 89th lineitem
+    // re-pointed past the orderkey range): null-rate, key uniqueness,
+    // value range, referential orphans. Each rule is one aggregation —
+    // at scale they share a single pass per table.
+    Q("dq1_contract_report",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val bad = orders.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"),
+            lit(null).cast("long").as("o_custkey"),
+            (-col("o_totalprice")).as("o_totalprice"))
+        val ord = orders.unionByName(bad)
+        val li = Tables.lineitem(s, d).select("l_orderkey")
+          .withColumn("l_orderkey",
+            when(col("l_orderkey") % 89 === 0, col("l_orderkey") + 900000000L)
+              .otherwise(col("l_orderkey")))
+        // Row-level rules share ONE pass per table (the scale shape the
+        // comment above promises); only uniqueness (groupBy) and the
+        // referential rule (join) need their own.
+        val ordRow = ord.agg(count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nulls"),
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg"))
+          .head()
+        val (nOrd, nullCk, negPrice) =
+          (ordRow.getLong(0), ordRow.getLong(1), ordRow.getLong(2))
+        val dupKeys = ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(coalesce(sum(col("c") - 1), lit(0L)))
+          .head().getLong(0)
+        val liRow = li.join(
+            ord.select("o_orderkey").distinct().withColumn("__hit", lit(1)),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orph"))
+          .head()
+        val (nLi, orphans) = (liRow.getLong(0), liRow.getLong(1))
+        import s.implicits._
+        Seq(
+          ("not_null:o_custkey", nullCk, nOrd),
+          ("unique:o_orderkey", dupKeys, nOrd),
+          ("range:o_totalprice>=0", negPrice, nOrd),
+          ("ref:l_orderkey->orders", orphans, nLi))
+          .toDF("check_name", "n_violations", "n_rows_checked")
+          .orderBy("check_name")
+      },
+      Some("""WITH ord AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, NULL AS o_custkey, -o_totalprice
+         |  FROM orders WHERE o_orderkey % 97 = 0),
+         |li AS (SELECT CASE WHEN l_orderkey % 89 = 0
+         |                THEN l_orderkey + 900000000 ELSE l_orderkey END
+         |         AS l_orderkey FROM lineitem),
+         |checks AS (
+         |  SELECT 'not_null:o_custkey' AS check_name,
+         |    (SELECT COUNT(*) FROM ord WHERE o_custkey IS NULL) AS n_violations,
+         |    (SELECT COUNT(*) FROM ord) AS n_rows_checked
+         |  UNION ALL
+         |  SELECT 'unique:o_orderkey',
+         |    (SELECT COALESCE(SUM(c - 1), 0) FROM (
+         |       SELECT COUNT(*) AS c FROM ord GROUP BY o_orderkey) WHERE c > 1),
+         |    (SELECT COUNT(*) FROM ord)
+         |  UNION ALL
+         |  SELECT 'range:o_totalprice>=0',
+         |    (SELECT COUNT(*) FROM ord WHERE o_totalprice < 0),
+         |    (SELECT COUNT(*) FROM ord)
+         |  UNION ALL
+         |  SELECT 'ref:l_orderkey->orders',
+         |    (SELECT COUNT(*) FROM li WHERE l_orderkey NOT IN
+         |       (SELECT o_orderkey FROM ord)),
+         |    (SELECT COUNT(*) FROM li))
+         |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+         |  CAST(n_rows_checked AS BIGINT) AS n_rows_checked
+         |FROM checks ORDER BY check_name""".stripMargin)))
 }
