@@ -173,4 +173,57 @@ object Sketches {
               s" div (CAST($k AS DECIMAL(38,0)) * u_k) AS BIGINT)")))
       .select(col("ga"), col("gb"), col("n_common"), col("est_union"), col("est_inter"))
   }
+
+  /** Dyadic range-sum register parameters: value domain [0, 2^DyB). */
+  val DyB = 16
+
+  /** Dyadic node key packing: level and in-level bucket into one BIGINT
+    * (bucket < 2^16 always, so a 2^17 stride is collision-free). */
+  def dyadicKey(level: Int, bucket: Long): Long = level.toLong * 131072L + bucket
+
+  /** Dyadic range-sum register over an integer column in [0, 2^16): one
+    * count per (group, level, bucket) with bucket = v >> level for levels
+    * 0..16 — the segment-tree-as-a-table. EXACT (not approximate) and
+    * mergeable by cell SUM, with per-group size bounded by the value
+    * DOMAIN (Σ 2^(16−l) ≤ 2^17 cells), never by row count: build it once
+    * per shard/day, merge registers, and answer any [a,b] count with
+    * ≤ 2·16 cell lookups ([[dyadicCover]]) instead of rescanning — the
+    * zone-map/data-cube shape of the sketch family. The 17× explode
+    * happens map-side and collapses in the same (group, key) aggregation
+    * that builds the register. */
+  def dyadicRegister(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df
+      .select(groupCols.map(col) :+
+        explode(expr(s"transform(sequence(0, $DyB), " +
+          s"l -> CAST(l AS BIGINT) * 131072 + shiftright($valueCol, l))"))
+          .as("key"): _*)
+      .groupBy(groupCols.map(col) :+ col("key"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Canonical dyadic cover of the inclusive integer range [a, b]: the
+    * minimal node set (≤ 2 per level) whose disjoint union is the range —
+    * a pure function of the bounds, computable at planning time (the
+    * register is only ever FILTERED on these keys, never scanned). */
+  def dyadicCover(a: Long, b: Long): Seq[(Int, Long)] = {
+    require(0 <= a && a <= b && b < (1L << DyB))
+    var lo = a; var hi = b + 1; var l = 0
+    val res = scala.collection.mutable.ListBuffer.empty[(Int, Long)]
+    while (lo < hi) {
+      if ((lo & 1L) == 1L) { res += ((l, lo)); lo += 1 }
+      if ((hi & 1L) == 1L) { hi -= 1; res += ((l, hi)) }
+      lo >>= 1; hi >>= 1; l += 1
+    }
+    res.toList
+  }
+
+  /** Range count per group from a dyadic register: sum of exactly the
+    * cover's cells. Groups with no value in range keep a 0 row via the
+    * caller joining back — here absent groups are simply absent. */
+  def dyadicRangeCount(reg: DataFrame, groupCols: Seq[String],
+                       a: Long, b: Long): DataFrame = {
+    val keys = dyadicCover(a, b).map { case (l, bk) => dyadicKey(l, bk) }
+    reg.filter(col("key").isin(keys: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("cnt").as("range_cnt"))
+  }
 }

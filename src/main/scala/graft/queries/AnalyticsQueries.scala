@@ -312,5 +312,125 @@ object AnalyticsQueries {
          |    (SELECT COUNT(*) FROM li))
          |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
          |  CAST(n_rows_checked AS BIGINT) AS n_rows_checked
-         |FROM checks ORDER BY check_name""".stripMargin)))
+         |FROM checks ORDER BY check_name""".stripMargin)),
+
+    // SCD2 history build (slowly-changing dimension, type 2): each user's
+    // event_type stream collapsed into validity intervals — the
+    // gaps-and-islands shape (lag-detected change flag, running-sum
+    // version number, per-version MIN/COUNT, lead() for valid_to; -1
+    // marks the open current version). The windows are keyed per user
+    // (partition-parallel; the one-giant-key caveat and its mitigation
+    // are w1/w1b's). All columns integer/string.
+    Q("w8_scd2_intervals",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("user_id", "event_type", "ts_us_long", "event_id")
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(col("ts_us_long"), col("event_id"))
+        val prev = lag(col("event_type"), 1).over(wOrd)
+        val hist = ev
+          .withColumn("__chg",
+            when(prev.isNull.or(prev =!= col("event_type")), 1L).otherwise(0L))
+          .withColumn("version", sum(col("__chg")).over(wOrd))
+          .groupBy("user_id", "version", "event_type")
+          .agg(min("ts_us_long").as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val wVer = Window.partitionBy("user_id").orderBy("version")
+        hist
+          .withColumn("valid_to",
+            coalesce(lead(col("valid_from"), 1).over(wVer), lit(-1L)))
+          .select("user_id", "version", "event_type", "valid_from",
+            "valid_to", "n_events")
+          .orderBy("user_id", "version")
+      },
+      Some(s"""${QH.evCte},
+         |seg AS (SELECT user_id, event_type, ts_us_long, event_id,
+         |          CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+         |                 ORDER BY ts_us_long, event_id)
+         |               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+         |        FROM ev),
+         |ver AS (SELECT user_id, event_type, ts_us_long,
+         |          SUM(chg) OVER (PARTITION BY user_id
+         |            ORDER BY ts_us_long, event_id) AS version
+         |        FROM seg),
+         |hist AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+         |           event_type, MIN(ts_us_long) AS valid_from,
+         |           COUNT(*) AS n_events
+         |         FROM ver GROUP BY 1, 2, 3)
+         |SELECT user_id, version, event_type, valid_from,
+         |  COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+         |    ORDER BY version), -1) AS valid_to,
+         |  n_events
+         |FROM hist ORDER BY user_id, version""".stripMargin)),
+
+    // Robust anomaly detection: per-type median/MAD outlier flags with
+    // every comparison integer-exact — value lands in fixed point as
+    // floor(value*1024) (a power-of-two multiply is an exponent shift,
+    // bit-identical on both engines), and both medians are HISTOGRAM
+    // medians: count per distinct value, cumulative sum over the (small)
+    // distinct-value domain, lower median = min value whose cumsum
+    // reaches rank (n+1) div 2. No per-row rank window — the cumwalk
+    // runs over distinct values, so a 5-type/billion-row corpus windows
+    // over the value domain, not the data.
+    Q("ts2_anomaly_mad",
+      (s, d) => {
+        val fx = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * lit(1024)).cast("long").as("v"))
+        def lowerMedian(in: org.apache.spark.sql.DataFrame,
+                        valueCol: String, out: String) = {
+          val wCum = Window.partitionBy("event_type").orderBy(valueCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.partitionBy("event_type")
+          in.groupBy(col("event_type"), col(valueCol))
+            .agg(count(lit(1)).as("__c"))
+            .withColumn("__cum", sum("__c").over(wCum))
+            .withColumn("__n", sum("__c").over(wAll))
+            .groupBy("event_type")
+            .agg(min(when(col("__cum") >= expr("(__n + 1) div 2"),
+              col(valueCol))).as(out))
+        }
+        val med = lowerMedian(fx, "v", "med_fp")
+        val dv = fx.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("v") - col("med_fp")))
+        val mad = lowerMedian(dv, "dev", "mad_fp")
+        dv.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max("med_fp").as("med_fp"),
+            max("mad_fp").as("mad_fp"),
+            sum(when(col("dev") > lit(3L) * col("mad_fp"), 1L)
+              .otherwise(0L)).as("n_anomalies"),
+            max("dev").as("max_dev"))
+          .orderBy("event_type")
+      },
+      Some(s"""${QH.evCte},
+         |fx AS (SELECT event_type,
+         |         CAST(FLOOR(value * 1024) AS BIGINT) AS v FROM ev),
+         |c1 AS (SELECT event_type, v, COUNT(*) AS c FROM fx GROUP BY 1, 2),
+         |m1 AS (SELECT event_type, v,
+         |         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         |         SUM(c) OVER (PARTITION BY event_type) AS n
+         |       FROM c1),
+         |med AS (SELECT event_type,
+         |          MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med_fp
+         |        FROM m1 GROUP BY 1),
+         |dv AS (SELECT f.event_type, f.v, med.med_fp,
+         |         ABS(f.v - med.med_fp) AS dev
+         |       FROM fx f JOIN med USING (event_type)),
+         |c2 AS (SELECT event_type, dev, COUNT(*) AS c FROM dv GROUP BY 1, 2),
+         |m2 AS (SELECT event_type, dev,
+         |         SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+         |         SUM(c) OVER (PARTITION BY event_type) AS n
+         |       FROM c2),
+         |mad AS (SELECT event_type,
+         |          MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad_fp
+         |        FROM m2 GROUP BY 1)
+         |SELECT d.event_type, COUNT(*) AS n,
+         |  MAX(d.med_fp) AS med_fp, MAX(m.mad_fp) AS mad_fp,
+         |  CAST(SUM(CASE WHEN d.dev > 3 * m.mad_fp THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_anomalies,
+         |  MAX(d.dev) AS max_dev
+         |FROM dv d JOIN mad m USING (event_type)
+         |GROUP BY 1 ORDER BY d.event_type""".stripMargin)))
 }

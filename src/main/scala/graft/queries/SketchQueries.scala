@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -251,5 +252,80 @@ object SketchQueries {
          |  CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
          |  CAST(est - COALESCE(x.exact, 0) AS BIGINT) AS overcount
          |FROM est e LEFT JOIN exact x USING (term)
-         |ORDER BY e.term""".stripMargin)))
+         |ORDER BY e.term""".stripMargin)),
+
+    // Dyadic range-sum register: the segment-tree-as-a-table — one count
+    // per (group, level, value>>level) cell over a 16-bit fixed-point
+    // domain (floor(value·128): a power-of-two multiply is exponent
+    // arithmetic, bit-identical on both engines). EXACT and mergeable by
+    // cell SUM with per-group size bounded by the value DOMAIN, never the
+    // row count; any [a,b] count is answered from ≤ 2·16 cells (the
+    // canonical cover, a planning-time constant — the register is
+    // FILTERED on those keys, never scanned). The query emits the
+    // register-derived range count NEXT TO the direct-scan count: equal
+    // by construction, demonstrated in the result. Median comes from the
+    // level-0 cells via the histogram cumwalk (ts2's shape) — same
+    // register, no second pass over the data.
+    Q("sk5_dyadic_rangesum",
+      (s, d) => {
+        val (a, b) = (12800L, 31999L) // values in [100.0, 250.0)
+        val fx = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * lit(128)).cast("long").as("v"))
+        val reg = Sketches.dyadicRegister(fx, Seq("event_type"), "v")
+        val root = reg.filter(col("key") === Sketches.dyadicKey(16, 0L))
+          .select(col("event_type"), col("cnt").as("n_total"))
+        val wCum = Window.partitionBy("event_type").orderBy("key")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val med = reg.filter(col("key") < 131072L)
+          .withColumn("__cum", sum("cnt").over(wCum))
+          .withColumn("__n", sum("cnt").over(wAll))
+          .groupBy("event_type")
+          .agg(min(when(col("__cum") >= expr("(__n + 1) div 2"), col("key")))
+            .as("med_fp128"))
+        val range = Sketches.dyadicRangeCount(reg, Seq("event_type"), a, b)
+        val exact = fx.filter(col("v").between(a, b))
+          .groupBy("event_type").agg(count(lit(1)).as("n_exact_range"))
+        root.join(med, "event_type")
+          .join(range, Seq("event_type"), "left")
+          .join(exact, Seq("event_type"), "left")
+          .withColumn("range_cnt", coalesce(col("range_cnt"), lit(0L)))
+          .withColumn("n_exact_range", coalesce(col("n_exact_range"), lit(0L)))
+          .select("event_type", "n_total", "med_fp128", "range_cnt",
+            "n_exact_range")
+          .orderBy("event_type")
+      },
+      Some {
+        val keys = Sketches.dyadicCover(12800L, 31999L)
+          .map { case (l, bk) => Sketches.dyadicKey(l, bk) }
+          .mkString(", ")
+        s"""${QH.evCte},
+           |fx AS (SELECT event_type,
+           |         CAST(FLOOR(value * 128) AS BIGINT) AS v FROM ev),
+           |reg AS (SELECT event_type, l * 131072 + (v >> CAST(l AS INT)) AS key,
+           |          COUNT(*) AS cnt
+           |        FROM fx CROSS JOIN (SELECT unnest(range(0, 17)) AS l)
+           |        GROUP BY 1, 2),
+           |root AS (SELECT event_type, cnt AS n_total FROM reg
+           |         WHERE key = 2097152),
+           |lvl0 AS (SELECT event_type, key,
+           |           SUM(cnt) OVER (PARTITION BY event_type ORDER BY key) AS cum,
+           |           SUM(cnt) OVER (PARTITION BY event_type) AS n
+           |         FROM reg WHERE key < 131072),
+           |med AS (SELECT event_type,
+           |          MIN(CASE WHEN cum >= (n + 1) // 2 THEN key END) AS med_fp128
+           |        FROM lvl0 GROUP BY 1),
+           |rng AS (SELECT event_type, SUM(cnt) AS range_cnt FROM reg
+           |        WHERE key IN ($keys) GROUP BY 1),
+           |exact AS (SELECT event_type, COUNT(*) AS n_exact_range FROM fx
+           |          WHERE v BETWEEN 12800 AND 31999 GROUP BY 1)
+           |SELECT r.event_type, r.n_total, m.med_fp128,
+           |  CAST(COALESCE(g.range_cnt, 0) AS BIGINT) AS range_cnt,
+           |  CAST(COALESCE(x.n_exact_range, 0) AS BIGINT) AS n_exact_range
+           |FROM root r JOIN med m USING (event_type)
+           |LEFT JOIN rng g USING (event_type)
+           |LEFT JOIN exact x USING (event_type)
+           |ORDER BY r.event_type""".stripMargin
+      }))
 }

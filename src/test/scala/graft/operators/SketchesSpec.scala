@@ -136,4 +136,48 @@ class SketchesSpec extends SparkSpec {
     assert(cd.getAs[Long]("est_inter") === 10L)
     assert(cd.getAs[Long]("n_common") === 10L)
   }
+
+  test("dyadicCover is a disjoint exact cover with <= 2 nodes per level") {
+    val rng = new scala.util.Random(42)
+    val ranges = Seq((0L, 0L), (0L, 65535L), (1L, 65534L), (12800L, 31999L)) ++
+      (0 until 50).map { _ =>
+        val a = rng.nextInt(65536).toLong
+        val b = a + rng.nextInt((65536 - a).toInt).toLong
+        (a, b)
+      }
+    for ((a, b) <- ranges) {
+      val cover = Sketches.dyadicCover(a, b)
+      // node (l, bk) covers [bk << l, (bk + 1) << l); sizes sum to the range
+      assert(cover.map { case (l, _) => 1L << l }.sum === b - a + 1,
+        s"[$a,$b] size")
+      // disjoint + inside the range: every covered point lands in [a, b]
+      // exactly once (checked via a few sampled points and full span ends)
+      val pts = Seq(a, b) ++ (0 until 20).map(_ => a + (rng.nextLong().abs % (b - a + 1)))
+      for (p <- pts) {
+        val hits = cover.count { case (l, bk) => (p >> l) == bk }
+        assert(hits === 1, s"point $p in [$a,$b] covered $hits times")
+      }
+      assert(cover.groupBy(_._1).values.forall(_.size <= 2))
+    }
+  }
+
+  test("dyadic register: range counts == direct counts; registers sum-merge") {
+    val rng = new scala.util.Random(7)
+    val vals = (0 until 4000).map(_ => ("g", (rng.nextInt(60000)).toLong))
+    val df = vals.toDF("g", "v")
+    val reg = Sketches.dyadicRegister(df, Seq("g"), "v")
+    for ((a, b) <- Seq((0L, 65535L), (12800L, 31999L), (100L, 100L), (59999L, 65535L))) {
+      val got = Sketches.dyadicRangeCount(reg, Seq("g"), a, b).collect()
+        .headOption.map(_.getAs[Long]("range_cnt")).getOrElse(0L)
+      val want = vals.count { case (_, v) => v >= a && v <= b }.toLong
+      assert(got === want, s"[$a,$b]")
+    }
+    // mergeability: registers of two halves, summed per cell == full register
+    val (h1, h2) = vals.splitAt(1500)
+    val merged = Sketches.dyadicRegister(h1.toDF("g", "v"), Seq("g"), "v")
+      .unionByName(Sketches.dyadicRegister(h2.toDF("g", "v"), Seq("g"), "v"))
+      .groupBy("g", "key").agg(sum("cnt").as("cnt"))
+    assert(merged.exceptAll(reg).count() === 0)
+    assert(reg.exceptAll(merged).count() === 0)
+  }
 }
