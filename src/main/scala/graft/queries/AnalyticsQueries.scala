@@ -432,5 +432,88 @@ object AnalyticsQueries {
          |    AS BIGINT) AS n_anomalies,
          |  MAX(d.dev) AS max_dev
          |FROM dv d JOIN mad m USING (event_type)
-         |GROUP BY 1 ORDER BY d.event_type""".stripMargin)))
+         |GROUP BY 1 ORDER BY d.event_type""".stripMargin)),
+
+    // Market-basket frequent pairs (a-priori pruned): items below the
+    // support threshold are dropped BEFORE the within-basket pair
+    // expansion — a pair can only be frequent if both items are (the
+    // apriori property), so the quadratic-in-basket-size fanout runs on
+    // the pruned stream. Basket size bounds the per-order expansion
+    // (TPC-H baskets ≤ 7 items); lift lands as an integer ppm through
+    // DECIMAL. The one driver-side scalar is the basket count (a single
+    // count, SURVEY §7.4's sanctioned shape).
+    Q("mb1_frequent_pairs",
+      (s, d) => {
+        val minSup = 3L
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val nOrders = items.select("l_orderkey").distinct().count()
+        val freq = items
+          .join(items.groupBy("l_partkey").agg(count(lit(1)).as("item_sup"))
+            .filter(col("item_sup") >= minSup), "l_partkey")
+        val a = freq.select(col("l_orderkey"), col("l_partkey").as("p1"),
+          col("item_sup").as("sup1"))
+        val b = freq.select(col("l_orderkey"), col("l_partkey").as("p2"),
+          col("item_sup").as("sup2"))
+        a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2")
+          .agg(count(lit(1)).as("pair_cnt"),
+            max("sup1").as("sup1"), max("sup2").as("sup2"))
+          .filter(col("pair_cnt") >= minSup)
+          .withColumn("lift_ppm",
+            expr(s"CAST(CAST(pair_cnt AS DECIMAL(38,0)) * $nOrders * 1000000" +
+              " div (CAST(sup1 AS DECIMAL(38,0)) * sup2) AS BIGINT)"))
+          .select("p1", "p2", "pair_cnt", "sup1", "sup2", "lift_ppm")
+          .orderBy(desc("pair_cnt"), col("p1"), col("p2"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+         |sup AS (SELECT l_partkey, COUNT(*) AS item_sup FROM items
+         |        GROUP BY 1 HAVING COUNT(*) >= 3),
+         |freq AS (SELECT i.l_orderkey, i.l_partkey, s.item_sup
+         |         FROM items i JOIN sup s USING (l_partkey)),
+         |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |            a.item_sup AS sup1, b.item_sup AS sup2
+         |          FROM freq a JOIN freq b
+         |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         |SELECT p1, p2, COUNT(*) AS pair_cnt,
+         |  MAX(sup1) AS sup1, MAX(sup2) AS sup2,
+         |  CAST(CAST(COUNT(*) AS HUGEINT) * (SELECT n_orders FROM n) * 1000000
+         |    // (CAST(MAX(sup1) AS HUGEINT) * MAX(sup2)) AS BIGINT) AS lift_ppm
+         |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY pair_cnt DESC, p1, p2""".stripMargin)),
+
+    // First-order Markov transition matrix over each user's event stream:
+    // (prev_type -> type) counts from one per-user lag window, row-
+    // normalized to integer ppm. The 5x5 output is the model a
+    // sequence-aware sampler or session simulator consumes.
+    Q("fn2_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us_long"), col("event_id"))
+        val wRow = Window.partitionBy("prev_type")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_us_long"),
+            col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total", sum("n").over(wRow))
+          .withColumn("ppm", expr("n * 1000000 div row_total"))
+          .select("prev_type", "event_type", "n", "row_total", "ppm")
+          .orderBy("prev_type", "event_type")
+      },
+      Some(s"""${QH.evCte},
+         |tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts_us_long, event_id) AS prev_type,
+         |         event_type
+         |       FROM ev),
+         |cnt AS (SELECT prev_type, event_type, COUNT(*) AS n FROM tr
+         |        WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, event_type, n,
+         |  CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+         |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         |    AS ppm
+         |FROM cnt ORDER BY prev_type, event_type""".stripMargin)))
 }
