@@ -54,4 +54,30 @@ object Fuzzy {
       .distinct()
       .filter(col("lev") === 1)
   }
+
+  /** Symmetric SymSpell self-join: all UNORDERED record pairs at edit
+    * distance ≤ 1. Blocking key set K(s) = {s} ∪ deletions(s); any
+    * lev ≤ 1 pair shares a key (equal → s itself; insert/delete → one is
+    * the other's deletion; substitution → common deletion at the edit
+    * position), so the equi-join on K is a candidate SUPERSET, verified
+    * with exact levenshtein. Same scale shape as [[deletionJoin]]:
+    * (L+1)·|records| key rows, one equi-join keyed on content-derived
+    * strings — never all-pairs. Exact-duplicate strings DO form cliques
+    * in the key space; dedup records to distinct strings first when
+    * multiplicity is high (the caller owns that, as with d8's salting).
+    * @return (id1, id2, lev) with id1 < id2, distinct */
+  def symmetricSelfJoin(records: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val keys = records.select(col(idCol), col(strCol))
+      .withColumn("__k", explode(expr(
+        s"array_union(array($strCol), transform(sequence(1, length($strCol)), " +
+          s"p -> concat(substring($strCol, 1, p - 1), " +
+          s"substring($strCol, p + 1, length($strCol)))))")))
+    val a = keys.select(col(idCol).as("id1"), col(strCol).as("__s1"), col("__k"))
+    val b = keys.select(col(idCol).as("id2"), col(strCol).as("__s2"), col("__k"))
+    a.join(b, Seq("__k")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__s1"), col("__s2")).cast("long").as("lev"))
+      .distinct()
+      .filter(col("lev") <= 1)
+  }
 }

@@ -515,5 +515,128 @@ object AnalyticsQueries {
          |  CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
          |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
          |    AS ppm
-         |FROM cnt ORDER BY prev_type, event_type""".stripMargin)))
+         |FROM cnt ORDER BY prev_type, event_type""".stripMargin)),
+
+    // Entity-resolution capstone: a dirty registry (the distinct part
+    // names + deterministically planted 1-deletion corruptions and exact
+    // duplicates) resolved to canonical entities — symmetric SymSpell
+    // blocking (Fuzzy.symmetricSelfJoin: candidates from an equi-join on
+    // the deletion-neighborhood key set, never all-pairs), exact
+    // levenshtein <= 1 verify, connected components, min-key canonical.
+    // The registry here is the DISTINCT-name set (part replicates 64
+    // names up to 347x — exact-dup cliques belong to d1's hash-groupBy,
+    // not the edit-distance blocker; the operator scaladoc owns that
+    // contract). Composes fz1's blocker with d6's components.
+    Q("er1_entity_resolution",
+      (s, d) => {
+        val canon = Tables.part(s, d).groupBy(col("p_name").as("name"))
+          .agg(min("p_partkey").as("rec_key"))
+        val delDup = canon.filter(col("rec_key") % 2 === 0)
+          .withColumn("__pos",
+            expr(TextOps.md5LongSql("name")) % (length(col("name")) - 1) + 2)
+          .select((col("rec_key") + 1000000L).as("rec_key"),
+            expr("concat(substring(name, 1, __pos - 1), " +
+              "substring(name, __pos + 1, length(name)))").as("name"))
+        val exactDup = canon.filter(col("rec_key") % 3 === 0)
+          .select((col("rec_key") + 2000000L).as("rec_key"), col("name"))
+        val reg = canon.select("rec_key", "name")
+          .unionByName(delDup).unionByName(exactDup)
+        val edges = Fuzzy.symmetricSelfJoin(reg, "rec_key", "name")
+        val comp = graft.operators.Dedup.connectedComponents(
+          edges.select("id1", "id2"), "id1", "id2")
+        reg.join(comp, reg("rec_key") === comp("id"), "left")
+          .withColumn("entity_key", coalesce(col("component"), col("rec_key")))
+          .groupBy("entity_key")
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct("name").as("n_names"))
+          .orderBy("entity_key")
+      },
+      Some(s"""WITH RECURSIVE
+         |canon AS (SELECT p_name AS name, MIN(p_partkey) AS rec_key
+         |          FROM part GROUP BY 1),
+         |deld AS (SELECT rec_key + 1000000 AS rec_key,
+         |           substr(name, 1, pos - 1) ||
+         |             substr(name, pos + 1, length(name)) AS name
+         |         FROM (SELECT rec_key, name,
+         |                 (('0x' || substr(md5(name), 1, 15))::BIGINT)
+         |                   % (length(name) - 1) + 2 AS pos
+         |               FROM canon WHERE rec_key % 2 = 0)),
+         |exd AS (SELECT rec_key + 2000000 AS rec_key, name
+         |        FROM canon WHERE rec_key % 3 = 0),
+         |reg AS (SELECT rec_key, name FROM canon
+         |        UNION ALL SELECT * FROM deld
+         |        UNION ALL SELECT * FROM exd),
+         |keys AS (SELECT rec_key, name, name AS k FROM reg
+         |         UNION
+         |         SELECT rec_key, name,
+         |           substr(name, 1, p - 1) || substr(name, p + 1, length(name))
+         |         FROM (SELECT rec_key, name,
+         |                 unnest(range(1, length(name) + 1)) AS p FROM reg)),
+         |cand AS (SELECT DISTINCT a.rec_key AS id1, b.rec_key AS id2,
+         |           levenshtein(a.name, b.name) AS lev
+         |         FROM keys a JOIN keys b
+         |           ON a.k = b.k AND a.rec_key < b.rec_key),
+         |edges0 AS (SELECT id1, id2 FROM cand WHERE lev <= 1),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM edges0
+         |          UNION SELECT id2, id1 FROM edges0),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |mapped AS (SELECT r.rec_key, r.name,
+         |             COALESCE(c.component, r.rec_key) AS entity_key
+         |           FROM reg r LEFT JOIN comp c ON r.rec_key = c.id)
+         |SELECT entity_key, COUNT(*) AS n_records,
+         |  COUNT(DISTINCT name) AS n_names
+         |FROM mapped GROUP BY 1 ORDER BY entity_key""".stripMargin)),
+
+    // Sweep-line max concurrency: events become half-open usage intervals
+    // [ts, ts + floor(value·2^6)·1s) (power-of-two fixed point), each
+    // interval contributes +1/-1 boundary points, a per-type running sum
+    // over (t, delta, event_id) — ends sort before starts at the same
+    // instant, the half-open convention — gives instantaneous
+    // concurrency; max + first time it is attained per type. The classic
+    // interval-overlap aggregate without any interval self-join.
+    Q("fn3_max_concurrency",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("ts_us_long"), col("event_id"),
+            (floor(col("value") * lit(64)).cast("long") * lit(1000000L))
+              .as("dur_us"))
+        val pts = ev.select(col("event_type"), col("ts_us_long").as("t"),
+            lit(1L).as("delta"), col("event_id"))
+          .unionByName(ev.select(col("event_type"),
+            (col("ts_us_long") + col("dur_us")).as("t"),
+            lit(-1L).as("delta"), col("event_id")))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        pts.withColumn("run", sum("delta").over(w))
+          .withColumn("mx", max("run").over(wAll))
+          .groupBy("event_type")
+          .agg(max("run").as("max_conc"),
+            min(when(col("run") === col("mx"), col("t"))).as("first_t"))
+          .orderBy("event_type")
+      },
+      Some(s"""${QH.evCte},
+         |iv AS (SELECT event_type, ts_us_long, event_id,
+         |         CAST(FLOOR(value * 64) AS BIGINT) * 1000000 AS dur_us
+         |       FROM ev),
+         |pts AS (SELECT event_type, ts_us_long AS t, 1 AS delta, event_id
+         |        FROM iv
+         |        UNION ALL
+         |        SELECT event_type, ts_us_long + dur_us, -1, event_id
+         |        FROM iv),
+         |sw AS (SELECT event_type, t,
+         |         SUM(delta) OVER (PARTITION BY event_type
+         |           ORDER BY t, delta, event_id) AS run
+         |       FROM pts),
+         |sw2 AS (SELECT event_type, t, run,
+         |          MAX(run) OVER (PARTITION BY event_type) AS mx
+         |        FROM sw)
+         |SELECT event_type, CAST(MAX(run) AS BIGINT) AS max_conc,
+         |  MIN(CASE WHEN run = mx THEN t END) AS first_t
+         |FROM sw2 GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

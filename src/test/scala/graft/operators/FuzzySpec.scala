@@ -29,4 +29,37 @@ class FuzzySpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head.getAs[Long]("lev") === 1L)
   }
+
+  test("symmetricSelfJoin finds all lev<=1 unordered pairs and no others") {
+    // covers every lev<=1 edit kind: equal (1,2), deletion/insertion
+    // (1,3), substitution (1,4), plus lev-2 pairs that share a blocking
+    // key but must be verified away ((3,5): "rig"/"rink"; (4,6) via none)
+    val recs = Seq((1L, "ring"), (2L, "ring"), (3L, "rig"), (4L, "rang"),
+      (5L, "rink"), (6L, "bling")).toDF("id", "s")
+    val got = Fuzzy.symmetricSelfJoin(recs, "id", "s").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Long]("lev"))
+      .toMap
+    // brute-force reference over all 15 pairs
+    val m = Map(1L -> "ring", 2L -> "ring", 3L -> "rig", 4L -> "rang",
+      5L -> "rink", 6L -> "bling")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      i <- m.keys; j <- m.keys if i < j
+      l = lev(m(i), m(j)) if l <= 1
+    } yield (i, j) -> l.toLong).toMap
+    assert(got === want)
+    // sanity on the fixture: the reference itself contains all three kinds
+    assert(want((1L, 2L)) === 0L)
+    assert(want((1L, 3L)) === 1L)
+    assert(want((1L, 4L)) === 1L)
+    assert(!want.contains((3L, 5L)))
+  }
 }
