@@ -95,4 +95,36 @@ object Graph {
     }
     r
   }
+
+  /** Exact triangle listing by degree-ordered compact-forward: each
+    * undirected edge is oriented from its lower-(degree, id) endpoint, so
+    * every triangle is emitted exactly ONCE — at its unique apex with two
+    * out-edges — and out-degrees are bounded by O(√m) (a hub's edges
+    * point INTO it), the standard skew control that keeps the wedge join
+    * from exploding on power-law graphs. The degree frame is a
+    * node-dimension table (|V| rows ≪ |E| on dense graphs) joined back by
+    * key — nothing broadcast by construction, AQE may choose to.
+    *
+    * Input: DISTINCT undirected edges with `aCol < bCol`. Output: one row
+    * per triangle (x = apex, y < z by id). The triangle SET is
+    * algorithm-independent, so an oracle may replay it with the simpler
+    * id-ordered enumeration and agree exactly. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("__db")), "b")
+    val fwd = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"))
+    oriented.select(col("src"), col("dst").as("y"))
+      .join(oriented.select(col("src"), col("dst").as("z")), "src")
+      .filter(col("y") < col("z"))
+      .join(e, col("y") === col("a") && col("z") === col("b"))
+      .select(col("src").as("x"), col("y"), col("z"))
+  }
 }

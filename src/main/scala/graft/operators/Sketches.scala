@@ -68,10 +68,15 @@ object Sketches {
     * (group, est, n_buckets, v_zero). Z and the numerator run in
     * DECIMAL(38,0) (≈10²⁷ peak — HUGEINT on DuckDB). */
   def hllEstimate(reg: DataFrame, groupCol: String): DataFrame =
+    hllEstimateBy(reg, Seq(groupCol))
+
+  /** [[hllEstimate]] over a COMPOSITE group — estimates straight off
+    * cube-cell or window-merged registers keyed by several columns. */
+  def hllEstimateBy(reg: DataFrame, groupCols: Seq[String]): DataFrame =
     reg
       .withColumn("__term",
         expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $R - mj) AS DECIMAL(38,0))"))
-      .groupBy(col(groupCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(sum("__term").as("__zpresent"),
         count(lit(1)).as("n_buckets"))
       .withColumn("__z",
@@ -81,8 +86,8 @@ object Sketches {
         s"CAST(CAST($AlphaPpm AS DECIMAL(38,0)) * ${M.toLong * M}" +
           s" * CAST(${1L << R} AS DECIMAL(38,0)) div (__z * 1000000) AS BIGINT)"))
       .withColumn("v_zero", (lit(M) - col("n_buckets")).cast("long"))
-      .select(col(groupCol), col("est"), col("n_buckets").cast("long").as("n_buckets"),
-        col("v_zero"))
+      .select(groupCols.map(col) ++ Seq(col("est"),
+        col("n_buckets").cast("long").as("n_buckets"), col("v_zero")): _*)
 
   /** Count-Min parameters: d hash rows × w counters (4 KB of longs). */
   val CmD = 4

@@ -85,5 +85,60 @@ object GraphQueries {
         s"(CASE WHEN node = '$seedTerm' THEN ${Graph.Scale} ELSE 0 END)",
         s"(CASE WHEN n0.node = '$seedTerm'" +
           s" THEN ${(Graph.DampDen - Graph.DampNum) * Graph.Scale / Graph.DampDen}" +
-          s" ELSE 0 END)"))))
+          s" ELSE 0 END)"))),
+
+    // Triangle census over the co-purchase graph (parts appearing in ≥ 2
+    // shared baskets): degree-ordered compact-forward listing
+    // (Graph.triangles — each triangle found once at its unique
+    // lowest-degree apex, out-degrees bounded by √m so the wedge join
+    // survives power-law hubs), plus wedge count Σ C(deg, 2) and the
+    // global closure coefficient 3·triangles/wedges as integer ppm. The
+    // triangle SET is algorithm-independent — the oracle replays the
+    // simpler id-ordered enumeration and must agree exactly.
+    Q("g3_triangle_closure",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2).select("p1", "p2")
+        val deg = edges.select(col("p1").as("n"))
+          .unionByName(edges.select(col("p2").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val stats = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+        val tcnt = Graph.triangles(edges, "p1", "p2")
+          .agg(count(lit(1)).as("n_triangles"))
+        stats.crossJoin(ecnt).crossJoin(tcnt)
+          .withColumn("closure_ppm",
+            expr("CASE WHEN n_wedges = 0 THEN 0L" +
+              " ELSE 3 * n_triangles * 1000000 div n_wedges END"))
+          .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+            "closure_ppm")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |      FROM items a JOIN items b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |deg AS (SELECT n, COUNT(*) AS deg FROM (
+         |          SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
+         |        GROUP BY 1),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM e e1
+         |        JOIN e e2 ON e2.p1 = e1.p2
+         |        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |st AS (SELECT COUNT(*) AS n_nodes,
+         |         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |       FROM deg),
+         |ec AS (SELECT COUNT(*) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_wedges,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  CAST(CASE WHEN n_wedges = 0 THEN 0
+         |    ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
+         |    AS closure_ppm
+         |FROM st, ec, tri""".stripMargin)))
 }

@@ -327,5 +327,72 @@ object SketchQueries {
            |LEFT JOIN rng g USING (event_type)
            |LEFT JOIN exact x USING (event_type)
            |ORDER BY r.event_type""".stripMargin
-      }))
+      }),
+
+    // Sliding-window distinct actives from day-cell registers: rolling
+    // 7-day distinct-user counts are THE case where sketches beat exact —
+    // exact sliding distinct re-shuffles every (window, user) pair (the
+    // 7x-fanout exact leg below, shrunk by deduping (type, day, user)
+    // first), while the sketch merges 7 tiny day registers per window
+    // (max-merge, 256 cells each) and never touches raw data again. The
+    // day grid is calendar-bounded, so the register range join stays
+    // small at ANY corpus scale. Estimates per (type, window) beside the
+    // exact leg, integer-exact estimator throughout.
+    Q("sk7_hll_sliding_actives",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts_us_long div 86400000000").as("day"),
+            col("user_id").cast("string").as("__v"))
+        val reg = Sketches.hllRegisterBy(ev, Seq("event_type", "day"), "__v")
+        val days = ev.select(col("day").as("gday")).distinct()
+        val winReg = days
+          .join(reg, col("day").between(col("gday") - 6, col("gday")))
+          .groupBy("event_type", "gday", "bucket").agg(max("mj").as("mj"))
+        val est = Sketches.hllEstimateBy(winReg, Seq("event_type", "gday"))
+          .select(col("event_type"), col("gday"), col("est"))
+        val exact = days
+          .join(ev.dropDuplicates("event_type", "day", "__v"),
+            col("day").between(col("gday") - 6, col("gday")))
+          .groupBy("event_type", "gday")
+          .agg(countDistinct("__v").as("n_exact"))
+        est.join(exact, Seq("event_type", "gday"))
+          .withColumn("err_ppm",
+            expr("abs(est - n_exact) * 1000000L div n_exact"))
+          .select(col("event_type"), col("gday").as("day"), col("est"),
+            col("n_exact"), col("err_ppm"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""${QH.evCte},
+         |vals AS (SELECT event_type, ts_us_long // 86400000000 AS day,
+         |           CAST(user_id AS VARCHAR) AS v FROM ev),
+         |dv AS (SELECT DISTINCT event_type, day, v FROM vals),
+         |h AS (SELECT event_type, day, ${dMd5Long("v")} AS h FROM dv),
+         |rb AS (SELECT event_type, day, h % 256 AS bucket, h // 256 AS rem
+         |       FROM h),
+         |rr AS (SELECT event_type, day, bucket,
+         |         CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END
+         |           AS rho
+         |       FROM rb),
+         |reg AS (SELECT event_type, day, bucket, MAX(rho) AS mj
+         |        FROM rr GROUP BY 1, 2, 3),
+         |grid AS (SELECT DISTINCT day AS gday FROM vals),
+         |win AS (SELECT event_type, gday, bucket, MAX(mj) AS mj
+         |        FROM grid JOIN reg ON reg.day BETWEEN gday - 6 AND gday
+         |        GROUP BY 1, 2, 3),
+         |z AS (SELECT event_type, gday,
+         |        SUM((1::BIGINT << (53 - mj))::HUGEINT)
+         |          + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 53) AS zz
+         |      FROM win GROUP BY 1, 2),
+         |est AS (SELECT event_type, gday,
+         |          CAST((718272::HUGEINT * 65536 * (1::BIGINT << 53))
+         |               // (zz * 1000000) AS BIGINT) AS est
+         |        FROM z),
+         |exact AS (SELECT event_type, gday, COUNT(DISTINCT v) AS n_exact
+         |          FROM grid JOIN dv ON dv.day BETWEEN gday - 6 AND gday
+         |          GROUP BY 1, 2)
+         |SELECT e.event_type, e.gday AS day, est, n_exact,
+         |  abs(est - n_exact) * 1000000 // n_exact AS err_ppm
+         |FROM est e JOIN exact USING (event_type, gday)
+         |ORDER BY event_type, day""".stripMargin)))
 }

@@ -89,4 +89,27 @@ class GraphSpec extends SparkSpec {
     assert(e.count() === 4L)
     assert(e.agg(sum("w")).head().getLong(0) === 6L)
   }
+
+  test("triangles lists each triangle exactly once, matching brute force") {
+    // deterministic G(30, p): edge (a, b) present iff a hash bit fires —
+    // dense enough for hubs and shared wedges
+    val nodes = 0L until 30L
+    val edgeSet = (for {
+      a <- nodes; b <- nodes if a < b
+      if DetHash.md5Long(s"tri:$a:$b") % 5 < 2
+    } yield (a, b)).toSeq
+    val got = Graph.triangles(edgeSet.toDF("a", "b"), "a", "b").collect()
+      .map(r => {
+        val t = Seq(r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("z"))
+        (t.min, t.sorted.apply(1), t.max)
+      }).toSeq
+    val es = edgeSet.toSet
+    val want = (for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield (a, b, c)).toSeq
+    assert(got.sorted === want.sorted)
+    assert(got.size === got.distinct.size, "no triangle may be emitted twice")
+    assert(want.nonEmpty, "fixture must actually contain triangles")
+  }
 }
