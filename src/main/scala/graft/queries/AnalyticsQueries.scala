@@ -638,5 +638,87 @@ object AnalyticsQueries {
          |        FROM sw)
          |SELECT event_type, CAST(MAX(run) AS BIGINT) AS max_conc,
          |  MIN(CASE WHEN run = mx THEN t END) AS first_t
-         |FROM sw2 GROUP BY event_type ORDER BY event_type""".stripMargin)))
+         |FROM sw2 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Retention cohort matrix: users grouped by first-activity day, each
+    // cohort's distinct actives tracked per week offset, retained rate as
+    // integer ppm of cohort size. Two aggregations and one broadcast-able
+    // cohort-size join — days are epoch-micro integer division
+    // throughout, ppm the only rate.
+    Q("ts3_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_us_long div 86400000000").as("day"))
+        val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val act = ev.join(cohort, "user_id")
+          .withColumn("wk", expr("(day - cohort_day) div 7"))
+          .groupBy("cohort_day", "wk")
+          .agg(countDistinct("user_id").as("n_active"))
+        val sizes = cohort.groupBy("cohort_day")
+          .agg(count(lit(1)).as("cohort_size"))
+        act.join(sizes, "cohort_day")
+          .withColumn("ret_ppm",
+            expr("n_active * 1000000L div cohort_size"))
+          .select("cohort_day", "wk", "n_active", "cohort_size", "ret_ppm")
+          .orderBy("cohort_day", "wk")
+      },
+      Some(s"""${QH.evCte},
+         |ud AS (SELECT user_id, ts_us_long // 86400000000 AS day FROM ev),
+         |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+         |act AS (SELECT cohort_day, (day - cohort_day) // 7 AS wk,
+         |          COUNT(DISTINCT u.user_id) AS n_active
+         |        FROM ud u JOIN cohort c ON u.user_id = c.user_id
+         |        GROUP BY 1, 2),
+         |sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size
+         |          FROM cohort GROUP BY 1)
+         |SELECT a.cohort_day, a.wk, a.n_active, s.cohort_size,
+         |  a.n_active * 1000000 // s.cohort_size AS ret_ppm
+         |FROM act a JOIN sizes s USING (cohort_day)
+         |ORDER BY a.cohort_day, a.wk""".stripMargin)),
+
+    // Last-touch attribution: each purchase attributed to the user's most
+    // recent click within a 7-day lookback — the arg-max is a per-user
+    // range join (bounded per user per window) + one (purchase) groupBy
+    // argmax via the zero-padded (ts, id) ordering key (pack2's
+    // lexicographic == numeric idiom — both engines' max_by on the same
+    // key string); unattributed purchases keep -1. No window function
+    // over the raw event stream.
+    Q("fn4_last_touch_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_us_long").as("pts"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_us_long").as("cts"))
+        val att = pur.join(clk, Seq("user_id"))
+          .filter(col("cts").between(col("pts") - lit(604800000000L), col("pts")))
+          .groupBy("purchase_id")
+          .agg(max_by(col("click_id"),
+              expr("format_string('%020d%012d', cts, click_id)")).as("att_click"),
+            max("cts").as("att_cts"))
+        pur.join(att, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"),
+            coalesce(col("att_click"), lit(-1L)).as("click_id"),
+            coalesce(col("pts") - col("att_cts"), lit(-1L)).as("gap_us"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""${QH.evCte},
+         |pur AS (SELECT user_id, event_id AS purchase_id, ts_us_long AS pts
+         |        FROM ev WHERE event_type = 'purchase'),
+         |clk AS (SELECT user_id, event_id AS click_id, ts_us_long AS cts
+         |        FROM ev WHERE event_type = 'click'),
+         |att AS (SELECT purchase_id,
+         |          max_by(click_id, printf('%020d%012d', cts, click_id))
+         |            AS att_click,
+         |          MAX(cts) AS att_cts
+         |        FROM pur p JOIN clk c USING (user_id)
+         |        WHERE c.cts BETWEEN p.pts - 604800000000 AND p.pts
+         |        GROUP BY 1)
+         |SELECT p.purchase_id, p.user_id,
+         |  COALESCE(a.att_click, -1) AS click_id,
+         |  COALESCE(p.pts - a.att_cts, -1) AS gap_us
+         |FROM pur p LEFT JOIN att a USING (purchase_id)
+         |ORDER BY p.purchase_id""".stripMargin)))
 }
