@@ -367,4 +367,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("partial_count"), p.take(3000))
   }
+
+  test("dyadic register build is ONE shuffle; range count filters, never scans (sk5)") {
+    val fx = Tables.events(spark, sf())
+      .select(lit("g").as("g"), floor(col("value") * lit(128)).cast("long").as("v"))
+    val reg = graft.operators.Sketches.dyadicRegister(fx, Seq("g"), "v")
+    // the 17-level explode collapses map-side into the single (group, key)
+    // aggregation — the register never costs more than one exchange
+    assert(countExchanges(reg) == 1, plan(reg))
+    val rc = graft.operators.Sketches.dyadicRangeCount(reg, Seq("g"), 12800L, 31999L)
+    // the cover is a planning-time constant: the register is FILTERED on
+    // literal keys before the final aggregation — In-filter present,
+    // still just the register's own shuffle + the tiny count's
+    assert(plan(rc).contains("key#") && plan(rc).contains(" IN "), plan(rc))
+  }
+
+  test("triangle listing joins are all equi — no cartesian/nested-loop (g3)") {
+    import spark.implicits._
+    val edges = (for { a <- 0L until 40L; b <- a + 1 until 40L
+      if graft.operators.DetHash.md5Long(s"pe:$a:$b") % 4 == 0 } yield (a, b))
+      .toDF("a", "b")
+    val p = plan(graft.operators.Graph.triangles(edges, "a", "b"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("symmetric SymSpell join keys on the deletion-neighborhood string (fz/er1)") {
+    import spark.implicits._
+    val recs = (0L until 50L).map(i => (i, s"name$i")).toDF("id", "s")
+    val p = plan(graft.operators.Fuzzy.symmetricSelfJoin(recs, "id", "s"))
+    // candidate generation must be an equi-join on __k — content-derived,
+    // grows with the corpus; all-pairs never exists
+    assert("Join \\[__k#\\d+\\], \\[__k#\\d+\\]".r.findFirstIn(p).isDefined ||
+      "Join.*\\[__k#\\d+\\]".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
