@@ -127,4 +127,52 @@ object Graph {
       .join(e, col("y") === col("a") && col("z") === col("b"))
       .select(col("src").as("x"), col("y"), col("z"))
   }
+
+  /** Bounded-round k-core peel over DISTINCT undirected edges
+    * (`aCol < bCol`): repeatedly drop every node whose induced degree is
+    * < k, re-inducing the edge set each round, until a fixpoint or
+    * `maxRounds`. Returns the surviving nodes with their induced degree
+    * (`node`, `core_deg`).
+    *
+    * Each round is ONE map-side-combined degree aggregation plus one
+    * membership semi-join keyed on the node — nothing global, nothing
+    * quadratic; the membership frame is node-dimension sized (|V| ≪ |E|).
+    * The induced edge set only SHRINKS (e_i ⊆ e_{i-1}), so an unchanged
+    * edge COUNT certifies the fixpoint, and a fixpoint is idempotent —
+    * an oracle may replay the peel unrolled to any round count ≥ the
+    * fixpoint depth and agree exactly. Every round's frame is
+    * localCheckpoint'ed (constant plan depth in the round count) and the
+    * superseded round's blocks are freed with the INPUT's ids protected
+    * ([[Bridge.freeCheckpointExcept]] — the r10 composition rule). */
+  def kcorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+                maxRounds: Int): DataFrame = {
+    val protectIds = Bridge.checkpointIds(edges)
+    var cur = edges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    var curCnt = cur.count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val deg = cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("n")
+      val next = cur
+        .join(keep.withColumnRenamed("n", "a"), "a")
+        .join(keep.withColumnRenamed("n", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint()
+      val nextCnt = next.count()
+      if (nextCnt == curCnt) {
+        Bridge.freeCheckpointExcept(next, protectIds)
+        done = true
+      } else {
+        Bridge.freeCheckpointExcept(cur, protectIds)
+        cur = next
+        curCnt = nextCnt
+      }
+      round += 1
+    }
+    cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg").as("core_deg"))
+  }
 }

@@ -56,6 +56,9 @@ object GraphQueries {
     * context rather than reproducing global centrality. */
   private val seedTerm = "dup"
 
+  private val kcoreK = 75
+  private val kcoreRounds = 8
+
   val all: Seq[Q] = Seq(
 
     // TextRank keyword centrality: PageRank(8 iters, d = 85/100) over the
@@ -140,5 +143,52 @@ object GraphQueries {
          |  CAST(CASE WHEN n_wedges = 0 THEN 0
          |    ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
          |    AS closure_ppm
-         |FROM st, ec, tri""".stripMargin)))
+         |FROM st, ec, tri""".stripMargin)),
+
+    // k-core of the co-purchase graph (ALL distinct co-basket part pairs
+    // — the support-≥2 cut used by g3 thins out at larger SF, while this
+    // graph's mean degree is SF-invariant ≈ 2·pairs/parts): bounded-round
+    // peel to the 75-core. Each round = one degree agg + one membership
+    // semi-join; the edge set only shrinks, so an unchanged count
+    // certifies the fixpoint and the unrolled oracle (8 rounds ≥ the
+    // measured depth 4 at sf0.01/sf0.1, idempotent past the fixpoint)
+    // agrees exactly. Output: surviving nodes with in-core degree.
+    Q("g4_kcore",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .select("p1", "p2").distinct()
+        Graph.kcorePeel(edges, "p1", "p2", k = kcoreK, maxRounds = kcoreRounds)
+          .orderBy("node")
+      },
+      Some(kcoreOracle)))
+
+  /** Unrolled peel: d_i = degrees of e_{i-1}, k_i = survivors, e_i = the
+    * induced edge set. Idempotent past the fixpoint, so 8 rounds replay
+    * Spark's early-exit loop exactly. Every multiply-referenced CTE is
+    * MATERIALIZED — inlined, each round would re-expand its predecessor
+    * 3× and the unroll would re-read the scan exponentially (observed as
+    * a too-many-open-files blowup at round 8). */
+  private def kcoreOracle: String = {
+    val rounds = (1 to kcoreRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM (
+         |         SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE deg >= $kcoreK),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i ka ON e.a = ka.n JOIN k$i kb ON e.b = kb.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |       FROM items a JOIN items b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |$rounds
+       |SELECT n AS node, deg AS core_deg FROM (
+       |  SELECT n, COUNT(*) AS deg FROM (
+       |    SELECT a AS n FROM e$kcoreRounds UNION ALL SELECT b FROM e$kcoreRounds) GROUP BY 1)
+       |ORDER BY node""".stripMargin
+  }
 }

@@ -112,4 +112,57 @@ class GraphSpec extends SparkSpec {
     assert(got.size === got.distinct.size, "no triangle may be emitted twice")
     assert(want.nonEmpty, "fixture must actually contain triangles")
   }
+
+  /** Reference peel: drop deg<k nodes until fixpoint, return final degrees. */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var cur = edges
+    var done = false
+    while (!done) {
+      val deg = (cur.map(_._1) ++ cur.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = cur.filter(e => keep(e._1) && keep(e._2))
+      if (next.size == cur.size) done = true else cur = next
+    }
+    (cur.map(_._1) ++ cur.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def kcoreFixture: Seq[(Long, Long)] = {
+    // deterministic G(24, p) plus a pendant path 100-101-102 that any
+    // 2-core must shed in two peel rounds (tests the multi-round cascade)
+    val nodes = 0L until 24L
+    (for {
+      a <- nodes; b <- nodes if a < b
+      if DetHash.md5Long(s"core:$a:$b") % 4 == 0
+    } yield (a, b)) ++ Seq((0L, 100L), (100L, 101L), (101L, 102L))
+  }
+
+  test("kcorePeel matches the brute-force fixpoint peel") {
+    for (k <- Seq(2, 3, 4)) {
+      val got = Graph.kcorePeel(kcoreFixture.toDF("a", "b"), "a", "b", k, maxRounds = 20)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+      val want = refKcore(kcoreFixture, k)
+      assert(got === want, s"k=$k")
+    }
+    assert(refKcore(kcoreFixture, 3).nonEmpty, "fixture must have a 3-core")
+    assert(!refKcore(kcoreFixture, 2).contains(102L), "pendant path must peel away")
+  }
+
+  test("kcorePeel is invariant under input partitioning") {
+    val df = kcoreFixture.toDF("a", "b")
+    val a = Graph.kcorePeel(df, "a", "b", 3, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Graph.kcorePeel(df.repartition(7), "a", "b", 3, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+  }
+
+  test("kcorePeel over a checkpointed edge frame leaves the input readable") {
+    val e = kcoreFixture.toDF("a", "b").localCheckpoint(true)
+    val core = Graph.kcorePeel(e, "a", "b", 3, 20)
+    assert(core.count() > 0L)
+    // the caller's checkpoint must survive the loop's hygiene frees
+    assert(e.count() === kcoreFixture.size.toLong)
+  }
 }
