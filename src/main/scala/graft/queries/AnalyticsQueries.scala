@@ -720,5 +720,119 @@ object AnalyticsQueries {
          |  COALESCE(a.att_click, -1) AS click_id,
          |  COALESCE(p.pts - a.att_cts, -1) AS gap_us
          |FROM pur p LEFT JOIN att a USING (purchase_id)
-         |ORDER BY p.purchase_id""".stripMargin)))
+         |ORDER BY p.purchase_id""".stripMargin)),
+
+    // Distribution drift between corpus snapshots: two-sample chi-square
+    // homogeneity over (o_orderpriority, l_returnflag) cells, period A =
+    // orders before 1998-01-01 vs B = after. Pure-integer fixed point:
+    // each side's term is (o·N − c·N_j)² scaled ×10⁶ and floor-divided by
+    // N·c·N_j entirely in DECIMAL(38,0)/HUGEINT — no doubles, no libm
+    // (validated against the float formula: 18215887 ppm ≈ χ² 18.2159 at
+    // sf0.01). The cell frame is domain-bounded (priorities × flags ≤ 15
+    // rows at any corpus size), so the unpartitioned totals window is
+    // free; the one data-sized pass is the join+groupBy. At extreme N
+    // pre-scale the counts — (o·N)²·10⁶ must fit 38 digits, fine through
+    // ~10¹² rows per cell.
+    Q("dq2_drift_chisq",
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag")
+          .join(Tables.orders(s, d)
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("__a",
+            when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1L)
+              .otherwise(0L))
+          .groupBy("o_orderpriority", "l_returnflag")
+          .agg(sum("__a").as("n_a"), sum(lit(1L) - col("__a")).as("n_b"))
+        val wAll = Window.partitionBy(lit(1))
+        val term = (o: String, nj: String) =>
+          s"""CAST((1000000 * (CAST($o AS DECIMAL(38,0)) * (na_tot + nb_tot)
+             |  - (n_a + n_b) * CAST($nj AS DECIMAL(38,0)))
+             |  * (CAST($o AS DECIMAL(38,0)) * (na_tot + nb_tot)
+             |  - (n_a + n_b) * CAST($nj AS DECIMAL(38,0))))
+             |  div ((CAST(na_tot AS DECIMAL(38,0)) + nb_tot)
+             |  * (n_a + n_b) * $nj) AS BIGINT)""".stripMargin
+        cells
+          .withColumn("na_tot", sum("n_a").over(wAll))
+          .withColumn("nb_tot", sum("n_b").over(wAll))
+          .withColumn("chi2_ppm",
+            expr(term("n_a", "na_tot")) + expr(term("n_b", "nb_tot")))
+          .withColumn("chi2_total_ppm",
+            sum("chi2_ppm").over(wAll).cast("long"))
+          .withColumn("drifted",
+            when(col("chi2_ppm") > 1000000L, 1L).otherwise(0L))
+          .select("o_orderpriority", "l_returnflag", "n_a", "n_b",
+            "chi2_ppm", "chi2_total_ppm", "drifted")
+          .orderBy("o_orderpriority", "l_returnflag")
+      },
+      Some("""WITH cells AS (
+         |  SELECT o_orderpriority, l_returnflag,
+         |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+         |        THEN 1 ELSE 0 END) AS n_a,
+         |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+         |        THEN 0 ELSE 1 END) AS n_b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT o_orderpriority, l_returnflag, n_a, n_b,
+         |          SUM(n_a) OVER () AS na_tot, SUM(n_b) OVER () AS nb_tot
+         |        FROM cells),
+         |terms AS (SELECT o_orderpriority, l_returnflag,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(
+         |   (1000000 * (n_a::HUGEINT * (na_tot + nb_tot)
+         |        - (n_a + n_b) * na_tot::HUGEINT)
+         |      * (n_a::HUGEINT * (na_tot + nb_tot)
+         |        - (n_a + n_b) * na_tot::HUGEINT))
+         |    // ((na_tot::HUGEINT + nb_tot) * (n_a + n_b) * na_tot)
+         |  + (1000000 * (n_b::HUGEINT * (na_tot + nb_tot)
+         |        - (n_a + n_b) * nb_tot::HUGEINT)
+         |      * (n_b::HUGEINT * (na_tot + nb_tot)
+         |        - (n_a + n_b) * nb_tot::HUGEINT))
+         |    // ((na_tot::HUGEINT + nb_tot) * (n_a + n_b) * nb_tot)
+         |    AS BIGINT) AS chi2_ppm
+         |  FROM tot)
+         |SELECT o_orderpriority, l_returnflag, n_a, n_b, chi2_ppm,
+         |  CAST(SUM(chi2_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
+         |  CASE WHEN chi2_ppm > 1000000 THEN 1 ELSE 0 END AS drifted
+         |FROM terms ORDER BY o_orderpriority, l_returnflag""".stripMargin)),
+
+    // Top journey paths: the most frequent length-3 consecutive
+    // event-type paths (fn2's bigram matrix generalized to trigrams) —
+    // two per-user lags, one count over a domain-bounded trigram space
+    // (|event_type|³), deterministic top-20 on (n desc, path asc). The
+    // per-user windows are partition-parallel; the ranked frame is
+    // domain-sized, never data-sized.
+    Q("fn5_top_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us_long"), col("event_id"))
+        val wRank = Window.partitionBy(lit(1))
+          .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_us_long"),
+            col("event_id"))
+          .withColumn("e1", lag(col("event_type"), 2).over(w))
+          .withColumn("e2", lag(col("event_type"), 1).over(w))
+          .filter(col("e1").isNotNull && col("e2").isNotNull)
+          .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 20)
+          .select("rank", "e1", "e2", "e3", "n")
+          .orderBy("rank")
+      },
+      Some(s"""${QH.evCte},
+         |tri AS (SELECT
+         |    lag(event_type, 2) OVER w AS e1,
+         |    lag(event_type, 1) OVER w AS e2,
+         |    event_type AS e3
+         |  FROM ev WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_us_long, event_id)),
+         |cnt AS (SELECT e1, e2, e3, COUNT(*) AS n FROM tri
+         |        WHERE e1 IS NOT NULL AND e2 IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3)
+         |    AS BIGINT) AS rank,
+         |  e1, e2, e3, CAST(n AS BIGINT) AS n
+         |FROM cnt ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin)))
 }
