@@ -813,6 +813,51 @@ object LlmQueries {
            |SELECT p.source, id1, id2, jac_ppm FROM pairs p
            |ORDER BY id1, id2""".stripMargin)),
 
+    // EXACT near-dup pairs via prefix filtering — the recall-guaranteed
+    // complement of d4's LSH blocking: same 3-gram shingle sets, every
+    // Jaccard >= 0.5 pair found (no band-collision probability), with
+    // candidates from the rarest-shingle prefix equi-join instead of
+    // minhash bands. All outputs integer.
+    Q("d19_prefix_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__toks",
+            expr(TextOps.shinglesSql("split(text, ' ')", 3)))
+          .select(col("doc_id"), col("__toks"))
+        Dedup.prefixJaccardSelfJoin(docs, "doc_id", "__toks", 500000L)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))) AS tok
+         |  FROM documents),
+         |freq AS MATERIALIZED (
+         |  SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok),
+         |docs AS MATERIALIZED (
+         |  SELECT doc_id, list(tok ORDER BY df, tok) AS rks, COUNT(*) AS n
+         |  FROM sh JOIN freq USING (tok) GROUP BY doc_id),
+         |pref AS MATERIALIZED (
+         |  SELECT doc_id, n,
+         |    unnest(list_slice(rks, 1, n - ((500000 * n + 999999) // 1000000) + 1)) AS k
+         |  FROM docs),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id),
+         |sized AS (
+         |  SELECT id1, id2, x.rks AS r1, y.rks AS r2, x.n AS n1, y.n AS n2
+         |  FROM cand JOIN docs x ON x.doc_id = id1 JOIN docs y ON y.doc_id = id2
+         |  WHERE least(x.n, y.n) * 1000000 >= 500000 * greatest(x.n, y.n)),
+         |ver AS (
+         |  SELECT id1, id2, n1, n2,
+         |    len(list_intersect(r1, r2)) AS inter,
+         |    n1 + n2 - len(list_intersect(r1, r2)) AS uni
+         |  FROM sized)
+         |SELECT id1, id2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(inter * 1000000 // uni AS BIGINT) AS jac_ppm
+         |FROM ver WHERE inter * 1000000 >= 500000 * uni
+         |ORDER BY id1, id2""".stripMargin)),
+
     // Near-dup CLUSTERS: the step after pairwise detection — connected
     // components over the d4 LSH pairs turn hits into dedup groups
     // (keep component == id, drop the rest). Oracle: recursive-CTE
