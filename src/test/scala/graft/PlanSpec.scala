@@ -402,4 +402,37 @@ class PlanSpec extends SparkSpec {
       "Join.*\\[__k#\\d+\\]".r.findFirstIn(p).isDefined, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("prefix Jaccard join keys candidates on the element value (d19)") {
+    import spark.implicits._
+    val recs = (0L until 40L)
+      .map(i => (i, (0 until 10).map(j => s"e${(i * 7 + j) % 60}")))
+      .toDF("id", "toks")
+    val p = plan(graft.operators.Dedup.prefixJaccardSelfJoin(recs, "id", "toks", 500000L))
+    // candidate generation must be an equi-join on __k — a content-derived
+    // key space that grows with the corpus; all-pairs never exists
+    assert("Join.*\\[__k#\\d+\\]".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("overlap counts broadcast the day-domain cumulative table (fn6)") {
+    import spark.implicits._
+    val iv = (0L until 200L).map(i => (i, i % 50, i % 50 + i % 7))
+      .toDF("id", "s", "e")
+    val days = iv.select(col("s").as("d"), lit(1L).as("ns"), lit(0L).as("ne"))
+      .unionByName(iv.select(col("e").as("d"), lit(0L).as("ns"), lit(1L).as("ne")))
+      .groupBy("d").agg(sum("ns").as("n_starts"), sum("ne").as("n_ends"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = days.withColumn("cum_s", sum("n_starts").over(wCum))
+      .withColumn("cum_e", sum("n_ends").over(wCum))
+    val ov = iv
+      .join(broadcast(cum.select(col("d").as("e"), col("cum_s"))), Seq("e"))
+      .join(broadcast(cum.select(col("d").as("s"), col("cum_e"), col("n_ends"))), Seq("s"))
+    val p = plan(ov)
+    // the interval-sized side never shuffles for these joins: both prefix
+    // lookups ride broadcasts of the calendar-bounded cumulative table
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(3000))
+  }
 }
