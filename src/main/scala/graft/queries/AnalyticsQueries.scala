@@ -907,5 +907,83 @@ object AnalyticsQueries {
          |  CAST(MIN(n_overlap) AS BIGINT) AS min_ov,
          |  CAST(MAX(n_overlap) AS BIGINT) AS max_ov,
          |  CAST(SUM(n_overlap) * 1000000 // COUNT(*) AS BIGINT) AS avg_ov_ppm
-         |FROM ov GROUP BY month ORDER BY month""".stripMargin)))
+         |FROM ov GROUP BY month ORDER BY month""".stripMargin)),
+
+    // Seasonality scan: integer-exact autocorrelation of each type's
+    // daily count series over the zero-filled calendar grid. Deviations
+    // are pre-scaled by n (d_t = n·c_t − S — integers, no mean division);
+    // acf_ppm(L) = num(L)·10⁶·n div (den·(n−L)) with the num/den
+    // products in DECIMAL(38,0) on Spark and HUGEINT in the oracle
+    // (sf0.1 already overflows BIGINT in num·10⁶·n; DuckDB's DECIMAL
+    // `//` FLOORS while HUGEINT `//` truncates like Spark's div — the
+    // negative-autocorrelation parity hinges on both sides truncating).
+    // Every frame after the one data-sized count is domain-bounded
+    // (|event_type| × calendar days); the lag self-join runs on that
+    // grid, never on events.
+    Q("ts4_autocorr_daily",
+      (s, d) => {
+        val maxLag = 14
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("ts_us_long div 86400000000").as("day"))
+        val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        val grid = ev.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+        val cnt = grid.join(
+            ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0")),
+            Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c0"), lit(0L)).as("c"))
+        val stats = cnt.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("s"))
+        val dev = cnt.join(broadcast(stats), "event_type")
+          .withColumn("dv", col("n") * col("c") - col("s"))
+        val den = dev.groupBy("event_type")
+          .agg(sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("den"),
+            max("n").as("n"))
+        val a = dev.select(col("event_type"), col("day"), col("dv"),
+            explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+          .withColumn("jday", col("day") + col("lag"))
+        val num = a.join(
+            dev.select(col("event_type"), col("day").as("jday"),
+              col("dv").as("bdv")),
+            Seq("event_type", "jday"))
+          .groupBy("event_type", "lag")
+          .agg(sum(expr("CAST(dv AS DECIMAL(38,0)) * bdv")).as("num"))
+        num.join(broadcast(den), "event_type")
+          .withColumn("acf_ppm", expr(
+            "CAST((num * 1000000 * n) div (den * (n - lag)) AS BIGINT)"))
+          .select(col("event_type"), col("lag").cast("long").as("lag"),
+            col("acf_ppm"))
+          .orderBy("event_type", "lag")
+      },
+      Some(s"""${QH.evCte},
+         |ed AS (SELECT event_type, ts_us_long // 86400000000 AS day FROM ev),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ed),
+         |grid AS (SELECT et.event_type, g.day FROM
+         |  (SELECT DISTINCT event_type FROM ed) et,
+         |  (SELECT unnest(range((SELECT d0 FROM bounds),
+         |     (SELECT d1 FROM bounds) + 1)) AS day) g),
+         |cnt AS (SELECT g.event_type, g.day, COUNT(e.day) AS c
+         |        FROM grid g LEFT JOIN ed e
+         |          ON g.event_type = e.event_type AND g.day = e.day
+         |        GROUP BY 1, 2),
+         |stats AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s
+         |          FROM cnt GROUP BY 1),
+         |dev AS (SELECT c.event_type, c.day, st.n * c.c - st.s AS dv
+         |        FROM cnt c JOIN stats st USING (event_type)),
+         |den AS (SELECT d.event_type, SUM(d.dv::HUGEINT * d.dv) AS den,
+         |          ANY_VALUE(st.n) AS n
+         |        FROM dev d JOIN stats st USING (event_type) GROUP BY 1),
+         |a AS (SELECT event_type, day + l.lag AS jday, dv, l.lag
+         |      FROM dev, (SELECT unnest(range(1, 15)) AS lag) l),
+         |num AS (SELECT a.event_type, a.lag, SUM(a.dv::HUGEINT * b.dv) AS num
+         |        FROM a JOIN dev b
+         |          ON a.event_type = b.event_type AND a.jday = b.day
+         |        GROUP BY 1, 2)
+         |SELECT nm.event_type, CAST(nm.lag AS BIGINT) AS lag,
+         |  CAST((nm.num * 1000000 * dn.n) // (dn.den * (dn.n - nm.lag))
+         |    AS BIGINT) AS acf_ppm
+         |FROM num nm JOIN den dn USING (event_type)
+         |ORDER BY nm.event_type, nm.lag""".stripMargin)))
 }
