@@ -817,20 +817,25 @@ object LlmQueries {
     // complement of d4's LSH blocking: same 3-gram shingle sets, every
     // Jaccard >= 0.5 pair found (no band-collision probability), with
     // candidates from the rarest-shingle prefix equi-join instead of
-    // minhash bands. All outputs integer.
+    // minhash bands. Shingles are pre-hashed to 60-bit longs (the d16d
+    // payload lever — the prefix theorem needs only SOME consistent
+    // total order, and both engines hash identically): the verify
+    // intersections and the prefix shuffle carry longs, not 3-word
+    // strings. All outputs integer.
     Q("d19_prefix_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .withColumn("__toks",
-            expr(TextOps.shinglesSql("split(text, ' ')", 3)))
+          .withColumn("__toks", expr(TextOps.tokenHashesSql(
+            TextOps.shinglesSql("split(text, ' ')", 3))))
           .select(col("doc_id"), col("__toks"))
         Dedup.prefixJaccardSelfJoin(docs, "doc_id", "__toks", 500000L)
           .orderBy("id1", "id2")
       },
       Some("""WITH sh AS MATERIALIZED (
-         |  SELECT doc_id, unnest(list_distinct(
+         |  SELECT doc_id, unnest(list_transform(list_distinct(
          |    list_transform(range(1, len(string_split(text,' ')) - 1),
-         |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))) AS tok
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))),
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS tok
          |  FROM documents),
          |freq AS MATERIALIZED (
          |  SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok),
@@ -2503,6 +2508,52 @@ object LlmQueries {
                 md5(psha || ':' || CAST(i AS VARCHAR)) AS frame_sha
               FROM m, (SELECT unnest(range(0, 4)) AS i)
               ORDER BY media_id, sample_idx""")),
+
+    // Scene-cut detection plumbing: the temporal step after m2's frame
+    // sampling — per-media consecutive-frame signature hamming, a cut
+    // wherever the 60-bit distance exceeds the threshold (with real
+    // codecs the signature is m4's dHash; on the stub path it is the
+    // first 15 frame-digest nibbles, so the oracle replays offsets,
+    // digests, signatures, AND the cut decisions end-to-end). Per-media
+    // windows are partition-parallel; k is a constant fanout.
+    Q("m6_scene_cuts",
+      (s, d) => {
+        val media = graft.operators.Multimodal.fromText(s,
+          Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        val frames = graft.operators.Multimodal
+          .sampleFrames(media, 8, forceStub = true)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("media_id").orderBy("sample_idx")
+        frames
+          .withColumn("sig", expr(
+            "cast(conv(substring(frame_sha, 1, 15), 16, 10) as bigint)"))
+          .withColumn("prev", lag(col("sig"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("ham", expr("bit_count(sig ^ prev)"))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_transitions"),
+            sum(when(col("ham") > 30, 1L).otherwise(0L)).as("n_cuts"),
+            coalesce(min(when(col("ham") > 30, col("sample_idx"))), lit(-1))
+              .cast("long").as("first_cut_idx"),
+            max("ham").cast("long").as("max_ham"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, sha256(text) AS psha
+         |            FROM documents WHERE doc_id % 20 = 0),
+         |f AS (SELECT media_id, CAST(i AS INTEGER) AS sample_idx,
+         |        ('0x' || substr(md5(psha || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS sig
+         |      FROM m, (SELECT unnest(range(0, 8)) AS i)),
+         |t AS (SELECT media_id, sample_idx, sig,
+         |        lag(sig) OVER (PARTITION BY media_id ORDER BY sample_idx) AS prev
+         |      FROM f)
+         |SELECT media_id, COUNT(*) AS n_transitions,
+         |  CAST(SUM(CASE WHEN bit_count(xor(sig, prev)) > 30
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(COALESCE(MIN(CASE WHEN bit_count(xor(sig, prev)) > 30
+         |      THEN sample_idx END), -1) AS BIGINT) AS first_cut_idx,
+         |  CAST(MAX(bit_count(xor(sig, prev))) AS BIGINT) AS max_ham
+         |FROM t WHERE prev IS NOT NULL
+         |GROUP BY media_id ORDER BY media_id""".stripMargin)),
 
     // REAL audio decode: WAV/RIFF PCM is decodable in pure JVM, so unlike
     // the MP4 pixel path nothing is stubbed — the operator walks RIFF
