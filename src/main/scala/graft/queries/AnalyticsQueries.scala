@@ -985,5 +985,41 @@ object AnalyticsQueries {
          |  CAST((nm.num * 1000000 * dn.n) // (dn.den * (dn.n - nm.lag))
          |    AS BIGINT) AS acf_ppm
          |FROM num nm JOIN den dn USING (event_type)
-         |ORDER BY nm.event_type, nm.lag""".stripMargin)))
+         |ORDER BY nm.event_type, nm.lag""".stripMargin)),
+
+    // Behavioral sequence patterns: each user's journey as the ordered
+    // string of event-type initials, regex-counted conversion paths
+    // (click → views/errors → purchase) and error bursts. The pattern
+    // alphabet is the enumerated type set (strings from ENUMS, never
+    // doubles) and the patterns stay in the Java∩RE2 common subset (the
+    // t6/t9 rule) with identical non-overlapping left-to-right counting.
+    // Per-user strings are the sessionized-behavior representation —
+    // bounded by per-user activity (the w1 giant-key caveat applies to
+    // pathological single users).
+    Q("fn7_sequence_patterns",
+      (s, d) => {
+        val seqs = Tables.events(s, d)
+          .select(col("user_id"),
+            struct(col("ts_us_long"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("i")).as("__e"))
+          .groupBy("user_id")
+          .agg(expr("array_join(transform(array_sort(collect_list(__e)), x -> x.i), '')")
+            .as("seq"))
+        seqs.select(col("user_id"),
+            length(col("seq")).cast("long").as("n_events"),
+            size(expr("regexp_extract_all(seq, 'c[ve]*p', 0)")).cast("long")
+              .as("n_convert"),
+            size(expr("regexp_extract_all(seq, 'ee', 0)")).cast("long")
+              .as("n_error_bursts"))
+          .orderBy("user_id")
+      },
+      Some(s"""${QH.evCte},
+         |s AS (SELECT user_id,
+         |        string_agg(substr(event_type, 1, 1), ''
+         |          ORDER BY ts_us_long, event_id) AS seq
+         |      FROM ev GROUP BY user_id)
+         |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+         |  CAST(len(regexp_extract_all(seq, 'c[ve]*p')) AS BIGINT) AS n_convert,
+         |  CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS n_error_bursts
+         |FROM s ORDER BY user_id""".stripMargin)))
 }

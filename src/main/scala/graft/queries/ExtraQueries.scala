@@ -150,6 +150,35 @@ object ExtraQueries {
                      UNION ALL SELECT l_returnflag, l_quantity FROM lineitem)
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // A19 (beyond survey): explicit GROUPING SETS — the general form
+    // behind a4/a8's rollups: all four (flag, status) grains in ONE
+    // aggregation pass (Spark expands sets map-side, one shuffle), with
+    // the grouping-bit id disambiguating a real value from a grain NULL
+    // (both engines compute grouping() identically).
+    Q("a19_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"),
+          (grouping(col("l_returnflag")).cast("long") * 2 +
+            grouping(col("l_linestatus")).cast("long")).as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         |    AS gid,
+         |  COUNT(*) AS n, ${sqlMoneySum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, rf, ls""".stripMargin)),
+
     // W4: early-stop scan over a sorted stream = date predicate that prunes
     // at the scan (parquet row-group stats carry min/max shipdate).
     Q("w4_early_stop_filter",
