@@ -99,4 +99,46 @@ class StreamingScd2Spec extends SparkSpec {
       .groupBy("user_id").count().select("count").as[Long].collect()
     assert(opens.forall(_ == 1L) && opens.length == 3)
   }
+
+  test("store grows with VERSIONS, not events, across 30 drains") {
+    val root = Files.createTempDirectory("graft-scd2-growth").toString
+    val in = s"$root/raw"
+    val users = 0L until 10L
+    val perRun = 20
+    var ts = 0L
+    var eid = 0L
+    var total = 0L
+    val allBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    def batch(b: Int): DataFrame = {
+      // one run per user per batch; the type changes every 3 batches, so
+      // most drains EXTEND the open version (delta = 1 row/user) and
+      // every third closes + appends (delta = 2 rows/user)
+      val rows = users.flatMap { u =>
+        val tpe = s"t${(b / 3) % 4}"
+        (0 until perRun).map { _ =>
+          ts += 1; eid += 1; total += 1
+          (u, tpe, ts, eid)
+        }
+      }
+      rows.toDF("user_id", "event_type", "ts_us_long", "event_id")
+    }
+
+    (0 until 30).foreach { b =>
+      val df = batch(b)
+      allBatches += df
+      df.write.parquet(f"$in/f$b%03d")
+      StreamingScd2.run(spark, s"$in/*", df, s"$root/store", s"$root/ckpt")
+    }
+
+    val events = allBatches.reduce(_ unionByName _)
+    assertSame(StreamingScd2.historySoFar(spark, s"$root/store"),
+      rebuild(events))
+    val storeRows = spark.read.parquet(s"$root/store").count()
+    // 6000 events -> 10 versions/user; the delta store holds one row per
+    // extension drain plus two per type change: far below event volume
+    assert(storeRows < total / 5,
+      s"delta store ($storeRows rows) must stay far below events ($total)")
+    assert(storeRows >= 100L, "store must hold every version's history")
+  }
 }
