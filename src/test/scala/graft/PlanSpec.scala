@@ -416,6 +416,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("grouping sets expand map-side into ONE shuffle (a19)") {
+    val agg = Tables.lineitem(spark, sf())
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    // all four grains ride one Expand + one exchange — never one
+    // aggregation pass per grain
+    assert(countExchanges(agg) == 1, plan(agg))
+    assert(plan(agg).contains("Expand"), plan(agg))
+  }
+
+  test("k-core round joins are all equi — no cartesian/nested-loop (g4)") {
+    import spark.implicits._
+    val edges = (for { a <- 0L until 30L; b <- a + 1 until 30L
+      if graft.operators.DetHash.md5Long(s"kc:$a:$b") % 3 == 0 } yield (a, b))
+      .toDF("a", "b")
+    val p = plan(graft.operators.Graph.kcorePeel(edges, "a", "b", 2, 3))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("overlap counts broadcast the day-domain cumulative table (fn6)") {
     import spark.implicits._
     val iv = (0L until 200L).map(i => (i, i % 50, i % 50 + i % 7))
