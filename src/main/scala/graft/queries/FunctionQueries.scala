@@ -372,6 +372,36 @@ object FunctionQueries {
         .select(col("doc_id"), explode(slice(split(col("text"), " "), 1, 5)).as("word"))
         .orderBy("doc_id", "word"),
       Some("""SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS word
-              FROM documents ORDER BY doc_id, word"""))
+              FROM documents ORDER BY doc_id, word""")),
+
+    // R5 (beyond survey): standalone UNPIVOT — r1's pivot inverted: the
+    // four lineitem measures melted to (metric, value) long form via
+    // Dataset.unpivot (one Expand, no join/union re-scan), then a
+    // DECIMAL-exact per-(flag, metric) sum. The oracle uses the UNION
+    // ALL spelling (portable across DuckDB versions; the row set is
+    // definitionally identical).
+    Q("r5_unpivot_metrics",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"), QH.moneySum(col("value")).as("total"))
+        .orderBy("l_returnflag", "metric"),
+      Some(s"""WITH long AS (
+         |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+         |    FROM lineitem
+         |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+         |    FROM lineitem
+         |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+         |    FROM lineitem
+         |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         |SELECT l_returnflag, metric, COUNT(*) AS n,
+         |  ${QH.sqlMoneySum("value")} AS total
+         |FROM long GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin))
   )
 }
