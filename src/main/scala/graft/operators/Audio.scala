@@ -247,4 +247,92 @@ object Audio {
   def fpNearDupPairs(fps: DataFrame, idCol: String,
                      maxHamming: Int): DataFrame =
     Hash64.bandedNearDupPairs(fps, idCol, "fp_hi", "fp_lo", maxHamming)
+
+  // ——— Silence segmentation (the temporal step after per-clip features) —
+
+  /** Frame length (samples) of the gated corpus's silence slots. */
+  val GateFrame = 128
+
+  /** Gated synthetic corpus: same pure-integer noise as [[synthCorpus]],
+    * but frame f (of [[GateFrame]] samples) of clip `id` is zeroed when
+    * f % 4 == id % 4 — real WAV containers with a silence layout the
+    * oracle replays in closed form. */
+  def synthGatedCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).cast("long")).rdd.map(_.getLong(0))
+    val rows = ids.mapPartitions(_.map { id =>
+      val n = synthLen(id)
+      val samples = Array.tabulate(n) { i =>
+        if ((i / GateFrame) % 4L == id % 4L) 0.toShort
+        else synthSample(id, i.toLong).toShort
+      }
+      Row(id, wavBytes(samples, synthRate(id)))
+    })
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("audio", BinaryType, nullable = true))))
+  }
+
+  /** Silence/speech segmentation over a binary WAV column: decode, split
+    * into full frames of `frameLen` samples (the sub-frame tail is
+    * dropped — a pinned, replayable boundary), classify each frame silent
+    * iff max |sample| <= `thresh`, and run-length-encode the flags into
+    * segments — one pass inside the decode kernel, one output row per
+    * segment. The VAD-precursor shape of audio pipelines (silence
+    * trimming, speech-span extraction) with a pure-integer decision at
+    * every step.
+    * @return (idCol, seg_idx, is_silence, start_frame, n_frames,
+    *         start_us) — start_us = start_frame·frameLen·10⁶ /
+    *         (rate·channels), integer division */
+  def silenceSegments(media: DataFrame, idCol: String, binCol: String,
+                      frameLen: Int, thresh: Int): DataFrame = {
+    require(frameLen > 0 && thresh >= 0)
+    val spark = media.sparkSession
+    val ii = media.schema.fieldIndex(idCol)
+    val bi = media.schema.fieldIndex(binCol)
+    val rows = media.rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(ii)
+      val bytes = r.getAs[Array[Byte]](bi)
+      decodeWav(if (bytes == null) Array.emptyByteArray else bytes) match {
+        case Some((rate, channels, samples)) =>
+          val nf = samples.length / frameLen
+          val flags = Array.tabulate(nf) { f =>
+            var m = 0
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) {
+              val a = math.abs(samples(i).toInt)
+              if (a > m) m = a
+              i += 1
+            }
+            m <= thresh
+          }
+          val out = Seq.newBuilder[Row]
+          var segIdx = 0L
+          var start = 0
+          var f = 1
+          def emit(endExcl: Int): Unit = {
+            val startUs = start.toLong * frameLen * 1000000L /
+              (rate.toLong * channels)
+            out += Row(id, segIdx, if (flags(start)) 1L else 0L,
+              start.toLong, (endExcl - start).toLong, startUs)
+            segIdx += 1L
+          }
+          while (f < nf) {
+            if (flags(f) != flags(f - 1)) { emit(f); start = f }
+            f += 1
+          }
+          if (nf > 0) emit(nf)
+          out.result()
+        case None => Seq.empty[Row]
+      }
+    })
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("seg_idx", LongType, nullable = false),
+      StructField("is_silence", LongType, nullable = false),
+      StructField("start_frame", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("start_us", LongType, nullable = false))))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.DotProduct.{cosine, dot}
-import graft.functions.{PqVec, QuantizedVec}
+import graft.functions.{BinarySig, PqVec, QuantizedVec}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -621,6 +621,60 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("qscore"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("qscore"))
+  }
+
+  // ——— 1-bit sign quantization — the cheapest exhaustive first pass ———
+
+  /** Binary-signature top-k: every vector reduced to its sign bitmap
+    * ([[BinarySig.signPack]] — dim bits ≈ dim/8 bytes), the whole corpus
+    * scanned with XOR+popcount Hamming distance, the best `rerankR` per
+    * query re-ranked by EXACT cosine on the gathered full vectors.
+    *
+    * The scale story is the bandwidth ladder's last rung: the exhaustive
+    * pass streams 8 bytes/vector at dim 64 (vs 512 fp64 / 64 int8), so the
+    * candidate scan is ~64× lighter than the float brute force; only
+    * rerankR·|queries| full vectors are ever gathered (one semi-join back
+    * to the corpus — the at-scale "fetch" step, never a full-width scan).
+    * Both stages are deterministic: Hamming ties break on cid, the rerank
+    * uses the left-fold [[graft.functions.DotProduct]] cosine.
+    *
+    * @param queries (qid, qvec: array<double>) — small, broadcast
+    * @param corpus  (cid, cvec: array<double>) — signature-scanned once
+    * @return (qid, rank, cid, ham, sim_fp) — rank by (cosine DESC, cid),
+    *         sim_fp = floor(sim·10⁵) (fixed-point output invariant) */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  rerankR: Int): DataFrame =
+    hammingSearch(queries, corpus,
+      corpus.select(col("cid"), BinarySig.signPack(col("cvec")).as("__cs")),
+      k, rerankR)
+
+  /** [[hammingTopK]] probing a PREBUILT signature index (cid, sig) — the
+    * shape [[graft.streaming.StreamingBinarySigIndex]] maintains: the
+    * exhaustive pass scans the 8-byte-signature index a stream has been
+    * appending to, and only the rerank gathers vectors from the corpus. */
+  def hammingTopKIndexed(queries: DataFrame, corpus: DataFrame,
+                         sigIndex: DataFrame, k: Int, rerankR: Int): DataFrame =
+    hammingSearch(queries, corpus,
+      sigIndex.select(col("cid"), col("sig").as("__cs")), k, rerankR)
+
+  private def hammingSearch(queries: DataFrame, corpus: DataFrame,
+                            cs: DataFrame, k: Int, rerankR: Int): DataFrame = {
+    require(rerankR >= k, s"rerankR $rerankR must be >= k $k")
+    val qs = queries.select(col("qid"), BinarySig.signPack(col("qvec")).as("__qs"))
+    val wh = Window.partitionBy("qid").orderBy(asc("ham"), asc("cid"))
+    val cand = cs.crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("ham", BinarySig.hamming(col("__qs"), col("__cs")))
+      .withColumn("__rn", row_number().over(wh)).filter(col("__rn") <= rerankR)
+      .select("qid", "cid", "ham")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    cand
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpus, Seq("cid"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("ham"),
+        floor(col("sim") * lit(100000.0)).cast("long").as("sim_fp"))
   }
 
   // ——— Product quantization (PQ / IVF-PQ) — the code-book scale path ———

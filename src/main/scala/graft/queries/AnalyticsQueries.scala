@@ -1021,5 +1021,241 @@ object AnalyticsQueries {
          |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
          |  CAST(len(regexp_extract_all(seq, 'c[ve]*p')) AS BIGINT) AS n_convert,
          |  CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS n_error_bursts
-         |FROM s ORDER BY user_id""".stripMargin)))
+         |FROM s ORDER BY user_id""".stripMargin)),
+
+    // RFM segmentation: per-customer recency (days since last order,
+    // anchored at the corpus max date — pure epoch-microsecond integer
+    // division), frequency (order count) and monetary (exact DECIMAL
+    // cents), each quintiled by NTILE(5) over a TOTAL order (metric +
+    // custkey tiebreak — NTILE is rank-based, no interpolation, so both
+    // engines place every customer identically; the llm_corpus_stratify
+    // lesson). The ranked frame is the CUSTOMER AGGREGATE — dim-sized,
+    // 1:40 of the fact table here; at warehouse scale the same scores
+    // come from f18c rank boundaries instead of one global window.
+    Q("fn8_rfm_segments",
+      (s, d) => {
+        val cust = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            // o_orderdate ships as TIMESTAMP_NTZ; the session is pinned
+            // UTC, so the cast is the identity wall-clock and unix_micros
+            // equals DuckDB's epoch_us on the same value
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("ous"),
+            col("o_totalprice"))
+          .groupBy("o_custkey")
+          .agg(max("ous").as("last_us"),
+            count(lit(1)).as("freq"),
+            expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+              .as("cents"))
+        val anchored = cust
+          .withColumn("anchor_us", max("last_us").over(Window.partitionBy(lit(1))))
+          .withColumn("recency_days",
+            expr("(anchor_us - last_us) div 86400000000"))
+        val scored = anchored
+          .withColumn("r_score",
+            ntile(5).over(Window.orderBy(col("recency_days").desc, col("o_custkey"))))
+          .withColumn("f_score",
+            ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))))
+          .withColumn("m_score",
+            ntile(5).over(Window.orderBy(col("cents"), col("o_custkey"))))
+        scored.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("freq").as("sum_orders"),
+            sum("cents").as("sum_cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH cust AS (
+         |  SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+         |    COUNT(*) AS freq,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |anch AS (SELECT *, MAX(last_us) OVER () AS anchor_us FROM cust),
+         |scored AS (SELECT o_custkey, freq, cents,
+         |    (anchor_us - last_us) // 86400000000 AS recency_days,
+         |    ntile(5) OVER (ORDER BY (anchor_us - last_us) // 86400000000 DESC,
+         |      o_custkey) AS r_score,
+         |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         |    ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+         |  FROM anch)
+         |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
+         |  CAST(SUM(freq) AS BIGINT) AS sum_orders,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM scored GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin)),
+
+    // Benford first-digit drift: leading digit of the EXACT integer cent
+    // value (never a digit of a formatted double) against the hardcoded
+    // Benford ppm table (the same literal constants on both engines —
+    // log10(1+1/d) is irrational, so the table IS the spec), chi-square
+    // in fixed-point ppm through DECIMAL(38,0)/HUGEINT like dq2. All
+    // terms non-negative, so DuckDB's flooring HUGEINT // matches
+    // Spark's truncating DECIMAL div.
+    Q("dq3_benford",
+      (s, d) => {
+        import s.implicits._
+        val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val obs = Tables.orders(s, d)
+          .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+          .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+        val pTab = benfordPpm.zipWithIndex
+          .map { case (p, i) => (i + 1L, p) }
+          .toDF("digit", "p_ppm")
+        val wAll = Window.partitionBy(lit(1))
+        broadcast(pTab).join(obs, Seq("digit"), "left")
+          .withColumn("obs", coalesce(col("obs"), lit(0L)))
+          .withColumn("n", sum("obs").over(wAll))
+          .withColumn("exp_ppm", col("n") * col("p_ppm"))
+          .withColumn("term_ppm", expr(
+            """CAST((CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * p_ppm)
+              |  * (CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * p_ppm)
+              |  div (CAST(n AS DECIMAL(38,0)) * p_ppm) AS BIGINT)""".stripMargin))
+          .withColumn("chi2_total_ppm", sum("term_ppm").over(wAll).cast("long"))
+          .select("digit", "obs", "p_ppm", "term_ppm", "chi2_total_ppm")
+          .orderBy("digit")
+      },
+      Some("""WITH p AS (SELECT * FROM (VALUES
+         |    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         |    (6, 66947), (7, 57992), (8, 51153), (9, 45757)) t(digit, p_ppm)),
+         |o AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |          AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |        COUNT(*) AS c
+         |      FROM orders GROUP BY 1),
+         |j AS (SELECT p.digit, COALESCE(o.c, 0) AS obs, p.p_ppm,
+         |        SUM(COALESCE(o.c, 0)) OVER () AS n
+         |      FROM p LEFT JOIN o ON p.digit = o.digit),
+         |t AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(obs AS BIGINT) AS obs,
+         |        CAST(p_ppm AS BIGINT) AS p_ppm,
+         |        CAST((obs::HUGEINT * 1000000 - n::HUGEINT * p_ppm)
+         |          * (obs::HUGEINT * 1000000 - n::HUGEINT * p_ppm)
+         |          // (n::HUGEINT * p_ppm) AS BIGINT) AS term_ppm
+         |      FROM j)
+         |SELECT digit, obs, p_ppm, term_ppm,
+         |  CAST(SUM(term_ppm) OVER () AS BIGINT) AS chi2_total_ppm
+         |FROM t ORDER BY digit""".stripMargin)),
+
+    // Association rules from the mb1 frequent pairs: both directed rules
+    // per pair, with support / confidence / lift in integer ppm (exact
+    // DECIMAL/HUGEINT division — all non-negative). The rule frame is
+    // the FREQUENT-pair set (already support-pruned), so the directed
+    // explosion is 2× a filtered set, never 2× all pairs.
+    Q("mb2_association_rules",
+      (s, d) => {
+        val minSup = 3L
+        val minConfPpm = 200000L
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val nOrders = items.select("l_orderkey").distinct().count()
+        val freq = items
+          .join(items.groupBy("l_partkey").agg(count(lit(1)).as("item_sup"))
+            .filter(col("item_sup") >= minSup), "l_partkey")
+        val a = freq.select(col("l_orderkey"), col("l_partkey").as("p1"),
+          col("item_sup").as("sup1"))
+        val b = freq.select(col("l_orderkey"), col("l_partkey").as("p2"),
+          col("item_sup").as("sup2"))
+        val pairs = a.join(b, "l_orderkey").filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2")
+          .agg(count(lit(1)).as("pair_cnt"),
+            max("sup1").as("sup1"), max("sup2").as("sup2"))
+          .filter(col("pair_cnt") >= minSup)
+        val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
+            col("pair_cnt"), col("sup1").as("sup_ante"), col("sup2").as("sup_cons"))
+          .unionByName(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
+            col("pair_cnt"), col("sup2").as("sup_ante"), col("sup1").as("sup_cons")))
+        rules
+          .withColumn("support_ppm", expr(s"pair_cnt * 1000000 div $nOrders"))
+          .withColumn("conf_ppm", expr("pair_cnt * 1000000 div sup_ante"))
+          .withColumn("lift_ppm",
+            expr(s"CAST(CAST(pair_cnt AS DECIMAL(38,0)) * $nOrders * 1000000" +
+              " div (CAST(sup_ante AS DECIMAL(38,0)) * sup_cons) AS BIGINT)"))
+          .filter(col("conf_ppm") >= minConfPpm)
+          .select("ante", "cons", "pair_cnt", "sup_ante", "sup_cons",
+            "support_ppm", "conf_ppm", "lift_ppm")
+          .orderBy(desc("conf_ppm"), col("ante"), col("cons"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+         |sup AS (SELECT l_partkey, COUNT(*) AS item_sup FROM items
+         |        GROUP BY 1 HAVING COUNT(*) >= 3),
+         |freq AS (SELECT i.l_orderkey, i.l_partkey, s.item_sup
+         |         FROM items i JOIN sup s USING (l_partkey)),
+         |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |            COUNT(*) AS pair_cnt,
+         |            MAX(a.item_sup) AS sup1, MAX(b.item_sup) AS sup2
+         |          FROM freq a JOIN freq b
+         |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |rules AS (
+         |  SELECT p1 AS ante, p2 AS cons, pair_cnt,
+         |    sup1 AS sup_ante, sup2 AS sup_cons FROM pairs
+         |  UNION ALL
+         |  SELECT p2, p1, pair_cnt, sup2, sup1 FROM pairs)
+         |SELECT ante, cons, pair_cnt, sup_ante, sup_cons,
+         |  CAST(pair_cnt * 1000000 // (SELECT n_orders FROM n) AS BIGINT)
+         |    AS support_ppm,
+         |  CAST(pair_cnt * 1000000 // sup_ante AS BIGINT) AS conf_ppm,
+         |  CAST(CAST(pair_cnt AS HUGEINT) * (SELECT n_orders FROM n) * 1000000
+         |    // (CAST(sup_ante AS HUGEINT) * sup_cons) AS BIGINT) AS lift_ppm
+         |FROM rules
+         |WHERE pair_cnt * 1000000 // sup_ante >= 200000
+         |ORDER BY conf_ppm DESC, ante, cons""".stripMargin)),
+
+    // Dyadic-kernel EWMA trend over the zero-filled global daily count
+    // series: smoothed_t = Σ_{j=0..7} c_{t−j}·2^(7−j) (integer numerator,
+    // denominator 255 implied) — an exponential smoother whose weights
+    // are exact powers of two, so both engines agree bit-for-bit with no
+    // float parity machinery at all. Rows start at the first full
+    // window; spike days flag where c_t·255 > 2·smoothed (today more
+    // than twice the smoothed level). Day grid is domain-bounded (the
+    // ts4 calendar-grid idiom).
+    Q("ts5_ewma_trend",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts_us_long div 86400000000").as("day"))
+        val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        val grid = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+        val cnt = grid.join(
+            ev.groupBy("day").agg(count(lit(1)).as("c0")), Seq("day"), "left")
+          .select(col("day"), coalesce(col("c0"), lit(0L)).as("c"))
+        val w = Window.orderBy("day")
+        val lagged = cnt.select(col("day") +: col("c") +:
+          (1 to 7).map(j => coalesce(lag(col("c"), j).over(w), lit(-1L))
+            .as(s"l$j")): _*)
+        lagged
+          .filter((1 to 7).map(j => col(s"l$j") >= 0L).reduce(_ && _))
+          .withColumn("ewma_num", expr(
+            "c * 128 + l1 * 64 + l2 * 32 + l3 * 16 + l4 * 8 + l5 * 4 + l6 * 2 + l7"))
+          .withColumn("spike",
+            when(col("c") * lit(255L) > lit(2L) * col("ewma_num"), 1L)
+              .otherwise(0L))
+          .select("day", "c", "ewma_num", "spike")
+          .orderBy("day")
+      },
+      Some(s"""${QH.evCte},
+         |ed AS (SELECT ts_us_long // 86400000000 AS day FROM ev),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ed),
+         |grid AS (SELECT unnest(range((SELECT d0 FROM bounds),
+         |           (SELECT d1 FROM bounds) + 1)) AS day),
+         |cnt AS (SELECT g.day, COUNT(e.day) AS c
+         |        FROM grid g LEFT JOIN ed e ON g.day = e.day GROUP BY 1),
+         |lg AS (SELECT day, c,
+         |    COALESCE(lag(c, 1) OVER (ORDER BY day), -1) AS l1,
+         |    COALESCE(lag(c, 2) OVER (ORDER BY day), -1) AS l2,
+         |    COALESCE(lag(c, 3) OVER (ORDER BY day), -1) AS l3,
+         |    COALESCE(lag(c, 4) OVER (ORDER BY day), -1) AS l4,
+         |    COALESCE(lag(c, 5) OVER (ORDER BY day), -1) AS l5,
+         |    COALESCE(lag(c, 6) OVER (ORDER BY day), -1) AS l6,
+         |    COALESCE(lag(c, 7) OVER (ORDER BY day), -1) AS l7
+         |  FROM cnt)
+         |SELECT day, CAST(c AS BIGINT) AS c,
+         |  CAST(c * 128 + l1 * 64 + l2 * 32 + l3 * 16 + l4 * 8 + l5 * 4
+         |    + l6 * 2 + l7 AS BIGINT) AS ewma_num,
+         |  CASE WHEN c * 255 > 2 * (c * 128 + l1 * 64 + l2 * 32 + l3 * 16
+         |    + l4 * 8 + l5 * 4 + l6 * 2 + l7) THEN 1 ELSE 0 END AS spike
+         |FROM lg
+         |WHERE l1 >= 0 AND l2 >= 0 AND l3 >= 0 AND l4 >= 0 AND l5 >= 0
+         |  AND l6 >= 0 AND l7 >= 0
+         |ORDER BY day""".stripMargin)))
 }

@@ -395,6 +395,19 @@ object LlmQueries {
   private def dQDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** DuckDB twin of `BinarySig.signPack` at dim 64: two 32-bit words,
+    * element 32·w+j (1-based) sets bit j−1 of word w — no sign bit is ever
+    * touched, so the longs compare identically on every engine. */
+  private def dSig(v: String): String =
+    (0 until 2).map { w =>
+      s"CAST(list_sum(list_transform(range(1, 33), j -> " +
+        s"CASE WHEN $v[${32 * w} + j] > 0.0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)) AS BIGINT)"
+    }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of the XOR+popcount `HammingWords` over [[dSig]] words. */
+  private def dHam(a: String, b: String): String =
+    s"(CAST(bit_count(xor($a[1], $b[1])) AS BIGINT) + bit_count(xor($a[2], $b[2])))"
+
   /** DuckDB twin of `Similarity.kmeansLloyd(k, iters)` as a WITH-body
     * fragment over `embeddings`, ending in CTE c{iters} = (cid, n, c, cc).
     * Exposes e2 = (vid, v, xx) for further assignment CTEs. The single
@@ -861,6 +874,54 @@ object LlmQueries {
          |SELECT id1, id2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
          |  CAST(inter * 1000000 // uni AS BIGINT) AS jac_ppm
          |FROM ver WHERE inter * 1000000 >= 500000 * uni
+         |ORDER BY id1, id2""".stripMargin)),
+
+    // EXACT directed CONTAINMENT pairs — the asymmetric question d19's
+    // Jaccard can't ask: "is doc A quoted/truncated inside doc B?". The
+    // corpus's planted every-10th-doc truncations are SUBSETS of their
+    // originals (drop the last two words = drop the last two shingles),
+    // so each planted pair scores containment 1.0 regardless of the
+    // length ratio. Same hashed-shingle payload lever as d19; the
+    // container side probes its full postings (no size upper bound
+    // exists for the containing doc) behind capacity + positional
+    // prunes. All outputs integer.
+    Q("d20_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__toks", expr(TextOps.tokenHashesSql(
+            TextOps.shinglesSql("split(text, ' ')", 3))))
+          .select(col("doc_id"), col("__toks"))
+        Dedup.containmentSelfJoin(docs, "doc_id", "__toks", 800000L)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_transform(list_distinct(
+         |    list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))),
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS tok
+         |  FROM documents),
+         |freq AS MATERIALIZED (
+         |  SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok),
+         |docs AS MATERIALIZED (
+         |  SELECT doc_id, list(tok ORDER BY df, tok) AS rks, COUNT(*) AS n
+         |  FROM sh JOIN freq USING (tok) GROUP BY doc_id),
+         |pref AS MATERIALIZED (
+         |  SELECT doc_id, n,
+         |    unnest(list_slice(rks, 1, n - ((800000 * n + 999999) // 1000000) + 1)) AS k
+         |  FROM docs),
+         |fl AS MATERIALIZED (SELECT doc_id, n, unnest(rks) AS k FROM docs),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pref a JOIN fl b ON a.k = b.k AND a.doc_id <> b.doc_id
+         |  WHERE b.n * 1000000 >= 800000 * a.n),
+         |ver AS (
+         |  SELECT id1, id2, x.n AS n1, y.n AS n2,
+         |    len(list_intersect(x.rks, y.rks)) AS inter
+         |  FROM cand JOIN docs x ON x.doc_id = id1 JOIN docs y ON y.doc_id = id2)
+         |SELECT id1, id2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter * 1000000 // n1 AS BIGINT) AS cont_ppm
+         |FROM ver WHERE inter * 1000000 >= 800000 * n1
          |ORDER BY id1, id2""".stripMargin)),
 
     // Near-dup CLUSTERS: the step after pairwise detection — connected
@@ -1629,6 +1690,42 @@ object LlmQueries {
                |  CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
                |FROM rr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
       setup = Some((s, d) => { pqArtifacts(s, d); () })),
+
+    // 1-bit sign quantization + Hamming scan + exact rerank — the last
+    // rung of the quantization ladder (fp64 512 B → int8 64 B → PQ 4 B →
+    // sign bitmap 8 B/vector at dim 64). The exhaustive first pass streams
+    // only the 8-byte signatures (XOR+popcount, codegen'd HammingWords);
+    // full vectors are gathered ONLY for the rerankR survivors. Everything
+    // integer or sign-test exact — the oracle replays bit-for-bit.
+    Q("s10_hamming_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.hammingTopK(q, c, k = 3, rerankR = 10).orderBy("qid", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |          FROM embeddings),
+               |sg AS (SELECT vec_id, ${dSig("v")} AS sig FROM e),
+               |q AS (SELECT vec_id AS qid, sig AS qs FROM sg
+               |      WHERE vec_id >= 100 AND vec_id < 120),
+               |h AS (SELECT qid, vec_id AS cid, ${dHam("sig", "qs")} AS ham
+               |      FROM sg CROSS JOIN q WHERE vec_id <> qid),
+               |r1 AS (SELECT qid, cid, ham,
+               |         row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS rn
+               |       FROM h),
+               |sc AS (SELECT c.qid, c.cid, c.ham, ${dCos("qe.v", "ce.v", Dim)} AS sim
+               |       FROM r1 c JOIN e qe ON qe.vec_id = c.qid
+               |                 JOIN e ce ON ce.vec_id = c.cid
+               |       WHERE c.rn <= 10),
+               |r AS (SELECT qid, cid, ham, sim,
+               |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |      FROM sc)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(ham AS BIGINT) AS ham,
+               |  CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
+               |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
     // Deterministic distributed k-means over the embedding corpus (2 Lloyd
     // iterations, hash-ranked seeds) — the centroid-training step IVF (s4)
@@ -2717,6 +2814,49 @@ object LlmQueries {
              |WHERE bit_count(xor(a.fp_hi, b.fp_hi))
              |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Silence segmentation over REAL WAV decode — the VAD-precursor
+    // temporal step after m3's per-clip features (silence trimming /
+    // speech-span extraction). The gated corpus zeroes frame f of clip id
+    // when f % 4 == id % 4, so real containers carry a silence layout the
+    // oracle replays in closed form; Spark runs the byte-level decode +
+    // frame classify + run-length encode in one kernel pass. Every
+    // decision integer: frame silent iff max |sample| <= 2, sub-frame
+    // tail dropped, start_us by integer division.
+    Q("m7_silence_segments",
+      (s, d) => {
+        val media = graft.operators.Audio.synthGatedCorpus(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0), "doc_id")
+        graft.operators.Audio.silenceSegments(media, "media_id", "audio",
+            frameLen = graft.operators.Audio.GateFrame, thresh = 2)
+          .orderBy("media_id", "seg_idx")
+      },
+      Some("""WITH p AS (SELECT doc_id, 800 + doc_id % 400 AS n,
+             |            8000 + (doc_id % 4) * 8000 AS rate
+             |          FROM documents WHERE doc_id % 10 = 0),
+             |e AS (SELECT doc_id, rate, unnest(range(0, (n // 128) * 128)) AS i
+             |      FROM p),
+             |s AS (SELECT doc_id, rate, i // 128 AS f,
+             |        CASE WHEN (i // 128) % 4 = doc_id % 4 THEN 0
+             |          ELSE abs(((doc_id * 2654435761 + i * 40503) % 65536) - 32768)
+             |        END AS a
+             |      FROM e),
+             |fr AS (SELECT doc_id, rate, f,
+             |         CASE WHEN MAX(a) <= 2 THEN 1 ELSE 0 END AS silent
+             |       FROM s GROUP BY 1, 2, 3),
+             |ch AS (SELECT doc_id, rate, f, silent,
+             |         CASE WHEN lag(silent) OVER (PARTITION BY doc_id ORDER BY f)
+             |              = silent THEN 0 ELSE 1 END AS brk
+             |       FROM fr),
+             |sg AS (SELECT doc_id, rate, f, silent,
+             |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY f) - 1 AS seg
+             |       FROM ch)
+             |SELECT doc_id AS media_id, CAST(seg AS BIGINT) AS seg_idx,
+             |  CAST(MIN(silent) AS BIGINT) AS is_silence,
+             |  CAST(MIN(f) AS BIGINT) AS start_frame, COUNT(*) AS n_frames,
+             |  CAST(MIN(f) * 128 * 1000000 // MIN(rate) AS BIGINT) AS start_us
+             |FROM sg GROUP BY doc_id, seg
+             |ORDER BY media_id, seg_idx""".stripMargin)),
 
     // ——— Corpus layout ———————————————————————————————————————————————————
 

@@ -458,4 +458,39 @@ class PlanSpec extends SparkSpec {
     // lookups ride broadcasts of the calendar-bounded cumulative table
     assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(3000))
   }
+
+  test("hamming scan broadcasts the query signatures; corpus never shuffles before the cut (s10)") {
+    import spark.implicits._
+    val vecs = (0L until 200L)
+      .map(i => (i, (0 until 64).map(j =>
+        ((i * 31 + j * 7) % 13).toDouble - 6.0)))
+      .toDF("vec_id", "v")
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val c = vecs.select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val p = plan(graft.operators.Similarity.hammingTopK(q, c, 3, 10))
+    // the exhaustive first pass is a broadcast of the (small) query
+    // signatures over the corpus scan — no corpus-wide shuffle exists
+    // before the per-query top-R cut, and no join is ever nested-loop
+    // on the full-width vectors (the only BNLJ is the signature
+    // broadcast itself)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("hammingwords") || p.contains("HammingWords") ||
+      p.contains("signpack") || p.contains("SignPack"), p.take(3000))
+  }
+
+  test("containment join keys candidates on the element value (d20)") {
+    import spark.implicits._
+    val recs = (0L until 40L)
+      .map(i => (i, (0 until 10).map(j => s"e${(i * 7 + j) % 60}")))
+      .toDF("id", "toks")
+    val p = plan(graft.operators.Dedup.containmentSelfJoin(recs, "id", "toks", 800000L))
+    // candidate generation must be an equi-join on __k — a content-derived
+    // key space that grows with the corpus; all-ordered-pairs never exists
+    assert("Join.*\\[__k#\\d+\\]".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }

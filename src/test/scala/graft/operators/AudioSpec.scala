@@ -120,4 +120,39 @@ class AudioSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("n_samples")))
     assert(rows(1).getAs[Long]("n_samples") === 3L)
   }
+
+  test("silence segmentation == scalar run-length over the gated formula") {
+    val ids = Seq(10L, 20L, 30L, 47L, 123L)
+    val media = Audio.synthGatedCorpus(ids.toDF("doc_id"), "doc_id")
+    val got = Audio.silenceSegments(media, "media_id", "audio",
+        frameLen = Audio.GateFrame, thresh = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("seg_idx"),
+        r.getAs[Long]("is_silence"), r.getAs[Long]("start_frame"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("start_us"))).toSet
+    val want = ids.flatMap { id =>
+      val n = Audio.synthLen(id)
+      val nf = n / Audio.GateFrame
+      val flags = (0 until nf).map { f =>
+        val mx = (f * Audio.GateFrame until (f + 1) * Audio.GateFrame).map { i =>
+          if ((i / Audio.GateFrame) % 4L == id % 4L) 0
+          else math.abs(Audio.synthSample(id, i.toLong))
+        }.max
+        mx <= 2
+      }
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
+      var start = 0
+      for (f <- 1 until nf) if (flags(f) != flags(f - 1)) {
+        segs += ((start, f - start, flags(start))); start = f
+      }
+      if (nf > 0) segs += ((start, nf - start, flags(start)))
+      segs.zipWithIndex.map { case ((st, len, sil), ix) =>
+        (id, ix.toLong, if (sil) 1L else 0L, st.toLong, len.toLong,
+          st.toLong * Audio.GateFrame * 1000000L / Audio.synthRate(id))
+      }
+    }.toSet
+    assert(got === want)
+    // the gate actually produces both classes
+    assert(want.exists(_._3 == 1L) && want.exists(_._3 == 0L))
+  }
 }

@@ -65,4 +65,51 @@ class PrefixJoinSpec extends SparkSpec {
         .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
     assert(run(df) === run(df.repartition(7)))
   }
+
+  // ——— directed containment ———
+
+  private val contTauPpm = 750000L
+
+  /** Containment fixture adds a pure-subset pair (quote inside a long
+    * doc: containment 1.0, Jaccard 4/16 = 0.25 — the case Jaccard
+    * misses) and an exactly-at-threshold containment (3 of 4 = 0.75). */
+  private def contFixture: Seq[(Long, Seq[String])] =
+    fixture ++ Seq(
+      400L -> (0 until 4).map(j => s"q$j"),
+      401L -> ((0 until 4).map(j => s"q$j") ++ (0 until 12).map(j => s"pad$j")),
+      402L -> Seq("u0", "u1", "u2", "u3"),
+      403L -> (Seq("u0", "u1", "u2") ++ (5 until 14).map(j => s"w$j")))
+
+  private def bruteCont(fx: Seq[(Long, Seq[String])]): Set[(Long, Long, Long, Long)] =
+    (for {
+      (i1, s1) <- fx; (i2, s2) <- fx if i1 != i2
+      inter = s1.toSet.intersect(s2.toSet).size.toLong
+      n1 = s1.toSet.size.toLong
+      if inter * 1000000L >= contTauPpm * n1
+    } yield (i1, i2, inter, inter * 1000000L / n1)).toSet
+
+  test("containment join == brute-force all-ordered-pairs (exact recall)") {
+    val fx = contFixture
+    val got = Dedup.containmentSelfJoin(fx.toDF("id", "toks"), "id", "toks", contTauPpm)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("inter"), r.getAs[Long]("cont_ppm"))).toSet
+    val want = bruteCont(fx)
+    assert(got === want)
+    // the quote pair is found in the quote->container direction only
+    assert(want.exists { case (a, b, _, p) => a == 400L && b == 401L && p == 1000000L },
+      "full containment of the short quote")
+    assert(!want.exists { case (a, b, _, _) => a == 401L && b == 400L },
+      "container is not contained")
+    assert(want.exists { case (a, b, _, p) => a == 402L && b == 403L && p == 750000L },
+      "at-threshold containment is inclusive")
+  }
+
+  test("containment join is invariant under input partitioning") {
+    val df = contFixture.toDF("id", "toks")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentSelfJoin(d, "id", "toks", contTauPpm).collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(run(df) === run(df.repartition(7)))
+  }
 }
