@@ -20,6 +20,45 @@ object AnalyticsQueries {
 
   private val vocabV = 20
 
+  /** WITH-body CTEs replaying `Bpe.merges` over the documents lowercase
+    * word vocabulary: v0 (vocab), and per round r: p_r (pair counts),
+    * b_r (argmax merge), v_r (merged vocab). Shared by the t17 and t18
+    * oracles (validated against a scalar reference — see BpeSpec for the
+    * Spark side of the same conventions). */
+  private def dBpeCtes(rounds: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT w AS s, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val sym = ('A' + r - 1).toChar
+      s"""p$r AS MATERIALIZED (SELECT substr(s, i, 2) AS p, SUM(f) AS cnt FROM (
+         |  SELECT s, f, unnest(range(1, length(s))) AS i FROM v${r - 1}) GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT p, cnt FROM p$r ORDER BY cnt DESC, p LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT replace(s, (SELECT p FROM b$r), '$sym') AS s, f
+         |  FROM v${r - 1})""".stripMargin
+    }
+    s"$v0,\n${roundCtes.mkString(",\n")}"
+  }
+
+  /** Unrolled-rounds DuckDB twin of `Bpe.merges` (t17's oracle). */
+  private def dBpeOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, p AS pair, CAST(cnt AS BIGINT) AS cnt, " +
+        s"'${('A' + r - 1).toChar}' AS sym FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${dBpeCtes(rounds)}\n$sel\nORDER BY round"
+  }
+
+  /** Nested-replace application of the learned merges to a word `w`
+    * (each b_r's pair via scalar subquery — DuckDB replays the merges it
+    * derived itself, no literals pass between engines). */
+  private def dBpeApply(w: String, rounds: Int): String =
+    (1 to rounds).foldLeft(w) { (acc, r) =>
+      s"replace($acc, (SELECT p FROM b$r), '${('A' + r - 1).toChar}')"
+    }
+
   val all: Seq[Q] = Seq(
 
     // Time-series gap-fill: per (user, day) activity regularized onto each
@@ -191,6 +230,120 @@ object AnalyticsQueries {
          |  CAST(n_oov AS BIGINT) AS n_oov,
          |  n_oov * 1000000 // n_toks AS oov_ppm
          |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // BPE merge induction (the tokenizer-vocabulary step after t16's
+    // coverage check): 8 byte-pair merges learned from the lowercase word
+    // vocabulary — every convention pinned replayable (single-char
+    // symbols with a reserved 'A'-'Z' merge alphabet, overlapping
+    // position counts, left-to-right non-overlapping replace, (count
+    // DESC, pair ASC) argmax); the oracle unrolls all 8 rounds in
+    // MATERIALIZED CTEs (the g4 idiom) and reproduces every merge
+    // bit-for-bit. Rounds run over the distinct-word vocab, never the
+    // corpus (one aggregation, checkpointed once).
+    Q("t17_bpe_merges",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        graft.operators.Bpe.merges(vocab, "w", "f", rounds = 8)
+          .orderBy("round")
+      },
+      Some(dBpeOracle(8))),
+
+    // Tokenizer APPLICATION (train + encode in one pipeline): apply t17's
+    // 8 learned merges to every document's lowercase words and report the
+    // token count under the learned vocab — with single-char symbols,
+    // token count == length of the merged string, so the whole encode is
+    // a literal-pair replace chain and the compression ratio is exact
+    // integer ppm. The merges come off the driver as the 8-row argmax
+    // (the sanctioned kcore-style collect); the encode itself is one
+    // codegen'd per-word expression chain, no joins.
+    Q("t18_bpe_tokenize",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val merges = graft.operators.Bpe.merges(vocab, "w", "f", rounds = 8)
+          .orderBy("round").collect()
+          .map(r => (r.getAs[String]("pair"), r.getAs[String]("sym")))
+        val applied = merges.foldLeft("w") { case (acc, (p, sym)) =>
+          s"replace($acc, '$p', '$sym')"
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .withColumn("enc", expr(applied))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w"))).as("n_chars"),
+            sum(length(col("enc"))).as("n_bpe_tokens"))
+          .withColumn("compression_ppm",
+            expr("n_bpe_tokens * 1000000 div n_chars"))
+          .select("doc_id", "n_words", "n_chars", "n_bpe_tokens",
+            "compression_ppm")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${dBpeCtes(8)},
+         |toks AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')),
+         |enc AS (SELECT doc_id, w, ${dBpeApply("w", 8)} AS e FROM toks)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(length(e)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(length(e)) * 1000000 // SUM(length(w)) AS BIGINT)
+         |    AS compression_ppm
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Nucleus (top-p) corpus cut per source — the data-mixing selection
+    // between samp2's exact quotas and w5's top-k: within each source,
+    // rank docs by (n_chars DESC, doc_id) and keep the SMALLEST prefix
+    // whose cumulative mass reaches 60% of the source's chars (keep while
+    // mass-before-this-doc < 0.6·total — the standard nucleus rule, so
+    // the boundary doc is included). Pure integer comparisons; the
+    // window is per-source partition-parallel.
+    Q("samp5_nucleus_cut",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("source")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("cum", sum("n_chars").over(w))
+          .withColumn("total", sum("n_chars").over(wAll))
+          .withColumn("kept",
+            when((col("cum") - col("n_chars")) * lit(1000000L) <
+              lit(600000L) * col("total"), 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum("kept").as("n_kept"),
+            max("total").as("chars_total"),
+            sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L))
+              .as("chars_kept"))
+          .withColumn("kept_ppm", expr("chars_kept * 1000000 div chars_total"))
+          .select("source", "n_total", "n_kept", "chars_total", "chars_kept",
+            "kept_ppm")
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+         |  SELECT doc_id, source, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(n_chars) OVER (PARTITION BY source) AS total
+         |  FROM documents),
+         |k AS (SELECT *, CASE WHEN (cum - n_chars) * 1000000 < 600000 * total
+         |        THEN 1 ELSE 0 END AS kept FROM r)
+         |SELECT source, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(MAX(total) AS BIGINT) AS chars_total,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS chars_kept,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) * 1000000
+         |    // MAX(total) AS BIGINT) AS kept_ppm
+         |FROM k GROUP BY source ORDER BY source""".stripMargin)),
 
     // Z-ORDER layout: events clustered by the Morton interleave of
     // (user_id, day), landed through the deterministic RangeShard writer
@@ -1144,7 +1297,7 @@ object AnalyticsQueries {
     Q("mb2_association_rules",
       (s, d) => {
         val minSup = 3L
-        val minConfPpm = 200000L
+        val minConfPpm = 100000L
         val items = Tables.lineitem(s, d)
           .select("l_orderkey", "l_partkey").distinct()
         val nOrders = items.select("l_orderkey").distinct().count()
@@ -1199,7 +1352,7 @@ object AnalyticsQueries {
          |  CAST(CAST(pair_cnt AS HUGEINT) * (SELECT n_orders FROM n) * 1000000
          |    // (CAST(sup_ante AS HUGEINT) * sup_cons) AS BIGINT) AS lift_ppm
          |FROM rules
-         |WHERE pair_cnt * 1000000 // sup_ante >= 200000
+         |WHERE pair_cnt * 1000000 // sup_ante >= 100000
          |ORDER BY conf_ppm DESC, ante, cons""".stripMargin)),
 
     // Dyadic-kernel EWMA trend over the zero-filled global daily count
