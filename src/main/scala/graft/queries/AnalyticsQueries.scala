@@ -345,6 +345,142 @@ object AnalyticsQueries {
          |    // MAX(total) AS BIGINT) AS kept_ppm
          |FROM k GROUP BY source ORDER BY source""".stripMargin)),
 
+    // CUSUM drift detection on the zero-filled daily count series — the
+    // SEQUENTIAL recurrence s_t = max(0, s_{t-1} + dev_t) has the
+    // window-expressible closed form s_t = P_t − min_{j<=t} P_j (P =
+    // prefix sum of deviations), so the whole detector is two running
+    // extrema over the calendar-bounded grid, no iteration. Deviations
+    // are scaled integer (n·c_t − total: mean subtraction without
+    // division); the demo threshold (cusum·10 > total — a tenth of the
+    // corpus's cumulative mass) is a pinned constant, production
+    // calibrates to ts2's MAD. Both drift directions emitted.
+    Q("ts6_cusum_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts_us_long div 86400000000").as("day"))
+        val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        val grid = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+        val cnt = grid.join(
+            ev.groupBy("day").agg(count(lit(1)).as("c0")), Seq("day"), "left")
+          .select(col("day"), coalesce(col("c0"), lit(0L)).as("c"))
+        val wAll = Window.partitionBy(lit(1))
+        val wCum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnt
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("tot", sum("c").over(wAll))
+          .withColumn("pre", sum(col("n") * col("c") - col("tot")).over(wCum))
+          .withColumn("cusum_pos", col("pre") - min("pre").over(wCum))
+          .withColumn("cusum_neg", max("pre").over(wCum) - col("pre"))
+          .withColumn("drift_pos",
+            when(col("cusum_pos") * 10L > col("tot"), 1L).otherwise(0L))
+          .withColumn("drift_neg",
+            when(col("cusum_neg") * 10L > col("tot"), 1L).otherwise(0L))
+          .select("day", "c", "cusum_pos", "cusum_neg", "drift_pos",
+            "drift_neg")
+          .orderBy("day")
+      },
+      Some(s"""${QH.evCte},
+         |ed AS (SELECT ts_us_long // 86400000000 AS day FROM ev),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ed),
+         |grid AS (SELECT unnest(range((SELECT d0 FROM bounds),
+         |           (SELECT d1 FROM bounds) + 1)) AS day),
+         |cnt AS (SELECT g.day, COUNT(e.day) AS c
+         |        FROM grid g LEFT JOIN ed e ON g.day = e.day GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(c) AS tot FROM cnt),
+         |p AS (SELECT day, c,
+         |        SUM((SELECT n FROM st) * c - (SELECT tot FROM st))
+         |          OVER (ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+         |      FROM cnt),
+         |cu AS (SELECT day, c, pre,
+         |        pre - MIN(pre) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_pos,
+         |        MAX(pre) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pre AS cusum_neg
+         |      FROM p)
+         |SELECT day, CAST(c AS BIGINT) AS c,
+         |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+         |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+         |  CASE WHEN cusum_pos * 10 > (SELECT tot FROM st) THEN 1 ELSE 0 END
+         |    AS drift_pos,
+         |  CASE WHEN cusum_neg * 10 > (SELECT tot FROM st) THEN 1 ELSE 0 END
+         |    AS drift_neg
+         |FROM cu ORDER BY day""".stripMargin)),
+
+    // Referential-integrity audit across the star schema: per FK
+    // relation, row count, distinct FK values, orphan rows (left-anti
+    // against the parent key) and orphaned distinct values — the
+    // contract check (dq1's sibling) a warehouse runs after every load.
+    // Each relation is one left-anti-shaped aggregate join; the report
+    // frame is the 5-row relation domain.
+    Q("dq4_referential_integrity",
+      (s, d) => {
+        def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+                  fk: String, parent: org.apache.spark.sql.DataFrame,
+                  pk: String) = {
+          val p = parent.select(col(pk).as("__pk")).distinct()
+          child.select(col(fk).as("__fk"))
+            .join(p, col("__fk") === col("__pk"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct("__fk").as("n_distinct_fk"),
+              sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+              expr("count(distinct CASE WHEN __pk IS NULL THEN __fk END)")
+                .as("n_orphan_values"))
+            .select(lit(rel).as("relation"), col("n_rows"),
+              col("n_distinct_fk"), col("n_orphan_rows"),
+              col("n_orphan_values"))
+        }
+        val li = Tables.lineitem(s, d)
+        audit("customer.nationkey->nation", Tables.customer(s, d),
+            "c_nationkey", Tables.nation(s, d), "n_nationkey")
+          .unionByName(audit("lineitem.orderkey->orders", li, "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"))
+          .unionByName(audit("lineitem.partkey->part", li, "l_partkey",
+            Tables.part(s, d), "p_partkey"))
+          .unionByName(audit("lineitem.suppkey->supplier", li, "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"))
+          .unionByName(audit("orders.custkey->customer", Tables.orders(s, d),
+            "o_custkey", Tables.customer(s, d), "c_custkey"))
+          .orderBy("relation")
+      },
+      Some("""WITH a AS (
+         |  SELECT 'customer.nationkey->nation' AS relation,
+         |    COUNT(*) AS n_rows, COUNT(DISTINCT c_nationkey) AS n_distinct_fk,
+         |    SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_rows,
+         |    COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL THEN c_nationkey END)
+         |      AS n_orphan_values
+         |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  UNION ALL
+         |  SELECT 'lineitem.orderkey->orders',
+         |    COUNT(*), COUNT(DISTINCT l_orderkey),
+         |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+         |    COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END)
+         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  UNION ALL
+         |  SELECT 'lineitem.partkey->part',
+         |    COUNT(*), COUNT(DISTINCT l_partkey),
+         |    SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END),
+         |    COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l_partkey END)
+         |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         |  UNION ALL
+         |  SELECT 'lineitem.suppkey->supplier',
+         |    COUNT(*), COUNT(DISTINCT l_suppkey),
+         |    SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
+         |    COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL THEN l_suppkey END)
+         |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  UNION ALL
+         |  SELECT 'orders.custkey->customer',
+         |    COUNT(*), COUNT(DISTINCT o_custkey),
+         |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+         |    COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o_custkey END)
+         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_distinct_fk AS BIGINT) AS n_distinct_fk,
+         |  CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+         |  CAST(n_orphan_values AS BIGINT) AS n_orphan_values
+         |FROM a ORDER BY relation""".stripMargin)),
+
     // Z-ORDER layout: events clustered by the Morton interleave of
     // (user_id, day), landed through the deterministic RangeShard writer
     // (exact cut keys — no sampled boundaries), then read back. The
@@ -1233,6 +1369,74 @@ object AnalyticsQueries {
          |  CAST(SUM(freq) AS BIGINT) AS sum_orders,
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM scored GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin)),
+
+    // fn8's SCALABLE sibling (the w1b pattern): identical RFM shape with
+    // ZERO global windows — quintile boundaries come from RangeShard's
+    // exact distributed selection (Θ(shards) collects, one range shuffle
+    // per metric), scores assigned by the codegen'd branch chain over
+    // the broadcast cut keys, and the anchor is one driver scalar. Score
+    // of the customer at 0-based rank r is the ⌊r·5/n⌋ closed form (on
+    // the unique metric·10⁸+custkey key), which the oracle replays via
+    // row_number — edge distribution differs from fn8's NTILE by design,
+    // each is exactly pinned to its own formula.
+    Q("fn8b_rfm_scalable",
+      (s, d) => {
+        val cust = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("ous"),
+            col("o_totalprice"))
+          .groupBy("o_custkey")
+          .agg(max("ous").as("last_us"),
+            count(lit(1)).as("freq"),
+            expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+              .as("cents"))
+        val anchorUs = cust.agg(max("last_us")).head().getLong(0)
+        val base = cust
+          .withColumn("recency_days",
+            expr(s"(${anchorUs}L - last_us) div 86400000000"))
+          .withColumn("rk", expr("recency_days * 100000000L + o_custkey"))
+          .withColumn("fk", expr("freq * 100000000L + o_custkey"))
+          .withColumn("mk", expr("cents * 100000000L + o_custkey"))
+          .localCheckpoint()
+        val (_, cutsR) = graft.operators.RangeShard.cuts(base, "rk", 5)
+        val (_, cutsF) = graft.operators.RangeShard.cuts(base, "fk", 5)
+        val (_, cutsM) = graft.operators.RangeShard.cuts(base, "mk", 5)
+        base
+          .withColumn("r_score",
+            lit(5) - graft.operators.RangeShard.shardCol(col("rk"), cutsR))
+          .withColumn("f_score",
+            graft.operators.RangeShard.shardCol(col("fk"), cutsF) + lit(1))
+          .withColumn("m_score",
+            graft.operators.RangeShard.shardCol(col("mk"), cutsM) + lit(1))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("freq").as("sum_orders"),
+            sum("cents").as("sum_cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH cust AS (
+         |  SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+         |    COUNT(*) AS freq,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM cust),
+         |anch AS (SELECT MAX(last_us) AS a FROM cust),
+         |k AS (SELECT o_custkey, freq, cents,
+         |        ((SELECT a FROM anch) - last_us) // 86400000000 AS rec
+         |      FROM cust),
+         |sc AS (SELECT o_custkey, freq, cents,
+         |    5 - ((row_number() OVER (ORDER BY rec * 100000000 + o_custkey) - 1)
+         |      * 5 // (SELECT n FROM nn)) AS r_score,
+         |    (row_number() OVER (ORDER BY freq * 100000000 + o_custkey) - 1)
+         |      * 5 // (SELECT n FROM nn) + 1 AS f_score,
+         |    (row_number() OVER (ORDER BY cents * 100000000 + o_custkey) - 1)
+         |      * 5 // (SELECT n FROM nn) + 1 AS m_score
+         |  FROM k)
+         |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
+         |  CAST(SUM(freq) AS BIGINT) AS sum_orders,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM sc GROUP BY 1, 2, 3
          |ORDER BY r_score, f_score, m_score""".stripMargin)),
 
     // Benford first-digit drift: leading digit of the EXACT integer cent

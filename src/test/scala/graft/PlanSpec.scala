@@ -481,6 +481,24 @@ class PlanSpec extends SparkSpec {
       p.contains("signpack") || p.contains("SignPack"), p.take(3000))
   }
 
+  test("scalable RFM has no window over the customer frame (fn8b)") {
+    // fn8 ranks with three global NTILE windows; its scalable sibling
+    // must show ZERO Window nodes — scores ride the broadcast cut-key
+    // branch chain, boundaries come from RangeShard's selection
+    val cust = Tables.orders(spark, sf())
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("fk", expr("freq * 100000000L + o_custkey"))
+    val (_, cutsF) = graft.operators.RangeShard.cuts(cust, "fk", 5)
+    val scored = cust
+      .withColumn("f_score",
+        graft.operators.RangeShard.shardCol(col("fk"), cutsF) + lit(1))
+      .groupBy("f_score").agg(count(lit(1)).as("n"))
+    val p = plan(scored)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("containment join keys candidates on the element value (d20)") {
     import spark.implicits._
     val recs = (0L until 40L)
