@@ -175,4 +175,58 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .select(col("n").as("node"), col("deg").as("core_deg"))
   }
+
+  /** Link prediction by shared neighbors, ANCHORED TO A SEED SET — the
+    * "customers who bought X also bought Y-adjacent" recommender shape:
+    * for each seed q, rank the non-adjacent nodes by common-neighbor
+    * count (Liben-Nowell & Kleinberg 2003), tie-broken by neighborhood
+    * Jaccard |Γq∩Γc| / |Γq∪Γc| as integer ppm.
+    *
+    * Why seed-anchored: an ALL-PAIRS common-neighbor table is the wedge
+    * multiset Σ_z C(deg z, 2) — on this corpus's near-uniform-degree
+    * co-purchase graph (measured deg ≈ 115 at BOTH sf0.01 and sf0.1,
+    * PLANS r11 s7) that is quadratic in |V| with no power-law tail to
+    * prune (the g3 degree-orientation trick bounds triangle listing, not
+    * wedge COUNTING, whose output itself is the quadratic). Anchoring
+    * bounds the join to Σ_{q∈seeds} deg(q)·avgdeg rows — per-seed cost is
+    * corpus-size-INVARIANT when degree is, and the seed frame broadcasts.
+    * All-pairs at scale routes to the capped/approximate variants
+    * (minhash over neighbor sets — d2's machinery on Γ(v) as the token
+    * set) rather than this exact operator.
+    *
+    * Float parity: counts and ppm floor-divisions only — no doubles.
+    *
+    * @param edges DISTINCT undirected edges, `aCol < bCol`
+    * @param seeds one column `q` — the anchor nodes (small, broadcast)
+    * @return (q, rank, cand, cn, jaccard_ppm), top-k per seed, ties
+    *         (cn desc, jaccard_ppm desc, cand asc) */
+  def relatedBySharedNeighbors(edges: DataFrame, aCol: String, bCol: String,
+                               seeds: DataFrame, k: Int,
+                               minCn: Int = 2): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val nbr = e.select(col("a").as("n"), col("b").as("z"))
+      .unionByName(e.select(col("b").as("n"), col("a").as("z")))
+    val deg = nbr.groupBy("n").agg(count(lit(1)).as("deg"))
+    val nq = nbr.join(broadcast(seeds.select(col("q"))), col("n") === col("q"))
+      .select(col("q"), col("z"))
+    val cn = nq.join(nbr.select(col("n").as("cand"), col("z")), "z")
+      .filter(col("cand") =!= col("q"))
+      .groupBy("q", "cand").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCn)
+    val nonEdge = cn
+      .withColumn("__p1", least(col("q"), col("cand")))
+      .withColumn("__p2", greatest(col("q"), col("cand")))
+      .join(e.select(col("a").as("__p1"), col("b").as("__p2")),
+        Seq("__p1", "__p2"), "left_anti")
+    val scored = nonEdge
+      .join(deg.select(col("n").as("q"), col("deg").as("__dq")), "q")
+      .join(deg.select(col("n").as("cand"), col("deg").as("__dc")), "cand")
+      .withColumn("jaccard_ppm",
+        expr("cn * 1000000 div (__dq + __dc - cn)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("cand"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q"), col("rank").cast("long").as("rank"), col("cand"),
+        col("cn"), col("jaccard_ppm"))
+  }
 }

@@ -149,6 +149,70 @@ object Images {
       StructField("dhash_lo", LongType, nullable = true))))
   }
 
+  /** Per-image luminance statistics over the REAL PNG decode — the
+    * image-quality filter inputs of multimodal curation pipelines
+    * (brightness / contrast / flatness / edge energy screens, the LAION
+    * shape): pixel sum, min, max, contrast (max − min), distinct-level
+    * count (flatness — a near-constant image has few levels), and the
+    * horizontal gradient energy Σ|v(x+1,y) − v(x,y)| (sharpness proxy;
+    * screenshots and synthetic flats score near 0). All integers off the
+    * 8-bit raster — thresholds are the CONSUMER's policy, the operator
+    * emits the measurements.
+    *
+    * Scale shape: one mapPartitions pass, one row out per image — no
+    * shuffle at all; the stats frame is media-dimension sized. */
+  def imageStats(media: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val ii = media.schema.fieldIndex(idCol)
+    val bi = media.schema.fieldIndex(binCol)
+    val rows = media.rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(ii)
+      val bytes = r.getAs[Array[Byte]](bi)
+      val decoded =
+        if (bytes == null) None
+        else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      decoded match {
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var grad = 0L
+          val seen = new java.util.BitSet(256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var prev = -1
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              seen.set(v)
+              if (prev >= 0) grad += math.abs(v - prev)
+              prev = v
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, (w * h).toLong, sum, mn.toLong, mx.toLong,
+            (mx - mn).toLong, seen.cardinality().toLong, grad)
+        case None => Row(id, 0L, null, null, null, null, null, null)
+      }
+    })
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_lum", LongType, nullable = true),
+      StructField("min_lum", LongType, nullable = true),
+      StructField("max_lum", LongType, nullable = true),
+      StructField("contrast", LongType, nullable = true),
+      StructField("n_levels", LongType, nullable = true),
+      StructField("grad_sum", LongType, nullable = true))))
+  }
+
   /** Near-duplicate image pairs by dHash hamming distance ≤ `maxHamming`
     * (< 8) — banded pigeonhole join, never all-pairs: the 64-bit hash
     * splits into 8 disjoint 8-bit bands, and any pair within hamming 7

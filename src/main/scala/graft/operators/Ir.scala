@@ -130,6 +130,38 @@ object Ir {
         col("doc_id"), col("score_fp"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of per-query ranked
+    * lists — the standard hybrid-retrieval combiner: each leg (a sparse
+    * BM25 ranking, a dense ANN ranking, …) contributes 1/(kConst + rank)
+    * per document, scaled to the EXACT integer 10⁶ div (kConst + rank) so
+    * cross-engine addition order cannot matter (positive integer division
+    * truncates identically everywhere — no doubles touch the score).
+    *
+    * Scale shape: every leg is already a per-query TOP-K frame, so the
+    * fusion input is ≤ legs·k·|Q| rows regardless of corpus size — the
+    * heavy lifting lives inside each leg (posting probe / bucketed ANN),
+    * and the fuse itself is one tiny query-keyed aggregate plus the
+    * per-query window over ≤ legs·k rows. Nothing here ever touches the
+    * corpus.
+    *
+    * @param legs frames of (query_id, doc_id, rank) — rank 1-based
+    * @return (query_id, rank, doc_id, rrf_fp, n_legs) top-k per query,
+    *         ties broken by doc_id ascending
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
+    val u = legs.map(_.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"1000000L div (${kConst}L + rank)")).as("rrf_fp"),
+        count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf_fp"), col("n_legs"))
+  }
+
   /** Positional postings: one row per token occurrence (term, doc_id, pos)
     * with pos 1-based — the phrase-search index. Zero aggregation: the
     * index IS the exploded token stream, partitioned by term at write

@@ -579,6 +579,45 @@ object Similarity {
     lshTopKScore(lshTopKCandidates(queries, corpus, nPlanes, dim, nTables,
       corpusIndex = Some(index.select("cid", "tbl", "bucket"))), k)
 
+  /** MULTI-PROBE variant of [[lshTopKPinned]] (Lv et al. 2007, VLDB): each
+    * query probes its own bucket PLUS every Hamming-1 neighbor (one
+    * hyperplane sign flipped) in every table — the buckets a near-neighbor
+    * most likely fell into when it landed just across one plane.
+    *
+    * Why it matters at scale: recall can be bought two ways — more tables
+    * (OR-amplification) or more probes. Tables multiply the INDEX (the
+    * corpus-sized artifact: nTables·|corpus| bucket rows, built, stored,
+    * stream-maintained); probes multiply only the QUERY side, which is
+    * small by nature and broadcast. At 100 TB the index is the cost that
+    * hurts, so (nPlanes+1) probes on HALF the tables beats doubling the
+    * tables: same candidate-generation join, same shuffle key
+    * (tbl, bucket), index half the size. The corpus side is untouched —
+    * a prebuilt [[graft.streaming.StreamingVectorIndex]] artifact works
+    * unchanged via `corpusIndex`.
+    *
+    * Like the single-probe path, only (id, tbl, bucket) rows ever enter
+    * the join; vectors re-attach to deduplicated candidate pairs by id. */
+  def multiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nPlanes: Int, dim: Int, nTables: Int,
+                     corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val cb = corpusIndex.map(_.select("cid", "tbl", "bucket")).getOrElse(
+      corpus.withColumn("__bs", lshBucketsExpr("cvec", nPlanes, dim, nTables))
+        .select(col("cid"), posexplode(col("__bs")).as(Seq("tbl", "bucket"))))
+    val qb = queries
+      .withColumn("__bs", lshBucketsExpr("qvec", nPlanes, dim, nTables))
+      .select(col("qid"), posexplode(col("__bs")).as(Seq("tbl", "__b0")))
+      .select(col("qid"), col("tbl"), explode(array(
+        col("__b0") +: (0 until nPlanes).map(p =>
+          col("__b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val candIds = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").dropDuplicates("qid", "cid")
+    val scored = candIds.join(broadcast(queries), Seq("qid"))
+      .join(corpus, Seq("cid"))
+      .select("qid", "qvec", "cid", "cvec")
+    lshTopKScore(scored, k)
+  }
+
   private def lshTopKScore(cand: DataFrame, k: Int): DataFrame = {
     val scored = cand.withColumn("sim", cosine(col("qvec"), col("cvec")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))

@@ -165,7 +165,56 @@ object GraphQueries {
         Graph.kcorePeel(edges, "p1", "p2", k = kcoreK, maxRounds = kcoreRounds)
           .orderBy("node")
       },
-      Some(kcoreOracle)))
+      Some(kcoreOracle)),
+
+    // Link prediction over the co-purchase graph, anchored to 20 seed
+    // parts (ids ≤ 2000 so the SAME seeds exist at every SF): top-5
+    // non-adjacent parts per seed by common-neighbor count, neighborhood
+    // Jaccard as integer ppm. Seed-anchoring is the scale story — the
+    // all-pairs wedge table is quadratic on this near-uniform-degree
+    // graph (deg ≈ 115 at both SFs, probed), while the anchored join is
+    // Σ deg(seed)·avgdeg rows, corpus-size-invariant per seed.
+    Q("g5_link_prediction",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .select("p1", "p2").distinct()
+        val seeds = Tables.part(s, d)
+          .filter(col("p_partkey") % 100 === 1 && col("p_partkey") <= 2000)
+          .select(col("p_partkey").as("q"))
+        Graph.relatedBySharedNeighbors(edges, "p1", "p2", seeds, k = 5)
+          .orderBy("q", "rank")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |      FROM items a JOIN items b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |nbr AS (SELECT p1 AS n, p2 AS z FROM e UNION ALL SELECT p2, p1 FROM e),
+         |deg AS (SELECT n, COUNT(*) AS deg FROM nbr GROUP BY 1),
+         |seeds AS (SELECT p_partkey AS q FROM part
+         |          WHERE p_partkey % 100 = 1 AND p_partkey <= 2000),
+         |nq AS (SELECT s.q, nbr.z FROM nbr JOIN seeds s ON nbr.n = s.q),
+         |cn AS (SELECT q, nbr.n AS cand, COUNT(*) AS cn
+         |       FROM nq JOIN nbr ON nq.z = nbr.z AND nbr.n <> nq.q
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |ne AS (SELECT cn.* FROM cn
+         |       LEFT JOIN e ON e.p1 = LEAST(q, cand) AND e.p2 = GREATEST(q, cand)
+         |       WHERE e.p1 IS NULL),
+         |sc AS (SELECT q, cand, cn,
+         |         cn * 1000000 // (dq.deg + dc.deg - cn) AS jaccard_ppm
+         |       FROM ne JOIN deg dq ON dq.n = ne.q
+         |               JOIN deg dc ON dc.n = ne.cand),
+         |r AS (SELECT q, cand, cn, jaccard_ppm,
+         |        row_number() OVER (PARTITION BY q
+         |          ORDER BY cn DESC, jaccard_ppm DESC, cand) AS rank
+         |      FROM sc)
+         |SELECT q, CAST(rank AS BIGINT) AS rank, cand, CAST(cn AS BIGINT) AS cn,
+         |  CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+         |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)))
 
   /** Unrolled peel: d_i = degrees of e_{i-1}, k_i = survivors, e_i = the
     * induced edge set. Idempotent past the fixpoint, so 8 rounds replay

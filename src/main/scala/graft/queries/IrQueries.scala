@@ -58,12 +58,13 @@ object IrQueries {
     bm25Queries.toDF("query_id", "term")
   }
 
-  /** Shared ir1/ir2 oracle: the full index build + search replayed in
-    * DuckDB — HUGEINT products, `//` floor-division, identical stopword
-    * gate and tiebreaks. */
-  private val bm25Oracle: String = {
+  /** Shared BM25 oracle WITH-body (through CTE `ranked`): the full index
+    * build + search replayed in DuckDB — HUGEINT products, `//`
+    * floor-division, identical stopword gate and tiebreaks. ir1/ir2 cut it
+    * at rank ≤ topK; ir4 reuses it as the sparse leg at rank ≤ legK. */
+  private val bm25Ctes: String = {
     val values = bm25Queries.map { case (q, w) => s"($q, '$w')" }.mkString(", ")
-    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
        |docl AS (SELECT doc_id, CAST(len(list_filter(tl, x -> x <> '')) AS BIGINT) AS dl
        |         FROM docs),
        |tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf
@@ -85,11 +86,61 @@ object IrQueries {
        |ranked AS (SELECT query_id, doc_id, score_fp,
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY score_fp DESC, doc_id) AS rank
-       |           FROM cand)
+       |           FROM cand)""".stripMargin
+  }
+
+  private val bm25Oracle: String =
+    s"""WITH $bm25Ctes
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        |  doc_id, CAST(score_fp AS BIGINT) AS score_fp
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** ir4 knobs: each leg contributes its top-`legK`; RRF constant 60 (the
+    * original paper's value); final cut topK. Dense query ids 0..5 align
+    * with the sparse query ids by construction (vec_id ≡ doc_id spaces). */
+  private val legK = 20
+  private val rrfK = 60
+
+  /** DuckDB cosine twin (same left-fold accumulation order as the native
+    * DotProduct expression — per-row doubles are bit-identical, and only
+    * their ORDERING feeds the fused ranks). */
+  private def dCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $x[i] * $y[i]))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
+
+  /** ir4's oracle: sparse leg = the bm25 chain cut at legK; dense leg =
+    * brute-force cosine ranks cut at legK; fusion = Σ 10⁶ // (60 + rank)
+    * (positive integer division — engine-exact), re-ranked per query. */
+  private val hybridOracle: String =
+    s"""WITH $bm25Ctes,
+       |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       |dq AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id < 6),
+       |ds AS (SELECT query_id, emb.vec_id AS doc_id, ${dCos("qvec", "emb.v")} AS sim
+       |       FROM emb CROSS JOIN dq WHERE emb.vec_id <> query_id),
+       |dr AS (SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+       |       FROM ds),
+       |legs AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |           CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank
+       |         FROM ranked WHERE rank <= $legK
+       |         UNION ALL
+       |         SELECT CAST(query_id AS BIGINT), CAST(doc_id AS BIGINT),
+       |           CAST(rank AS BIGINT)
+       |         FROM dr WHERE rank <= $legK),
+       |fused AS (SELECT query_id, doc_id,
+       |            CAST(SUM(1000000 // ($rrfK + rank)) AS BIGINT) AS rrf_fp,
+       |            COUNT(*) AS n_legs
+       |          FROM legs GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_fp, n_legs,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_fp DESC, doc_id) AS rank
+       |       FROM fused)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_fp,
+       |  CAST(n_legs AS BIGINT) AS n_legs
+       |FROM fr WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   private val phraseOracle: String = {
     val legs = phrases.map { case (pid, words) =>
@@ -152,5 +203,33 @@ object IrQueries {
           Ir.positionalPostings(Tables.documents(s, d), "doc_id", "text"),
           phrases, topK)
         .orderBy("phrase_id", "rank"),
-      Some(phraseOracle)))
+      Some(phraseOracle)),
+
+    // HYBRID retrieval — the RAG-pipeline shape: a sparse BM25 leg (the
+    // persisted posting index) and a dense cosine leg (the embedding
+    // table, vec_id ≡ doc_id) fused by integer reciprocal-rank fusion
+    // (Σ 10⁶ div (60 + rank) — no doubles in the score). Query 5 has no
+    // sparse hits, exercising the single-leg path; queries 0–4 fuse both.
+    // Each leg is already scale-safe on its own; the fusion only ever
+    // sees ≤ legs·legK rows per query (Ir.rrfFuse scaladoc).
+    Q("ir4_hybrid_rrf",
+      (s, d) => {
+        val ix = irIndex(s, d)
+        val sparse = Ir.bm25TopK(ix.post, ix.dfreq, ix.n, ix.t,
+            queriesDf(s), legK)
+          .select("query_id", "doc_id", "rank")
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        val dense = graft.operators.Similarity.bruteForceTopK(q, c, legK)
+          .select(col("qid").as("query_id"), col("cid").as("doc_id"),
+            col("rank"))
+        Ir.rrfFuse(Seq(sparse, dense), topK, rrfK)
+          .orderBy("query_id", "rank")
+      },
+      Some(hybridOracle),
+      setup = Some((s, d) => { irIndex(s, d); () })))
 }

@@ -279,7 +279,9 @@ object LlmQueries {
     * (optionally blocked) → exact Jaccard >= threshold. The single source
     * of truth for every LSH-pair oracle (d2/d4/d6/llm_corpus_filter). */
   private def dMinhashPairsCtes(srcCte: String, w: Int, block: Option[String],
-                                threshold: Double): String = {
+                                threshold: Double, k: Int = 16,
+                                bands: Int = 8): String = {
+    val rows = k / bands
     val sh = dShingles("toks", w)
     val bcol = block.map(b => s"$b, ").getOrElse("")
     val bjoin = block.map(b => s"a.$b = b.$b AND ").getOrElse("")
@@ -287,11 +289,11 @@ object LlmQueries {
     val bout = block.map(b => s"cand.$b AS $b, ").getOrElse("")
     s"""sh AS (SELECT ${bcol}doc_id, $sh AS shingles FROM $srcCte),
        |sh2 AS (SELECT ${bcol}doc_id, shingles FROM sh WHERE len(shingles) > 0),
-       |sig AS (SELECT ${bcol}doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), 16)} AS sig FROM sh2),
+       |sig AS (SELECT ${bcol}doc_id, shingles, ${dMinhash(dTokenHashes("shingles"), k)} AS sig FROM sh2),
        |bands AS (SELECT ${bcol}doc_id, j AS band_idx,
-       |            md5(array_to_string(list_transform(list_slice(sig, j * 2 + 1, j * 2 + 2),
+       |            md5(array_to_string(list_transform(list_slice(sig, j * $rows + 1, j * $rows + $rows),
        |              x -> CAST(x AS VARCHAR)), '|')) AS bh
-       |          FROM sig, (SELECT unnest(range(0, 8)) AS j)),
+       |          FROM sig, (SELECT unnest(range(0, $bands)) AS j)),
        |cand AS (SELECT DISTINCT ${bsel}a.doc_id AS id1, b.doc_id AS id2
        |         FROM bands a JOIN bands b
        |           ON ${bjoin}a.band_idx = b.band_idx AND a.bh = b.bh
@@ -942,6 +944,100 @@ object LlmQueries {
            |  UNION
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
            |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Quality-aware canonical selection — dedup keeping the BEST copy, not
+    // the first: near-dup clusters (the llm_corpus_filter pair frame:
+    // 3-shingle MinHash-LSH at 0.5 over the plain corpus) + t2's integer
+    // quality score; per cluster keep argmax (score, then min id),
+    // singletons keep themselves. One verdict row per document.
+    Q("d21_quality_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        val pairs = Dedup.minhashLshPairs(docs.select("doc_id", "toks"),
+          "doc_id", "toks", k = 16, bands = 8, threshold = 0.5)
+        val scored = docs
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn("__score",
+            expr("least(n_words, 100L) * (10000L - " +
+              "size(filter(toks, t -> t IN ('the', 'a', 'or'))) * 10000L div n_words)"))
+          .select("doc_id", "__score")
+        Dedup.qualityCanonical(scored, "doc_id", "__score", pairs, "id1", "id2")
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH RECURSIVE docs AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           |${dMinhashPairsCtes("docs", 3, None, 0.5)},
+           |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+           |          UNION SELECT id2, id1 FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+           |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+           |q AS (SELECT doc_id,
+           |        least(len(toks), 100) *
+           |          (10000 - len(list_filter(toks, t -> t IN ('the', 'a', 'or')))
+           |            * 10000 // len(toks)) AS score_fp
+           |      FROM docs),
+           |jj AS (SELECT q.doc_id, COALESCE(comp.component, q.doc_id) AS component,
+           |         q.score_fp
+           |       FROM q LEFT JOIN comp ON comp.id = q.doc_id),
+           |k AS (SELECT component, doc_id AS kept_id FROM (
+           |        SELECT component, doc_id,
+           |          row_number() OVER (PARTITION BY component
+           |            ORDER BY score_fp DESC, doc_id) AS rn
+           |        FROM jj) WHERE rn = 1)
+           |SELECT jj.doc_id, jj.component, CAST(jj.score_fp AS BIGINT) AS score_fp,
+           |  k.kept_id, (jj.doc_id = k.kept_id) AS keep
+           |FROM jj JOIN k USING (component) ORDER BY jj.doc_id""".stripMargin
+      }),
+
+    // STRUCTURAL node similarity — the scale path g5's scaladoc routes
+    // all-pairs neighborhood comparison to: each node's neighbor set
+    // becomes a token set and d2's MinHash-LSH machinery (w = 1, 4-row
+    // bands so organic low-Jaccard pairs rarely band-collide) finds
+    // high-overlap node pairs WITHOUT the quadratic wedge join. Planted
+    // structural twins (node p+100000 adopting p's neighbors minus every
+    // z % 10 == 3) land at Jaccard ≈ 0.9; the verify step is exact.
+    Q("g6_similar_nodes",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .select("p1", "p2").distinct()
+        val nbr = edges.select(col("p1").as("n"), col("p2").as("z"))
+          .unionByName(edges.select(col("p2").as("n"), col("p1").as("z")))
+        val clones = nbr.filter(col("n") % 200 === 0 && col("z") % 10 =!= 3)
+          .select((col("n") + 100000).as("n"), col("z"))
+        val sets = nbr.unionByName(clones)
+          .groupBy("n").agg(sort_array(collect_set(col("z"))).as("zs"))
+          .select(col("n").as("doc_id"),
+            expr("transform(zs, x -> cast(x as string))").as("toks"))
+        Dedup.minhashLshPairs(sets, "doc_id", "toks", k = 16, bands = 4,
+            threshold = 0.5, w = 1)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           |      FROM items a JOIN items b
+           |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |nbr AS (SELECT p1 AS n, p2 AS z FROM e UNION ALL SELECT p2, p1 FROM e),
+           |au AS (SELECT n, z FROM nbr
+           |       UNION ALL SELECT n + 100000, z FROM nbr
+           |       WHERE n % 200 = 0 AND z % 10 <> 3),
+           |docs AS (SELECT n AS doc_id,
+           |           list_transform(list_sort(list(DISTINCT z)),
+           |             x -> CAST(x AS VARCHAR)) AS toks
+           |         FROM au GROUP BY n),
+           |${dMinhashPairsCtes("docs", 1, None, 0.5, k = 16, bands = 4)}
+           |SELECT id1, id2, jac_ppm FROM pairs ORDER BY id1, id2""".stripMargin
+      }),
 
     // Training-sequence packing: contiguous-fill assignment of documents
     // to 256-token training sequences, shard-parallel (window partitioned
@@ -1726,6 +1822,47 @@ object LlmQueries {
                |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(ham AS BIGINT) AS ham,
                |  CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
                |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // MULTI-PROBE LSH (Lv et al. 2007): each query probes its own bucket
+    // plus every Hamming-1 flip — recall bought on the QUERY side (tiny,
+    // broadcast) instead of more tables (the corpus-sized index): here 2
+    // tables × 5 probes instead of s3's 4 tables × 1 probe, i.e. HALF the
+    // index for the same candidate-join shape. The corpus side is
+    // untouched, so a stream-maintained bucket index works unchanged.
+    Q("s11_multiprobe_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qvec"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+        // Pinned plane count (oracle SQL inlines the plane literals).
+        Similarity.multiProbeTopK(q, c, 1, nPlanes = 4, dim = Dim, nTables = 2)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val buckets = (0 until 2).map(t => dBucket("v", 4, Dim, t)).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |          FROM embeddings),
+           |b AS (SELECT vec_id, v, $buckets AS bs FROM e),
+           |x AS (SELECT vec_id, v, ti, bs[ti] AS bucket
+           |      FROM b, (SELECT unnest(range(1, 3)) AS ti)),
+           |qp AS (SELECT qid, ti, unnest(probes) AS bucket FROM (
+           |         SELECT vec_id AS qid, ti,
+           |           [bucket, xor(bucket, 1), xor(bucket, 2),
+           |            xor(bucket, 4), xor(bucket, 8)] AS probes
+           |         FROM x WHERE vec_id < 20)),
+           |cand AS (SELECT DISTINCT qp.qid, x.vec_id AS cid FROM x
+           |         JOIN qp ON x.ti = qp.ti AND x.bucket = qp.bucket
+           |         WHERE x.vec_id <> qp.qid),
+           |s AS (SELECT qid, cid, ${dCos("qe.v", "ce.v", Dim)} AS sim
+           |      FROM cand JOIN e qe ON cand.qid = qe.vec_id
+           |                JOIN e ce ON cand.cid = ce.vec_id),
+           |r AS (SELECT qid, cid, sim,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           |      FROM s)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, CAST(floor(sim * 100000.0) AS BIGINT) AS sim_fp
+           |FROM r WHERE rank <= 1 ORDER BY qid, rank""".stripMargin
+      }),
 
     // Deterministic distributed k-means over the embedding corpus (2 Lloyd
     // iterations, hash-ranked seeds) — the centroid-training step IVF (s4)
@@ -2720,6 +2857,43 @@ object LlmQueries {
       },
       Some(s"""WITH $m4Ctes
              |SELECT media_id, dhash_hi, dhash_lo FROM h ORDER BY media_id""".stripMargin)),
+
+    // Per-image luminance quality stats over the SAME real-PNG corpus as
+    // m4 — the curation-filter inputs (brightness, contrast, flatness,
+    // horizontal edge energy), one mapPartitions pass, zero shuffles, one
+    // row per image. Spark exercises the full encode → ImageIO decode →
+    // raster walk; the oracle replays every stat in closed form from the
+    // pixel formula (a decoder bug anywhere = hash mismatch).
+    Q("m8_image_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val meta = docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+              lit(false).as("noise"))
+          .unionByName(docs.filter(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 1000000).as("media_id"),
+              col("doc_id").as("seed"), lit(false).as("noise")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 11)
+            .select((col("doc_id") + 2000000).as("media_id"),
+              col("doc_id").as("seed"), lit(true).as("noise")))
+        Images.imageStats(Images.synthPngCorpus(meta, "media_id", "seed", "noise"),
+            "media_id", "image")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $m4Ctes,
+             |gr AS (SELECT a.media_id, SUM(ABS(b.v - a.v)) AS grad_sum
+             |       FROM px a JOIN px b ON a.media_id = b.media_id
+             |         AND b.y = a.y AND b.x = a.x + 1
+             |       GROUP BY 1)
+             |SELECT px.media_id, COUNT(*) AS n_px,
+             |  CAST(SUM(v) AS BIGINT) AS sum_lum,
+             |  CAST(MIN(v) AS BIGINT) AS min_lum,
+             |  CAST(MAX(v) AS BIGINT) AS max_lum,
+             |  CAST(MAX(v) - MIN(v) AS BIGINT) AS contrast,
+             |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_levels,
+             |  CAST(MIN(gr.grad_sum) AS BIGINT) AS grad_sum
+             |FROM px JOIN gr ON gr.media_id = px.media_id
+             |GROUP BY px.media_id ORDER BY px.media_id""".stripMargin)),
 
     // Image near-dup pairs by dHash hamming ≤ 6 — banded pigeonhole join
     // (8 disjoint 8-bit bands; ≤ 7 differing bits force one identical

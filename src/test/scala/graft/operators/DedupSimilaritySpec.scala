@@ -136,6 +136,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 25, s"recall@1 too low: $hits/50")
   }
 
+  test("qualityCanonical keeps the best-scored member per cluster, singletons self-keep") {
+    // clusters: {1,2,3} (chained pairs), {10,11}; singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val scored = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 10L), (11L, 5L),
+      (20L, 7L), (21L, 0L)).toDF("doc_id", "score")
+    val out = Dedup.qualityCanonical(scored, "doc_id", "score", pairs, "id1", "id2")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("kept_id"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(out.size == 7)
+    // 2 and 3 tie at 90 -> id tiebreak keeps 2
+    assert(out(1L) === ((1L, 2L, false)))
+    assert(out(2L) === ((1L, 2L, true)))
+    assert(out(3L) === ((1L, 2L, false)))
+    assert(out(10L) === ((10L, 10L, true)))
+    assert(out(11L) === ((10L, 10L, false)))
+    assert(out(20L) === ((20L, 20L, true)))
+    assert(out(21L) === ((21L, 21L, true)))
+  }
+
+  test("multiProbeTopK: candidates ⊇ single-probe at equal tables; half-index recall holds") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"v".as("qvec"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("cvec"))
+    val exact = Similarity.bruteForceTopK(q, c, 1)
+      .select($"qid", $"cid".as("exact_cid"))
+    def recall(approx: org.apache.spark.sql.DataFrame): Long =
+      exact.join(approx.select($"qid", $"cid".as("approx_cid")), Seq("qid"))
+        .filter($"exact_cid" === $"approx_cid").count()
+    // (1) the probe set contains the home bucket, so multi-probe candidates
+    // are a SUPERSET of single-probe at the same (planes, tables) — recall
+    // can only go up, deterministically
+    val single2 = recall(Similarity.lshTopKPinned(q, c, 1, nPlanes = 4, dim = 64, nTables = 2))
+    val multi2 = recall(Similarity.multiProbeTopK(q, c, 1, nPlanes = 4, dim = 64, nTables = 2))
+    assert(multi2 >= single2, s"multi-probe lost recall: $multi2 < $single2")
+    // (2) the scale claim: 2 tables × 5 probes competes with 4 tables × 1
+    // probe (half the corpus-sized index for comparable recall)
+    val single4 = recall(Similarity.lshTopKPinned(q, c, 1, nPlanes = 4, dim = 64, nTables = 4))
+    assert(multi2 >= single4 - 5,
+      s"half-index multi-probe recall $multi2/50 far below 4-table single-probe $single4/50")
+    assert(multi2 >= 25, s"multi-probe recall@1 too low: $multi2/50")
+  }
+
   test("cosineDedupRemoved removes nearly all planted near-copies, no originals") {
     val e = Tables.embeddings(spark, sf())
       .select(col("vec_id").as("vid"),

@@ -165,4 +165,38 @@ class GraphSpec extends SparkSpec {
     // the caller's checkpoint must survive the loop's hygiene frees
     assert(e.count() === kcoreFixture.size.toLong)
   }
+
+  test("relatedBySharedNeighbors matches brute-force common-neighbor ranking") {
+    // deterministic G(20, p), undirected a < b
+    val nodes = 0L until 20L
+    val edgeSeq = (for {
+      a <- nodes; b <- nodes if a < b
+      if DetHash.md5Long(s"lp:$a:$b") % 3 == 0
+    } yield (a, b)).toSeq
+    val es = edgeSeq.toSet
+    val adj = nodes.map(n => n ->
+      edgeSeq.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet).toMap
+    val seedSet = Seq(0L, 5L, 17L)
+    val got = Graph.relatedBySharedNeighbors(edgeSeq.toDF("a", "b"), "a", "b",
+        seedSet.toDF("q"), k = 3, minCn = 2)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("cand"), r.getAs[Long]("cn"), r.getAs[Long]("jaccard_ppm")))
+      .toMap
+    val want = seedSet.flatMap { q =>
+      val cands = nodes.filter(c => c != q && !es((q min c, q max c)))
+        .map { c =>
+          val cn = (adj(q) & adj(c)).size.toLong
+          val j = if (cn == 0) 0L else cn * 1000000L / (adj(q).size + adj(c).size - cn)
+          (c, cn, j)
+        }
+        .filter(_._2 >= 2)
+        .sortBy { case (c, cn, j) => (-cn, -j, c) }
+        .take(3)
+      cands.zipWithIndex.map { case (t, i) => (q, (i + 1).toLong) -> t }
+    }.toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must produce predictions")
+    // no predicted pair may already be an edge
+    got.foreach { case ((q, _), (c, _, _)) => assert(!es((q min c, q max c))) }
+  }
 }

@@ -84,4 +84,32 @@ class ImagesSpec extends SparkSpec {
     // the planted structure is actually exercised
     assert(brute.exists(_._3 == 0L) && brute.exists(_._3 > 0L))
   }
+
+  test("imageStats == scalar recompute from the pixel formula") {
+    val meta = (0L until 25L).map(i => (i, i, i % 4 == 1)).toDF("media_id", "seed", "noise")
+    val got = Images.imageStats(
+        Images.synthPngCorpus(meta, "media_id", "seed", "noise"), "media_id", "image")
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_px"), r.getAs[Long]("sum_lum"), r.getAs[Long]("min_lum"),
+          r.getAs[Long]("max_lum"), r.getAs[Long]("contrast"),
+          r.getAs[Long]("n_levels"), r.getAs[Long]("grad_sum"))).toMap
+    assert(got.size == 25)
+    for (i <- 0L until 25L) {
+      val noise = i % 4 == 1
+      val px = for (y <- 0 until Images.ImgH; x <- 0 until Images.ImgW)
+        yield Images.synthPixel(i, x, y, noise)
+      val grad = (for (y <- 0 until Images.ImgH; x <- 0 until Images.ImgW - 1)
+        yield math.abs(Images.synthPixel(i, x + 1, y, noise) -
+          Images.synthPixel(i, x, y, noise)).toLong).sum
+      assert(got(i) === ((px.size.toLong, px.map(_.toLong).sum, px.min.toLong,
+        px.max.toLong, (px.max - px.min).toLong, px.distinct.size.toLong, grad)),
+        s"stats of image $i")
+    }
+  }
+
+  test("imageStats: undecodable payload yields null stats, row kept") {
+    val media = Seq((1L, "junk".getBytes("UTF-8"))).toDF("media_id", "image")
+    val out = Images.imageStats(media, "media_id", "image").collect()
+    assert(out.length == 1 && out(0).isNullAt(2) && out(0).getAs[Long]("n_px") == 0L)
+  }
 }

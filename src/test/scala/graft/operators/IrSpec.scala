@@ -156,4 +156,31 @@ class IrSpec extends SparkSpec {
     assert(pos.map(r => (r.getAs[String]("term"), r.getAs[Long]("pos"))).toSeq ===
       Seq(("x", 1L), ("y", 2L), ("z", 3L)))
   }
+
+  test("rrfFuse: exact integer RRF math, single-leg docs, doc-id tiebreak") {
+    // leg A ranks: q0 -> (10, 11, 12); leg B ranks: q0 -> (11, 10, 13)
+    val legA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val legB = Seq((0L, 11L, 1L), (0L, 10L, 2L), (0L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Ir.rrfFuse(Seq(legA, legB), k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_fp"),
+        r.getAs[Long]("n_legs"))).toSeq
+    def c(rank: Long): Long = 1000000L / (60L + rank)
+    // 10 and 11 both score c(1)+c(2) = 32651 — the tie breaks on doc_id;
+    // 12 and 13 both score c(3) = 15873, doc_id again
+    assert(out === Seq(
+      (10L, c(1) + c(2), 2L), (11L, c(1) + c(2), 2L),
+      (12L, c(3), 1L), (13L, c(3), 1L)))
+  }
+
+  test("rrfFuse respects k per query independently") {
+    val leg = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 9L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Ir.rrfFuse(Seq(leg), k = 1).collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet ===
+      Set((0L, 1L), (1L, 9L)))
+  }
 }
