@@ -80,9 +80,21 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** All nTables bucket ids as one array column (one pass over the vector). */
+  /** All nTables bucket ids as one array column — the FUSED native kernel
+    * ([[graft.functions.LshBuckets]]): one data-driven triple loop instead
+    * of nTables·nPlanes stacked when(dot)-chains, which fall off HotSpot's
+    * JIT budget past ~30 inlined plane loops (measured 52 s → <1 s on the
+    * 100 k × 11-plane × 8-table bucketing pass — the kernel's scaladoc).
+    * Bit-identical to [[lshBucketsExprHof]] (LshBucketsSpec pins it). */
   def lshBucketsExpr(vecCol: String, nPlanes: Int, dim: Int,
                      nTables: Int): org.apache.spark.sql.Column =
+    graft.functions.LshBuckets.buckets(col(vecCol), nPlanes, dim, nTables)
+
+  /** The compositional twin of [[lshBucketsExpr]] (per-table when-chains
+    * over [[lshBucketExpr]]) — kept as the spec reference and the shape
+    * the SQL oracles replay; NOT for hot paths at high plane counts. */
+  private[graft] def lshBucketsExprHof(vecCol: String, nPlanes: Int, dim: Int,
+                                       nTables: Int): org.apache.spark.sql.Column =
     array((0 until nTables).map(t => lshBucketExpr(vecCol, nPlanes, dim, t)): _*)
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
