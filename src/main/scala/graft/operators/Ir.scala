@@ -173,6 +173,43 @@ object Ir {
       .filter(col("term") =!= "")
       .select(col("term"), col("doc_id"), (col("__p0") + 1).cast("long").as("pos"))
 
+  /** Proximity-snippet ranking: for each query, the documents whose best
+    * `window`-token span covers the most DISTINCT query terms — the
+    * snippet/passage selection step after retrieval (and a proximity
+    * ranking signal BM25's bag-of-words cannot see). An anchor is any
+    * query-term occurrence; its span covers occurrences in
+    * [pos, pos + window). Per (query, doc) the best anchor maximizes
+    * (n_terms, earliest pos); per query, docs rank (n_terms desc, doc_id).
+    *
+    * Scale shape: the positional postings are map-side filtered to QUERY
+    * terms before anything joins (queries broadcast — small by nature),
+    * so the anchor×occurrence join is bounded per document by the square
+    * of its query-term occurrence count, never by document length; the
+    * aggregation is keyed on (query, doc, anchor) with map-side combine.
+    * All integer.
+    *
+    * @return (query_id, rank, doc_id, n_terms, best_pos) */
+  def proximityTopK(pos: DataFrame, queries: DataFrame, window: Int,
+                    k: Int): DataFrame = {
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    val occ = pos.join(broadcast(qTerms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"), col("pos"))
+    val anchors = occ.select(col("query_id"), col("doc_id"), col("pos").as("apos"))
+    val spans = anchors.join(occ, Seq("query_id", "doc_id"))
+      .filter(col("pos") >= col("apos") && col("pos") < col("apos") + window)
+      .groupBy("query_id", "doc_id", "apos")
+      .agg(countDistinct("term").as("n_terms"))
+    val best = spans.groupBy("query_id", "doc_id")
+      .agg(max(struct(col("n_terms"), (-col("apos")).as("__np"))).as("__b"))
+      .select(col("query_id"), col("doc_id"),
+        col("__b.n_terms").as("n_terms"), (-col("__b.__np")).as("best_pos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_terms").desc, col("doc_id"))
+    best.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_terms"), col("best_pos"))
+  }
+
   /** Exact phrase search: a phrase w₁…wₘ matches at position p when wᵢ
     * occurs at p+i−1 for every i — an m-way equi-join on
     * (doc_id, pos − offset), each leg map-side filtered to one term.

@@ -231,5 +231,46 @@ object IrQueries {
           .orderBy("query_id", "rank")
       },
       Some(hybridOracle),
-      setup = Some((s, d) => { irIndex(s, d); () })))
+      setup = Some((s, d) => { irIndex(s, d); () })),
+
+    // Proximity-snippet ranking: per query, the docs whose best 10-token
+    // span covers the most DISTINCT query terms, with the span start —
+    // the passage-selection step after retrieval, and a proximity signal
+    // bag-of-words BM25 cannot see. Postings are query-term-filtered
+    // BEFORE any join; the anchor join is bounded per doc by its
+    // query-term occurrence count squared. All integer.
+    Q("ir5_proximity_snippet",
+      (s, d) => Ir.proximityTopK(
+          Ir.positionalPostings(Tables.documents(s, d), "doc_id", "text"),
+          queriesDf(s), window = 10, k = 5)
+        .orderBy("query_id", "rank"),
+      Some {
+        val values = bm25Queries.map { case (q, w) => s"($q, '$w')" }.mkString(", ")
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+           |pos AS (SELECT doc_id, t AS term, CAST(p AS BIGINT) AS pos
+           |        FROM (SELECT doc_id, unnest(tl) AS t,
+           |                generate_subscripts(tl, 1) AS p FROM docs)
+           |        WHERE t <> ''),
+           |q(query_id, term) AS (VALUES $values),
+           |qt AS (SELECT DISTINCT query_id, term FROM q),
+           |occ AS (SELECT qt.query_id, pos.doc_id, pos.term, pos.pos
+           |        FROM pos JOIN qt ON pos.term = qt.term),
+           |spans AS (SELECT a.query_id, a.doc_id, a.pos AS apos,
+           |            COUNT(DISTINCT o.term) AS n_terms
+           |          FROM occ a JOIN occ o
+           |            ON o.query_id = a.query_id AND o.doc_id = a.doc_id
+           |           AND o.pos >= a.pos AND o.pos < a.pos + 10
+           |          GROUP BY 1, 2, 3),
+           |best AS (SELECT query_id, doc_id, n_terms, apos AS best_pos,
+           |           row_number() OVER (PARTITION BY query_id, doc_id
+           |             ORDER BY n_terms DESC, apos) AS brn
+           |         FROM spans),
+           |r AS (SELECT query_id, doc_id, n_terms, best_pos,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY n_terms DESC, doc_id) AS rank
+           |      FROM best WHERE brn = 1)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+           |  doc_id, CAST(n_terms AS BIGINT) AS n_terms, best_pos
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }))
 }

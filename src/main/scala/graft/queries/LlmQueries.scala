@@ -2224,6 +2224,87 @@ object LlmQueries {
            |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
       }),
 
+    // Length-bucketed dynamic batching — the padding-efficiency layout of
+    // LLM training loaders: docs bucket by token length (power-of-two caps
+    // via an integer CASE chain — no log2 doubles), fixed batches of 8 by
+    // doc_id within (source, bucket), each batch pads to ITS OWN max.
+    // waste_ppm = (padded − real) tokens per batch, the metric the layout
+    // minimizes vs unbucketed batching. Windows are (source, bucket)-
+    // partitioned — partition-parallel, no global order anywhere.
+    Q("pack3_length_bucketed_batching",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cap", expr(
+            "CASE WHEN n_tok <= 16 THEN 16L WHEN n_tok <= 32 THEN 32L " +
+              "WHEN n_tok <= 64 THEN 64L ELSE 128L END"))
+        toks
+          .withColumn("batch_idx", expr("cast((row_number() over (" +
+            "partition by source, cap order by doc_id) - 1) div 8 as bigint)"))
+          .groupBy("source", "cap", "batch_idx")
+          .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),
+            sum("n_tok").as("sum_tok"))
+          .withColumn("waste_ppm", expr(
+            "(max_tok * n_docs - sum_tok) * 1000000L div (max_tok * n_docs)"))
+          .select("source", "cap", "batch_idx", "n_docs", "max_tok",
+            "sum_tok", "waste_ppm")
+          .orderBy("source", "cap", "batch_idx")
+      },
+      Some("""WITH toks AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |b AS (SELECT source, doc_id, n_tok,
+           |        CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+           |             WHEN n_tok <= 64 THEN 64 ELSE 128 END AS cap
+           |      FROM toks),
+           |r AS (SELECT source, CAST(cap AS BIGINT) AS cap, n_tok,
+           |        (row_number() OVER (PARTITION BY source, cap
+           |           ORDER BY doc_id) - 1) // 8 AS batch_idx
+           |      FROM b)
+           |SELECT source, cap, CAST(batch_idx AS BIGINT) AS batch_idx,
+           |  COUNT(*) AS n_docs, CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+           |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           |  CAST((MAX(n_tok) * COUNT(*) - SUM(n_tok)) * 1000000
+           |    // (MAX(n_tok) * COUNT(*)) AS BIGINT) AS waste_ppm
+           |FROM r GROUP BY source, cap, batch_idx
+           |ORDER BY source, cap, batch_idx""".stripMargin)),
+
+    // Quality-weighted importance RESAMPLING — the soft filter between
+    // hard cutoffs (t12/t14) and uniform sampling (samp1): keep document d
+    // iff md5(d) mod 10⁶ < its t2 quality score (already a ppm-scaled
+    // integer ≤ 10⁶), so keep PROBABILITY tracks quality while the draw
+    // stays deterministic, engine-replayable, and one-pass — the
+    // DataComp-style reweighting shape. One verdict row per doc.
+    Q("samp6_weighted_resample",
+      (s, d) => {
+        val draw = expr(TextOps.md5LongSql("cast(doc_id as string)")) % 1000000L
+        Tables.documents(s, d)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn("score_fp",
+            expr("least(n_words, 100L) * (10000L - " +
+              "size(filter(toks, t -> t IN ('the', 'a', 'or'))) * 10000L div n_words)"))
+          .withColumn("draw", draw)
+          .withColumn("keep", col("draw") < col("score_fp"))
+          .select("doc_id", "score_fp", "draw", "keep")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = dMd5Long("CAST(doc_id AS VARCHAR)")
+        s"""WITH q AS (SELECT doc_id,
+           |  least(len(string_split(text, ' ')), 100) *
+           |    (10000 - len(list_filter(string_split(text, ' '),
+           |       t -> t IN ('the', 'a', 'or')))
+           |      * 10000 // len(string_split(text, ' '))) AS score_fp,
+           |  ($h % 1000000) AS draw
+           |FROM documents)
+           |SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp,
+           |  CAST(draw AS BIGINT) AS draw, (draw < score_fp) AS keep
+           |FROM q ORDER BY doc_id""".stripMargin
+      }),
+
     // TF-IDF top terms per document: term frequency per doc, document
     // frequency over the WHOLE corpus, fixed-point idf score
     // tf*1e6 div (df+1) — integer arithmetic on both engines (float idf

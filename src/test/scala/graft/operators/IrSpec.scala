@@ -175,6 +175,23 @@ class IrSpec extends SparkSpec {
       (12L, c(3), 1L), (13L, c(3), 1L)))
   }
 
+  test("proximityTopK: half-open window boundary and distinct-term counting") {
+    val docs = Seq(
+      (1L, "a x x x x x x x x b"),   // b at pos 10: inside a's [1, 11) span
+      (2L, "a x x x x x x x x x b"), // b at pos 11: just outside
+      (3L, "a a a x x x x x x x x")  // repeats count once (distinct terms)
+    ).toDF("doc_id", "text")
+    val pos = Ir.positionalPostings(docs, "doc_id", "text")
+    val q = Seq((0L, "a"), (0L, "b")).toDF("query_id", "term")
+    val got = Ir.proximityTopK(pos, q, window = 10, k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("n_terms"), r.getAs[Long]("best_pos")))
+      .toMap
+    assert(got(1L) === ((1L, 2L, 1L)))   // both terms in the span from pos 1
+    assert(got(2L) === ((2L, 1L, 1L)))   // window excludes pos 11; earliest anchor wins
+    assert(got(3L) === ((3L, 1L, 1L)))   // three 'a's still count one distinct term
+  }
+
   test("rrfFuse respects k per query independently") {
     val leg = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 9L, 1L))
       .toDF("query_id", "doc_id", "rank")
