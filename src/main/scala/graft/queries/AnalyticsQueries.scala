@@ -1011,6 +1011,67 @@ object AnalyticsQueries {
          |FROM pur p LEFT JOIN att a USING (purchase_id)
          |ORDER BY p.purchase_id""".stripMargin)),
 
+    // Conversion-latency distribution — the step after fn4's attribution:
+    // per purchase DAY, the click→purchase gap's count/min/median/p90/max,
+    // every quantile RANK-BASED (value at rank (n+1) div 2 and ceil(0.9n)
+    // — ts2's lower-median convention, the stratify lesson: no
+    // interpolation, integer epoch-µs end to end). Per-day windows are
+    // calendar-bounded; the attribution join is fn4's (per-user, 7-day
+    // lookback — bounded per user per window).
+    Q("fn9_conversion_latency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_us_long").as("pts"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us_long").as("cts"))
+        val gaps = pur.join(clk, Seq("user_id"))
+          .filter(col("cts").between(col("pts") - lit(604800000000L), col("pts")))
+          .groupBy("purchase_id")
+          .agg(min("pts").as("pts"), max("cts").as("att_cts"))
+          .withColumn("gap_us", col("pts") - col("att_cts"))
+          .withColumn("day", expr("pts div 86400000000L"))
+        val w = Window.partitionBy("day").orderBy(col("gap_us"), col("purchase_id"))
+        val ranked = gaps.withColumn("rnk", row_number().over(w))
+        val stats = gaps.groupBy("day")
+          .agg(count(lit(1)).as("n"), min("gap_us").as("min_us"),
+            max("gap_us").as("max_us"))
+        stats
+          .join(ranked.select(col("day").as("dm"), col("rnk").as("mrnk"),
+              col("gap_us").as("med_us")),
+            col("day") === col("dm") && col("mrnk") === expr("(n + 1) div 2"))
+          .join(ranked.select(col("day").as("dp"), col("rnk").as("prnk"),
+              col("gap_us").as("p90_us")),
+            col("day") === col("dp") && col("prnk") === expr("(9 * n + 9) div 10"))
+          .select("day", "n", "min_us", "med_us", "p90_us", "max_us")
+          .orderBy("day")
+      },
+      Some(s"""${QH.evCte},
+         |pur AS (SELECT user_id, event_id AS purchase_id, ts_us_long AS pts
+         |        FROM ev WHERE event_type = 'purchase'),
+         |clk AS (SELECT user_id, ts_us_long AS cts
+         |        FROM ev WHERE event_type = 'click'),
+         |g AS (SELECT purchase_id, MIN(pts) AS pts, MAX(cts) AS att_cts
+         |      FROM pur p JOIN clk c USING (user_id)
+         |      WHERE c.cts BETWEEN p.pts - 604800000000 AND p.pts
+         |      GROUP BY 1),
+         |gd AS (SELECT purchase_id, pts // 86400000000 AS day,
+         |         pts - att_cts AS gap_us FROM g),
+         |rk AS (SELECT day, gap_us, purchase_id,
+         |         row_number() OVER (PARTITION BY day
+         |           ORDER BY gap_us, purchase_id) AS rnk
+         |       FROM gd),
+         |st AS (SELECT day, COUNT(*) AS n, MIN(gap_us) AS min_us,
+         |         MAX(gap_us) AS max_us FROM gd GROUP BY 1)
+         |SELECT CAST(st.day AS BIGINT) AS day, st.n,
+         |  st.min_us, m.gap_us AS med_us, p.gap_us AS p90_us, st.max_us
+         |FROM st
+         |JOIN rk m ON m.day = st.day AND m.rnk = (st.n + 1) // 2
+         |JOIN rk p ON p.day = st.day AND p.rnk = (9 * st.n + 9) // 10
+         |ORDER BY day""".stripMargin)),
+
     // Distribution drift between corpus snapshots: two-sample chi-square
     // homogeneity over (o_orderpriority, l_returnflag) cells, period A =
     // orders before 1998-01-01 vs B = after. Pure-integer fixed point:
@@ -1614,5 +1675,72 @@ object AnalyticsQueries {
          |FROM lg
          |WHERE l1 >= 0 AND l2 >= 0 AND l3 >= 0 AND l4 >= 0 AND l5 >= 0
          |  AND l6 >= 0 AND l7 >= 0
-         |ORDER BY day""".stripMargin)))
+         |ORDER BY day""".stripMargin)),
+
+    // Fast-vs-slow EWMA divergence (the MACD shape) — ts5 extended to
+    // momentum: fast = 8 dyadic taps (denominator 255), slow = 16
+    // (denominator 65535); macd_fp = fast·65535 − slow·255 compares them
+    // on the common denominator in PURE integers (no float machinery at
+    // all); cross = 1 where the divergence sign flips vs the previous
+    // day. Day grid is domain-bounded (the ts4 calendar idiom).
+    Q("ts7_macd_trend",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts_us_long div 86400000000").as("day"))
+        val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        val grid = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+        val cnt = grid.join(
+            ev.groupBy("day").agg(count(lit(1)).as("c0")), Seq("day"), "left")
+          .select(col("day"), coalesce(col("c0"), lit(0L)).as("c"))
+        val w = Window.orderBy("day")
+        val lagged = cnt.select(col("day") +: col("c") +:
+          (1 to 15).map(j => coalesce(lag(col("c"), j).over(w), lit(-1L))
+            .as(s"l$j")): _*)
+        val fast = (("c * 128" +: (1 to 7).map(j => s"l$j * ${1L << (7 - j)}"))
+          ).mkString(" + ")
+        val slow = (("c * 32768" +: (1 to 15).map(j => s"l$j * ${1L << (15 - j)}"))
+          ).mkString(" + ")
+        lagged
+          .filter((1 to 15).map(j => col(s"l$j") >= 0L).reduce(_ && _))
+          .withColumn("fast_num", expr(fast))
+          .withColumn("slow_num", expr(slow))
+          .withColumn("macd_fp", expr("fast_num * 65535L - slow_num * 255L"))
+          .withColumn("sgn", signum(col("macd_fp")).cast("long"))
+          .withColumn("cross", when(lag(col("sgn"), 1).over(w).isNull, 0L)
+            .otherwise(when(col("sgn") =!= lag(col("sgn"), 1).over(w), 1L)
+              .otherwise(0L)))
+          .select("day", "c", "fast_num", "slow_num", "macd_fp", "cross")
+          .orderBy("day")
+      },
+      Some {
+        val lagCtes = (1 to 15).map(j =>
+          s"COALESCE(lag(c, $j) OVER (ORDER BY day), -1) AS l$j").mkString(",\n    ")
+        val fast = ("c * 128" +: (1 to 7).map(j => s"l$j * ${1L << (7 - j)}"))
+          .mkString(" + ")
+        val slow = ("c * 32768" +: (1 to 15).map(j => s"l$j * ${1L << (15 - j)}"))
+          .mkString(" + ")
+        val guard = (1 to 15).map(j => s"l$j >= 0").mkString(" AND ")
+        s"""${QH.evCte},
+           |ed AS (SELECT ts_us_long // 86400000000 AS day FROM ev),
+           |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ed),
+           |grid AS (SELECT unnest(range((SELECT d0 FROM bounds),
+           |           (SELECT d1 FROM bounds) + 1)) AS day),
+           |cnt AS (SELECT g.day, COUNT(e.day) AS c
+           |        FROM grid g LEFT JOIN ed e ON g.day = e.day GROUP BY 1),
+           |lg AS (SELECT day, c,
+           |    $lagCtes
+           |  FROM cnt),
+           |m AS (SELECT day, CAST(c AS BIGINT) AS c,
+           |        CAST($fast AS BIGINT) AS fast_num,
+           |        CAST($slow AS BIGINT) AS slow_num,
+           |        CAST(($fast) * 65535 - ($slow) * 255 AS BIGINT) AS macd_fp
+           |      FROM lg WHERE $guard),
+           |sg AS (SELECT *, CAST(sign(macd_fp) AS BIGINT) AS sgn,
+           |         lag(CAST(sign(macd_fp) AS BIGINT)) OVER (ORDER BY day) AS psgn
+           |       FROM m)
+           |SELECT day, c, fast_num, slow_num, macd_fp,
+           |  CASE WHEN psgn IS NULL THEN 0
+           |       WHEN sgn <> psgn THEN 1 ELSE 0 END AS cross
+           |FROM sg ORDER BY day""".stripMargin
+      }))
 }
