@@ -149,6 +149,49 @@ object Images {
       StructField("dhash_lo", LongType, nullable = true))))
   }
 
+  /** Exact 2×2 area-sum downscale over the REAL PNG decode — the resize
+    * primitive of the multimodal family (dHash consumes the same grid):
+    * one row per (media_id, by, bx) with the integer block sum. With
+    * interpolation libraries this would be area-averaging; on the exact
+    * 2×-divisible synth grid the block SUM is the area average times 4 —
+    * deterministic integers on any engine, no float resampling.
+    *
+    * Scale shape: one mapPartitions decode pass, GridW·GridH rows out per
+    * image, no shuffle — the thumbnail table a downstream pipeline keys by
+    * (media_id, by, bx) or re-packs to arrays. */
+  def blockSumGrid(media: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val ii = media.schema.fieldIndex(idCol)
+    val bi = media.schema.fieldIndex(binCol)
+    val rows = media.rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(ii)
+      val bytes = r.getAs[Array[Byte]](bi)
+      val decoded =
+        if (bytes == null) None
+        else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+          .filter(img => img.getWidth == ImgW && img.getHeight == ImgH)
+        catch { case scala.util.control.NonFatal(_) => None }
+      decoded match {
+        case Some(img) =>
+          val raster = img.getRaster
+          for (by <- 0 until GridH; bx <- 0 until GridW) yield {
+            val s =
+              raster.getSample(2 * bx, 2 * by, 0).toLong +
+              raster.getSample(2 * bx + 1, 2 * by, 0).toLong +
+              raster.getSample(2 * bx, 2 * by + 1, 0).toLong +
+              raster.getSample(2 * bx + 1, 2 * by + 1, 0).toLong
+            Row(id, by.toLong, bx.toLong, s)
+          }
+        case None => Seq.empty[Row]
+      }
+    })
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("by", LongType, nullable = false),
+      StructField("bx", LongType, nullable = false),
+      StructField("block_sum", LongType, nullable = false))))
+  }
+
   /** Per-image luminance statistics over the REAL PNG decode — the
     * image-quality filter inputs of multimodal curation pipelines
     * (brightness / contrast / flatness / edge energy screens, the LAION

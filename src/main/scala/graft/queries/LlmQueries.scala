@@ -1003,13 +1003,7 @@ object LlmQueries {
     // z % 10 == 3) land at Jaccard ≈ 0.9; the verify step is exact.
     Q("g6_similar_nodes",
       (s, d) => {
-        val items = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_partkey").distinct()
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-            "l_orderkey")
-          .filter(col("p1") < col("p2"))
-          .select("p1", "p2").distinct()
+        val edges = GraphQueries.coPurchaseEdges(s, d)
         val nbr = edges.select(col("p1").as("n"), col("p2").as("z"))
           .unionByName(edges.select(col("p2").as("n"), col("p1").as("z")))
         val clones = nbr.filter(col("n") % 200 === 0 && col("z") % 10 =!= 3)
@@ -1037,7 +1031,8 @@ object LlmQueries {
            |         FROM au GROUP BY n),
            |${dMinhashPairsCtes("docs", 1, None, 0.5, k = 16, bands = 4)}
            |SELECT id1, id2, jac_ppm FROM pairs ORDER BY id1, id2""".stripMargin
-      }),
+      },
+      setup = Some((s, d) => { GraphQueries.coPurchaseEdges(s, d); () })),
 
     // Training-sequence packing: contiguous-fill assignment of documents
     // to 256-token training sequences, shard-parallel (window partitioned
@@ -2975,6 +2970,39 @@ object LlmQueries {
              |  CAST(MIN(gr.grad_sum) AS BIGINT) AS grad_sum
              |FROM px JOIN gr ON gr.media_id = px.media_id
              |GROUP BY px.media_id ORDER BY px.media_id""".stripMargin)),
+
+    // Exact integer RESIZE (2×2 area-sum downscale) over the real PNG
+    // decode — the thumbnail primitive dHash consumes, emitted as one row
+    // per grid cell so a downstream pipeline can key or re-pack it. The
+    // oracle replays the whole grid from the pixel formula (the same bs
+    // CTE m4's hashes build on) — a decoder or resampler bug anywhere is
+    // a hash mismatch on 5 040 cells.
+    Q("m10_image_resize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val meta = docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+              lit(false).as("noise"))
+          .unionByName(docs.filter(col("doc_id") % 50 === 11)
+            .select((col("doc_id") + 2000000).as("media_id"),
+              col("doc_id").as("seed"), lit(true).as("noise")))
+        Images.blockSumGrid(Images.synthPngCorpus(meta, "media_id", "seed", "noise"),
+            "media_id", "image")
+          .orderBy("media_id", "by", "bx")
+      },
+      Some("""WITH m AS (
+           |  SELECT doc_id AS media_id, doc_id AS seed, FALSE AS noise
+           |  FROM documents WHERE doc_id % 10 = 1
+           |  UNION ALL SELECT doc_id + 2000000, doc_id, TRUE
+           |  FROM documents WHERE doc_id % 50 = 11),
+           |px AS (SELECT media_id, seed, noise, x, y,
+           |         (xor(seed * 2654435761, (y * 18 + x) * 2654435789) % 241)
+           |           + CASE WHEN noise AND (x + y) % 5 = 0 THEN 11 ELSE 0 END AS v
+           |       FROM m, (SELECT unnest(range(0, 18)) AS x),
+           |              (SELECT unnest(range(0, 16)) AS y))
+           |SELECT media_id, CAST(y // 2 AS BIGINT) AS by, CAST(x // 2 AS BIGINT) AS bx,
+           |  CAST(SUM(v) AS BIGINT) AS block_sum
+           |FROM px GROUP BY 1, 2, 3 ORDER BY media_id, by, bx""".stripMargin)),
 
     // Image near-dup pairs by dHash hamming ≤ 6 — banded pigeonhole join
     // (8 disjoint 8-bit bands; ≤ 7 differing bits force one identical
