@@ -511,4 +511,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("multi-probe LSH broadcasts the probe rows; buckets are the fused kernel (s11)") {
+    // parquet-backed input — a local literal relation constant-folds the
+    // bucketing expression away at planning time
+    val vecs = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val c = vecs.select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val p = plan(graft.operators.Similarity.multiProbeTopK(q, c, 1,
+      nPlanes = 4, dim = 64, nTables = 2))
+    // the probe expansion lives on the broadcast QUERY side; the corpus
+    // bucket rows join by hash, and bucketing is the fused native kernel
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.toLowerCase.contains("lshbuckets"), p.take(3000))
+  }
+
+  test("seed-anchored link prediction broadcasts the seed frame (g5)") {
+    import spark.implicits._
+    val edges = (for (a <- 0L until 30L; b <- 0L until 30L
+                      if a < b && (a * 31 + b) % 3 == 0) yield (a, b))
+      .toDF("p1", "p2")
+    val seeds = Seq(0L, 5L).toDF("q")
+    val p = plan(graft.operators.Graph.relatedBySharedNeighbors(
+      edges, "p1", "p2", seeds, k = 3))
+    // the wedge probe is anchored: the seed frame broadcasts onto the
+    // neighbor rows; nothing all-pairs exists anywhere in the plan
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("image stats and resize are single-pass — zero exchanges (m8/m10)") {
+    import spark.implicits._
+    val meta = (0L until 6L).map(i => (i, i, false)).toDF("media_id", "seed", "noise")
+    val media = graft.operators.Images.synthPngCorpus(meta, "media_id", "seed", "noise")
+    assert(countExchanges(graft.operators.Images.imageStats(media, "media_id", "image")) == 0)
+    assert(countExchanges(graft.operators.Images.blockSumGrid(media, "media_id", "image")) == 0)
+  }
+
+  test("RRF fusion never touches a corpus-sized frame (ir4 fuse stage)") {
+    import spark.implicits._
+    val legA = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val legB = Seq((0L, 11L, 1L)).toDF("query_id", "doc_id", "rank")
+    val p = plan(graft.operators.Ir.rrfFuse(Seq(legA, legB), k = 3))
+    // one union of per-query top-K legs, one keyed aggregate, one window —
+    // no join at all (the legs carry everything the fuse needs)
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
