@@ -1083,6 +1083,58 @@ object AnalyticsQueries {
     // free; the one data-sized pass is the join+groupBy. At extreme N
     // pre-scale the counts — (o·N)²·10⁶ must fit 38 digits, fine through
     // ~10¹² rows per cell.
+    // Numeric-distribution drift — dq2's sibling for CONTINUOUS columns:
+    // total-variation distance between the before/after-1998 order-value
+    // distributions over value-domain buckets ($25k-wide, capped at 20 —
+    // the bucket grid is a constant, never data-derived), every share an
+    // integer ppm (counts via exact DECIMAL cents — the money invariant),
+    // TVD = Σ|share_a − share_b| div 2. The only data-sized pass is one
+    // groupBy; the totals/TVD windows run over ≤ 21 bucket rows.
+    Q("dq5_tvd_drift",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .withColumn("__cents",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .withColumn("bucket", expr("least(__cents div 2500000L, 20L)"))
+          .withColumn("__a",
+            when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1L)
+              .otherwise(0L))
+          .groupBy("bucket")
+          .agg(sum("__a").as("n_a"), sum(lit(1L) - col("__a")).as("n_b"))
+        val wAll = Window.partitionBy(lit(1))
+        cells
+          .withColumn("__na", sum("n_a").over(wAll))
+          .withColumn("__nb", sum("n_b").over(wAll))
+          .withColumn("share_a_ppm", expr("n_a * 1000000L div __na"))
+          .withColumn("share_b_ppm", expr("n_b * 1000000L div __nb"))
+          .withColumn("abs_diff_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+          .withColumn("__ts", sum("abs_diff_ppm").over(wAll))
+          .withColumn("tvd_ppm", expr("__ts div 2"))
+          .select("bucket", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+            "abs_diff_ppm", "tvd_ppm")
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (
+           |  SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |           // 2500000, 20) AS bucket,
+           |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS a
+           |  FROM orders),
+           |g AS (SELECT bucket, SUM(a) AS n_a, SUM(1 - a) AS n_b
+           |      FROM c GROUP BY 1),
+           |t AS (SELECT SUM(n_a) AS na, SUM(n_b) AS nb FROM g),
+           |sh AS (SELECT bucket, n_a, n_b,
+           |         n_a * 1000000 // na AS share_a_ppm,
+           |         n_b * 1000000 // nb AS share_b_ppm
+           |       FROM g CROSS JOIN t)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_a AS BIGINT) AS n_a,
+           |  CAST(n_b AS BIGINT) AS n_b,
+           |  CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+           |  CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+           |  CAST(ABS(share_a_ppm - share_b_ppm) AS BIGINT) AS abs_diff_ppm,
+           |  CAST((SELECT SUM(ABS(share_a_ppm - share_b_ppm)) FROM sh) // 2 AS BIGINT)
+           |    AS tvd_ppm
+           |FROM sh ORDER BY bucket""".stripMargin)),
+
     Q("dq2_drift_chisq",
       (s, d) => {
         val cells = Tables.lineitem(s, d)
