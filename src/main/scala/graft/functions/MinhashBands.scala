@@ -75,6 +75,38 @@ case class MinhashSig(child: Expression, w: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Hashed-shingle projection: token array → array<long> of the 60-bit md5
+  * hashes of the DISTINCT w-grams in first-occurrence order — bit-identical
+  * to the HOF chain `TextOps.tokenHashesSql(TextOps.shinglesSql(toks, w))`
+  * it replaces (same concat_ws(' ') gram render, same md5-first-15-nibbles
+  * long), which stays as the DuckDB oracle twin. The HOF form is two
+  * CodegenFallback ArrayTransforms — a boxed lambda, an md5 HEX-STRING
+  * materialization, and a conv() parse per gram (the catalyst-eval-cost
+  * trap); this is one tight digest loop per row. Measured at sf0.1: the
+  * d19/d20 input projection drops 5.8 s → sub-second.
+  *
+  * HOF parity corners (MinhashBandsSpec pins them): n < w → EMPTY array
+  * (not null), null token array → null, null tokens vanish with their
+  * separator inside a gram. */
+case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinhashBands.computeShingleHashes(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashBands.computeShingleHashes($c, $w);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 object MinhashBands {
   private val P = DetHash.P
   private val md = new ThreadLocal[MessageDigest] {
@@ -203,6 +235,27 @@ object MinhashBands {
   /** Column entry point for [[computeSig]]. */
   def minhashSig(toks: Column, w: Int, k: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(toks), w, k))
+
+  /** 60-bit hashes of the distinct w-grams, first-occurrence order —
+    * the [[ShingleHashes]] kernel. */
+  def computeShingleHashes(toks: ArrayData, w: Int): ArrayData = {
+    if (toks.numElements() < w)
+      return new GenericArrayData(new Array[AnyRef](0))
+    val seen = shinglesOf(toks, w)
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = Long.box(md5Long60(
+        it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column entry point for [[computeShingleHashes]]. */
+  def shingleHashes(toks: Column, w: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(toks), w))
 
   /** 60-bit SimHash of a token array: bit b is the sign of the sum of ±1
     * votes from bit b of each token's 60-bit md5 hash. One md5 + one

@@ -610,8 +610,18 @@ object Similarity {
     * Like the single-probe path, only (id, tbl, bucket) rows ever enter
     * the join; vectors re-attach to deduplicated candidate pairs by id. */
   def multiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     nPlanes: Int, dim: Int, nTables: Int,
-                     corpusIndex: Option[DataFrame] = None): DataFrame = {
+                     dim: Int, nTables: Int = 4): DataFrame =
+    multiProbeTopKPinned(queries, corpus, k, lshPlanesForCorpus(corpus), dim,
+      nTables)
+
+  /** Fixed-plane variant of [[multiProbeTopK]] — same rule as
+    * [[lshTopKPinned]]: pin the plane count only when it must be known
+    * outside the engine (generated oracle SQL, probe sweeps); everything
+    * else sizes planes from the corpus so bucket occupancy holds as it
+    * grows. */
+  def multiProbeTopKPinned(queries: DataFrame, corpus: DataFrame, k: Int,
+                           nPlanes: Int, dim: Int, nTables: Int,
+                           corpusIndex: Option[DataFrame] = None): DataFrame = {
     val cb = corpusIndex.map(_.select("cid", "tbl", "bucket")).getOrElse(
       corpus.withColumn("__bs", lshBucketsExpr("cvec", nPlanes, dim, nTables))
         .select(col("cid"), posexplode(col("__bs")).as(Seq("tbl", "bucket"))))

@@ -228,7 +228,7 @@ object AnalyticsQueries {
          |        GROUP BY doc_id)
          |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(n_oov AS BIGINT) AS n_oov,
-         |  n_oov * 1000000 // n_toks AS oov_ppm
+         |  CAST(n_oov * 1000000 // n_toks AS BIGINT) AS oov_ppm
          |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // BPE merge induction (the tokenizer-vocabulary step after t16's
@@ -402,10 +402,10 @@ object AnalyticsQueries {
          |SELECT day, CAST(c AS BIGINT) AS c,
          |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
          |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
-         |  CASE WHEN cusum_pos * 10 > (SELECT tot FROM st) THEN 1 ELSE 0 END
-         |    AS drift_pos,
-         |  CASE WHEN cusum_neg * 10 > (SELECT tot FROM st) THEN 1 ELSE 0 END
-         |    AS drift_neg
+         |  CAST(CASE WHEN cusum_pos * 10 > (SELECT tot FROM st)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drift_pos,
+         |  CAST(CASE WHEN cusum_neg * 10 > (SELECT tot FROM st)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drift_neg
          |FROM cu ORDER BY day""".stripMargin)),
 
     // Referential-integrity audit across the star schema: per FK
@@ -1196,7 +1196,8 @@ object AnalyticsQueries {
          |  FROM tot)
          |SELECT o_orderpriority, l_returnflag, n_a, n_b, chi2_ppm,
          |  CAST(SUM(chi2_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
-         |  CASE WHEN chi2_ppm > 1000000 THEN 1 ELSE 0 END AS drifted
+         |  CAST(CASE WHEN chi2_ppm > 1000000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS drifted
          |FROM terms ORDER BY o_orderpriority, l_returnflag""".stripMargin)),
 
     // Top journey paths: the most frequent length-3 consecutive
@@ -1478,7 +1479,9 @@ object AnalyticsQueries {
          |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
          |    ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
          |  FROM anch)
-         |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
+         |SELECT CAST(r_score AS INTEGER) AS r_score,
+         |  CAST(f_score AS INTEGER) AS f_score,
+         |  CAST(m_score AS INTEGER) AS m_score, COUNT(*) AS n_cust,
          |  CAST(SUM(freq) AS BIGINT) AS sum_orders,
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM scored GROUP BY 1, 2, 3
@@ -1546,7 +1549,9 @@ object AnalyticsQueries {
          |    (row_number() OVER (ORDER BY cents * 100000000 + o_custkey) - 1)
          |      * 5 // (SELECT n FROM nn) + 1 AS m_score
          |  FROM k)
-         |SELECT r_score, f_score, m_score, COUNT(*) AS n_cust,
+         |SELECT CAST(r_score AS INTEGER) AS r_score,
+         |  CAST(f_score AS INTEGER) AS f_score,
+         |  CAST(m_score AS INTEGER) AS m_score, COUNT(*) AS n_cust,
          |  CAST(SUM(freq) AS BIGINT) AS sum_orders,
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM sc GROUP BY 1, 2, 3
@@ -1722,8 +1727,9 @@ object AnalyticsQueries {
          |SELECT day, CAST(c AS BIGINT) AS c,
          |  CAST(c * 128 + l1 * 64 + l2 * 32 + l3 * 16 + l4 * 8 + l5 * 4
          |    + l6 * 2 + l7 AS BIGINT) AS ewma_num,
-         |  CASE WHEN c * 255 > 2 * (c * 128 + l1 * 64 + l2 * 32 + l3 * 16
-         |    + l4 * 8 + l5 * 4 + l6 * 2 + l7) THEN 1 ELSE 0 END AS spike
+         |  CAST(CASE WHEN c * 255 > 2 * (c * 128 + l1 * 64 + l2 * 32 + l3 * 16
+         |    + l4 * 8 + l5 * 4 + l6 * 2 + l7) THEN 1 ELSE 0 END AS BIGINT)
+         |    AS spike
          |FROM lg
          |WHERE l1 >= 0 AND l2 >= 0 AND l3 >= 0 AND l4 >= 0 AND l5 >= 0
          |  AND l6 >= 0 AND l7 >= 0
@@ -1791,8 +1797,8 @@ object AnalyticsQueries {
            |         lag(CAST(sign(macd_fp) AS BIGINT)) OVER (ORDER BY day) AS psgn
            |       FROM m)
            |SELECT day, c, fast_num, slow_num, macd_fp,
-           |  CASE WHEN psgn IS NULL THEN 0
-           |       WHEN sgn <> psgn THEN 1 ELSE 0 END AS cross
+           |  CAST(CASE WHEN psgn IS NULL THEN 0
+           |       WHEN sgn <> psgn THEN 1 ELSE 0 END AS BIGINT) AS cross
            |FROM sg ORDER BY day""".stripMargin
       }))
 }

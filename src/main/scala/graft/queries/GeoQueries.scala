@@ -56,7 +56,7 @@ object GeoQueries {
       Some {
         val cases = (for { x <- 0 to 3; y <- 0 to 3 }
           yield s"WHEN cx = $x AND cy = $y THEN ${Hilbert.index(2, x, y)}").mkString(" ")
-        s"""SELECT (CASE $cases END) AS d, COUNT(*) AS cnt
+        s"""SELECT CAST((CASE $cases END) AS BIGINT) AS d, COUNT(*) AS cnt
            |FROM (SELECT LEAST(CAST(FLOOR(value / 330.0 * 4) AS BIGINT), 3) AS cx,
            |        CAST(user_id % 4 AS BIGINT) AS cy FROM events)
            |GROUP BY 1 ORDER BY d""".stripMargin

@@ -602,7 +602,8 @@ object RelationalQueries {
           Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
         .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rank"),
-      Some("""SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+      Some("""SELECT o_custkey, CAST(rank AS INTEGER) AS rank,
+                o_orderkey, o_totalprice FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
                     AS rank

@@ -74,7 +74,7 @@ object MultiProbeProbe {
       }
       for (t <- Seq(4, 2, 1)) {
         val (hits, secs) = recallAndTime(() =>
-          Similarity.multiProbeTopK(queries, e, 1, nPlanes, dim, t))
+          Similarity.multiProbeTopKPinned(queries, e, 1, nPlanes, dim, t))
         println(f"  multi  T=$t%d: recall@1 $hits%d/50  cand ${candCount(t, multi = true)}%d  " +
           f"index rows ${n * t}%d  ${secs}%.2f s")
       }

@@ -30,8 +30,8 @@ object PrefixProbe {
 
     for (dir <- args) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .withColumn("__toks", expr(TextOps.tokenHashesSql(
-          TextOps.shinglesSql("split(text, ' ')", 3))))
+        .withColumn("__toks", graft.functions.MinhashBands.shingleHashes(
+          split(col("text"), " "), 3))
         .select(col("doc_id"), col("__toks"))
       val nDocs = docs.count()
 

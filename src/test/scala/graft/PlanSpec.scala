@@ -520,7 +520,7 @@ class PlanSpec extends SparkSpec {
     val q = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qvec"))
     val c = vecs.select(col("vec_id").as("cid"), col("v").as("cvec"))
-    val p = plan(graft.operators.Similarity.multiProbeTopK(q, c, 1,
+    val p = plan(graft.operators.Similarity.multiProbeTopKPinned(q, c, 1,
       nPlanes = 4, dim = 64, nTables = 2))
     // the probe expansion lives on the broadcast QUERY side; the corpus
     // bucket rows join by hash, and bucketing is the fused native kernel

@@ -40,6 +40,41 @@ class MinhashBandsSpec extends SparkSpec {
     assert(run("true") == run("false"))
   }
 
+  test("shingleHashes equals the HOF chain on real documents, both exec paths") {
+    val hof = expr(TextOps.tokenHashesSql(TextOps.shinglesSql("toks", 3)))
+    val both = docs
+      .withColumn("nat", MinhashBands.shingleHashes($"toks", 3))
+      .withColumn("hof", hof)
+    assert(both.filter(
+      ($"nat".isNull =!= $"hof".isNull) || ($"nat" =!= $"hof")).count() == 0)
+    // HOF corner parity: short doc → EMPTY (not null), null array → null,
+    // null tokens vanish with their separator
+    val corner = Seq(
+      (1L, Seq("one", "two")),
+      (2L, null.asInstanceOf[Seq[String]]),
+      (3L, Seq("a", null, "c", "d"))).toDF("id", "toks")
+    val c = corner
+      .withColumn("nat", MinhashBands.shingleHashes($"toks", 3))
+      .withColumn("hof", expr(TextOps.tokenHashesSql(TextOps.shinglesSql("toks", 3))))
+    assert(c.filter(
+      ($"nat".isNull =!= $"hof".isNull) || ($"nat" =!= $"hof")).count() == 0)
+    assert(c.filter($"id" === 1L).select(size($"nat")).as[Int].head() == 0)
+    // interpreted == codegen
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen == "true") "FALLBACK" else "NO_CODEGEN")
+      try docs.limit(50)
+        .select(MinhashBands.shingleHashes($"toks", 3).cast("string"))
+        .as[String].collect().toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(run("true") == run("false"))
+  }
+
   test("too-short documents yield null (HOF parity)") {
     val df = Seq(Seq("one"), Seq("a", "b", "c")).toDF("toks")
     val out = df.select(MinhashBands.minhashBands($"toks", 2, 16, 8).isNull)

@@ -170,7 +170,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // are a SUPERSET of single-probe at the same (planes, tables) — recall
     // can only go up, deterministically
     val single2 = recall(Similarity.lshTopKPinned(q, c, 1, nPlanes = 4, dim = 64, nTables = 2))
-    val multi2 = recall(Similarity.multiProbeTopK(q, c, 1, nPlanes = 4, dim = 64, nTables = 2))
+    val multi2 = recall(Similarity.multiProbeTopKPinned(q, c, 1, nPlanes = 4, dim = 64, nTables = 2))
     assert(multi2 >= single2, s"multi-probe lost recall: $multi2 < $single2")
     // (2) the scale claim: 2 tables × 5 probes competes with 4 tables × 1
     // probe (half the corpus-sized index for comparable recall)

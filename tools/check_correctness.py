@@ -5,10 +5,17 @@ Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir> [query ...]
 
 Reads each <out_dir>/<name> parquet (written by graft.Verify), replays the
 matching SQL from oracle_sql.json in DuckDB over the sf_dir parquet tables,
-and compares: row count, column names (sorted), and values (rows sorted,
-exact match after canonicalization). This is a strict local stand-in for
-CORRECTNESS_r{N}.json — if it passes here, the driver's hash compare should
-pass too.
+and compares: row count, column names (sorted), ARROW TYPES per column, and
+values (rows sorted, exact match after canonicalization). This is a strict
+local stand-in for CORRECTNESS_r{N}.json — if it passes here, the driver's
+hash compare should pass too.
+
+The arrow-type compare exists because the driver's hash is TYPE-sensitive
+(r10/r11 post-mortem): DuckDB silently widens integer SUM / `//` to HUGEINT
+(arrow decimal128(38,0)) where Spark emits int64, and a value-only compare
+(fetchall() coerces HUGEINT to Python int) structurally cannot see it.
+Rule: every oracle final-SELECT column gets an explicit CAST matching the
+Spark output type.
 """
 import json
 import math
@@ -46,6 +53,34 @@ def canon(v):
 def rows_canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def type_canon(t):
+    """Canonical arrow-type string for the driver-faithful schema compare.
+
+    Only representation-level aliases that cannot change a hashed value are
+    folded (64-bit-offset string/binary variants); everything else —
+    including decimal128 vs int64, int32 vs int64, timestamp units — must
+    match exactly, because the driver's hash is type-sensitive.
+    """
+    import pyarrow.types as pt
+    if pt.is_large_string(t) or pt.is_string_view(t):
+        return "string"
+    if pt.is_large_binary(t) or pt.is_binary_view(t):
+        return "binary"
+    return str(t)
+
+
+def schema_diff(s_schema, d_schema):
+    """Return [(col, spark_type, duckdb_type)] where arrow types disagree."""
+    d_by_name = {f.name: f.type for f in d_schema}
+    diffs = []
+    for f in s_schema:
+        if f.name in d_by_name:
+            st, dt = type_canon(f.type), type_canon(d_by_name[f.name])
+            if st != dt:
+                diffs.append((f.name, st, dt))
+    return diffs
 
 
 def main():
@@ -115,14 +150,24 @@ def main():
         try:
             res = con.execute(sql)
             d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            # arrow fetch, not fetchall(): fetchall() coerces HUGEINT →
+            # Python int and hides driver-visible type drift (r11 verdict)
+            dt_tab = res.fetch_arrow_table()
+            d_rows = [tuple(r[c] for c in d_cols) for r in dt_tab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         ok = True
+        tdiffs = schema_diff(st.schema, dt_tab.schema)
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            ok = False
+        elif tdiffs:
+            for c, sty, dty in tdiffs:
+                print(f"FAIL {name}: arrow type mismatch on '{c}': "
+                      f"spark={sty} duckdb={dty} (driver hash is type-"
+                      "sensitive — CAST the oracle column to the spark type)")
             ok = False
         elif len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} duckdb={len(d_rows)}")
