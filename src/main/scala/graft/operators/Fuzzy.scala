@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   * per-row HOF (transform over a position range) — corpus-scale hot use
   * would promote it to a native codegen Expression like SlidingWindows;
   * the join shape is the scale-bearing part.
+  *
+  * Two measured regimes fence deployment (tools/FzProbe, PLANS r12 s1):
+  *   - REPLICATED strings make candidates quadratic: TPC-H p_name
+  *     replicates 64 color-phrases, and matches grew ×97 at ×10 records
+  *     (9.2 k → 896 k). Exact-dup multiplicity belongs to d1's
+  *     hash-groupBy FIRST; run the blocker on the DISTINCT-string
+  *     registry (the er1 contract — er1 does exactly this).
+  *   - LONG strings blow the VERIFY, not the join: the levenshtein check
+  *     is O(L²) per candidate (×4 length → ×14 wall at sf0.1, 4.4 →
+  *     61.8 s, index rows only ×5). For document-length strings hash the
+  *     variants (equality is all the join needs) and verify with the
+  *     position-aware compare (a deletion-join candidate differs in one
+  *     known position), never a general O(L²) edit distance.
   */
 object Fuzzy {
 

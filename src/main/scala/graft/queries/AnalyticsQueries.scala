@@ -731,6 +731,14 @@ object AnalyticsQueries {
     // (TPC-H baskets ≤ 7 items); lift lands as an integer ppm through
     // DECIMAL. The one driver-side scalar is the basket count (a single
     // count, SURVEY §7.4's sanctioned shape).
+    //
+    // Scale fence (tools/MbProbe, PLANS r12 s1): with bounded baskets the
+    // pair expansion is LINEAR in baskets (measured exponent 1.0 at ×10,
+    // max pruned basket 13→17); a basket whose size GROWS with the data
+    // contributes C(m,2) alone (an injected every-20th-part basket added
+    // 4 950 → 499 500 pair rows at ×10). Deployment rule: cap or sample
+    // baskets past a size threshold BEFORE the self-join — no downstream
+    // support filter can undo a C(m,2) shuffle already emitted.
     Q("mb1_frequent_pairs",
       (s, d) => {
         val minSup = 3L
