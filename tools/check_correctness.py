@@ -28,6 +28,39 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Float-parity lint (CLAUDE.md invariant, r10 post-mortem): a catalog query
+# may emit a DOUBLE column ONLY if it is a pinned bit-identity class —
+# (a) raw passthrough of a parquet double column, (b) a DECIMAL-exact
+# aggregate cast back to double (QH.moneySum/moneyAvg), or (c) a
+# deterministic parse of text. Engine-version-sensitive doubles (round(),
+# interpolated percentiles, ceil/floor of double products) pass a local
+# compare bit-exact yet hash-fail on the driver. Any (query, column) not
+# listed below fails the gate; extend the list ONLY with a pinned class.
+DOUBLE_OK = {
+    "a11_sum_join_fill": {"total_bal"}, "a14_top1000_mean": {"avg_top"},
+    "a16_date_sum": {"total_value"}, "a18_partial_agg_files": {"qty"},
+    "a19_grouping_sets": {"sum_qty"}, "a1_groupby_stats": {"avg_qty"},
+    "a2_whole_period_stats": {"avg_price"}, "a3_grand_total": {"total_qty"},
+    "a4_rollup_multiscale": {"rev"}, "a8_rollup_chain": {"monthly_rev"},
+    "a9_nested_outer_totals": {"order_rev"}, "dvf1_end_to_end": {"med_cents"},
+    "f4_decimal_comma": {"parsed"}, "geo1_fix_coordinates": {"lon", "lat"},
+    "j10_nway_outer": {"rev_f"}, "j14_range_join": {"total"},
+    "j1_broadcast_dim_join": {"acct"}, "j2_large_join_agg": {"revenue"},
+    "j5_coalesce_keys": {"order_rev", "item_rev"},
+    "j6_join_preagg": {"o_totalprice", "qty"},
+    "j7_semi_on_count": {"l_extendedprice"},
+    "o1_multisort_limit": {"l_quantity"}, "o2_sort_by_derived": {"o_totalprice"},
+    "o4_distinct_rows": {"l_quantity"}, "o8_exceptall_cdc": {"l_quantity"},
+    "p1_project_rename": {"qty", "price"}, "p3_range_filter": {"rev"},
+    "p4_null_predicates": {"avg_disc"}, "p7_conditional_column": {"total"},
+    "prof1_table_profile": {"price_min", "price_max", "price_avg"},
+    "r2_wide_metric_columns": {"revenue_O", "revenue_F", "revenue_P"},
+    "r5_unpivot_metrics": {"total"}, "src4_orc_roundtrip": {"rev"},
+    "src6_avro_roundtrip": {"rev"}, "w2_keep_one_priority": {"value"},
+    "w3_dedup_keep_first": {"first_qty"}, "w5_topk_per_group": {"o_totalprice"},
+    "w7_rolling_7day": {"roll7"},
+}
+
 
 def canon(v):
     if v is None:
@@ -145,6 +178,15 @@ def main():
         if nested:
             print(f"FAIL {name}: driver-fragile nested output columns {nested} "
                   "(pandas sort crashes on array/struct cells — flatten to scalars)")
+            n_fail += 1
+            continue
+        floaty = [f.name for f in st.schema if pt.is_floating(f.type)
+                  and f.name not in DOUBLE_OK.get(name, set())]
+        if floaty:
+            print(f"FAIL {name}: unlisted DOUBLE output columns {floaty} — "
+                  "doubles are engine-version-sensitive unless a pinned "
+                  "bit-identity class; emit fixed-point/DECIMAL or add the "
+                  "(query, column) to DOUBLE_OK with its class")
             n_fail += 1
             continue
         try:
