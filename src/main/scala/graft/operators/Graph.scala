@@ -58,12 +58,23 @@ object Graph {
     *             15·S div 100 to that node only (personalized PageRank —
     *             ranks become similarity-to-seed).
     * @return (node, rank_fp) — every node reachable in the edge list. */
-  def pagerank(edges: DataFrame, iters: Int, seed: Option[String] = None): DataFrame = {
+  def pagerank(edges0: DataFrame, iters: Int, seed: Option[String] = None): DataFrame = {
+    // The edge frame is read 2·iters+3 times below; an UNMATERIALIZED edge
+    // subtree (g1/g2 build theirs from the raw corpus) would re-run its
+    // whole build every iteration — each checkpoint action replans, so
+    // nothing is reused across rounds. Materialize once; a caller's bare
+    // checkpoint artifact (g5/g6's memoized co-purchase frame) passes
+    // through untouched and is never freed here (GraphSpec pins that).
+    // nodes/outW are loop-invariant dimension frames — same treatment.
+    val protectIds = Bridge.checkpointIds(edges0)
+    val edges =
+      if (Bridge.isBareCheckpoint(edges0)) edges0 else edges0.localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
       .unionByName(edges.select(col("dst").as("node")).distinct())
       .distinct()
+      .localCheckpoint(true)
     val nNodes = nodes.count()
-    val outW = edges.groupBy("src").agg(sum("w").as("wout"))
+    val outW = edges.groupBy("src").agg(sum("w").as("wout")).localCheckpoint(true)
     // base teleport shares, computed ONCE in exact Long arithmetic (the
     // oracle's // over positive longs agrees with Scala / here)
     def baseCol = seed match {
@@ -71,7 +82,10 @@ object Graph {
       case Some(s) =>
         when(col("node") === s, lit((DampDen - DampNum) * Scale / DampDen)).otherwise(lit(0L))
     }
-    val protectIds = Bridge.checkpointIds(edges)
+    // own loop-invariant materializations are protected through the loop
+    // and freed once the (itself-checkpointed) result no longer needs them
+    val keep = protectIds ++ Bridge.checkpointIds(edges) ++
+      Bridge.checkpointIds(nodes) ++ Bridge.checkpointIds(outW)
     var r = nodes.withColumn("rank_fp",
       seed match {
         case None => lit(Scale / nNodes)
@@ -90,8 +104,13 @@ object Graph {
         .withColumn("rank_fp", baseCol + coalesce(col("__in"), lit(0L)))
         .select("node", "rank_fp")
         .localCheckpoint()
-      Bridge.freeCheckpointExcept(r, protectIds)
+      Bridge.freeCheckpointExcept(r, keep)
       r = next
+    }
+    if (iters > 0) { // with 0 iters, r still READS nodes — leave resident
+      if (!(edges eq edges0)) Bridge.freeCheckpoint(edges)
+      Bridge.freeCheckpoint(nodes)
+      Bridge.freeCheckpoint(outW)
     }
     r
   }

@@ -2676,7 +2676,11 @@ object LlmQueries {
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val uni = docs.unionByName(docs.filter(col("doc_id") % 13 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-        val sub = Dedup.substringDedupSpans(uni, "doc_id", "text", w = 40)
+        // the HASHED-window form (d16d's parameter swap): 8-byte rolling-
+        // hash shuffle keys instead of 40-char strings, result-identical
+        // (SubstringDedupSpec pins hashed == exact on the corpus); the
+        // oracle replays the exact string form
+        val sub = Dedup.substringDedupSpansHashed(uni, "doc_id", "text", w = 40)
           .select(col("doc_id"), col("total_chars"), col("dup_chars"),
             col("kept_chars").as("clean_chars"))
         val canon = uni.withColumn("is_canonical",

@@ -41,6 +41,17 @@ object Bridge {
     b.result()
   }
 
+  /** True when `df`'s analyzed plan is already a bare LogicalRDD leaf —
+    * an eager checkpoint / materialized artifact that re-reads without
+    * recomputation. Iterative operators use this to materialize an
+    * unmaterialized input ONCE instead of re-running its build subtree
+    * every round, while passing an already-checkpointed artifact (the
+    * g5/g6 co-purchase frame) through untouched. */
+  def isBareCheckpoint(df: org.apache.spark.sql.Dataset[_]): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   /** [[freeCheckpoint]], but LogicalRDDs whose rdd id is in `keep` are
     * left alone — the iterative-operator hygiene primitive: pair with
     * [[checkpointIds]] on the operator's input. */
