@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * blocking. Every reference string is expanded to its 1-deletion variants
   * ONCE; a probe matches iff it equals some variant (candidate generation
   * is an EQUI-join on the variant string — a content-derived key space
-  * that grows with the reference set, never an all-pairs scan), then the
-  * exact `levenshtein == 1` check verifies candidates only.
+  * that grows with the reference set, never an all-pairs scan). The
+  * directed join needs NO verify (equality with a deletion variant IS
+  * edit distance 1); the symmetric self-join verifies with exact
+  * levenshtein, whose candidates genuinely reach distance 2.
   *
   * Scale shape: |ref|·avg_len variant rows, one equi-join keyed on the
   * variant value; the quadratic all-pairs fuzzy join never exists. At
@@ -26,12 +28,14 @@ import org.apache.spark.sql.functions._
   *     (9.2 k → 896 k). Exact-dup multiplicity belongs to d1's
   *     hash-groupBy FIRST; run the blocker on the DISTINCT-string
   *     registry (the er1 contract — er1 does exactly this).
-  *   - LONG strings blow the VERIFY, not the join: the levenshtein check
-  *     is O(L²) per candidate (×4 length → ×14 wall at sf0.1, 4.4 →
-  *     61.8 s, index rows only ×5). For document-length strings hash the
-  *     variants (equality is all the join needs) and verify with the
-  *     position-aware compare (a deletion-join candidate differs in one
-  *     known position), never a general O(L²) edit distance.
+  *   - LONG strings blow an O(L²) levenshtein VERIFY, not the join
+  *     (measured ×4 length → ×14 wall at sf0.1, 4.4 → 61.8 s, index rows
+  *     only ×5 — the probe predates deletionJoin dropping its redundant
+  *     verify). Rule: never run a general edit distance where the
+  *     candidate construction already bounds it — deletionJoin needs
+  *     none at all; for [[symmetricSelfJoin]] on document-length strings
+  *     hash the variants for the join and verify with the position-aware
+  *     compare at the two known deletion positions.
   */
 object Fuzzy {
 
@@ -52,20 +56,26 @@ object Fuzzy {
   /** Deletion-neighborhood fuzzy join: probes (probeId, probeCol) against
     * references (refId, refCol), matching exactly the pairs at edit
     * distance 1 where the edit is a deletion FROM the reference (the
-    * spelling-correction direction). Verified with the built-in
-    * levenshtein on candidates only. Distinct pairs (a probe can equal
+    * spelling-correction direction). Distinct pairs (a probe can equal
     * several variants of the same reference — e.g. a doubled letter).
-    * @return (probeId, refId, lev) ordered by caller */
+    *
+    * NO verify step — the equi-join IS the proof: probe == variant(ref)
+    * means |probe| = |ref| − 1 (so lev ≥ 1) and one deletion transforms
+    * ref into probe (so lev ≤ 1) — every candidate has edit distance
+    * EXACTLY 1, and the O(L²) levenshtein this used to run per candidate
+    * was constant-valued work (measured ×14 wall at ×4 string length —
+    * FzProbe, PLANS r12 s1). [[symmetricSelfJoin]]'s verify stays: its
+    * shared-deletion-key candidates genuinely reach lev 2.
+    * @return (probeId, refId, lev) with lev ≡ 1, ordered by caller */
   def deletionJoin(probes: DataFrame, probeId: String, probeCol: String,
                    refs: DataFrame, refId: String, refCol: String): DataFrame = {
     val vars = deletionVariants(refs.select(col(refId), col(refCol)), refCol)
-      .select(col(refId), col(refCol), col("variant"))
+      .select(col(refId), col("variant"))
     probes.select(col(probeId), col(probeCol))
       .join(vars, col(probeCol) === col("variant"))
-      .select(col(probeId), col(refId),
-        levenshtein(col(probeCol), col(refCol)).cast("long").as("lev"))
+      .select(col(probeId), col(refId))
       .distinct()
-      .filter(col("lev") === 1)
+      .withColumn("lev", lit(1L))
   }
 
   /** Symmetric SymSpell self-join: all UNORDERED record pairs at edit

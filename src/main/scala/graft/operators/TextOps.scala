@@ -175,20 +175,44 @@ object TextOps {
     * distinct-set summary; these are the multiset signals a quality filter
     * thresholds on.
     *
-    * Scale shape: explode → count per (doc, width, gram) → per-doc fold —
-    * two shuffles, both keyed on doc-derived keys (partial aggregation
-    * absorbs the fan-out map-side), then a co-partitioned doc_id join back
-    * to the base frame so gram-less docs survive. No per-row O(n²) HOF
-    * mode-finding, so a single pathological long document costs O(n log n)
-    * in its own partitions instead of freezing one task. All numerators are
-    * integer sums (order-free); each fraction is ONE double division per
-    * row, so both engines agree bit-for-bit.
+    * Scale shape: ZERO exchanges — the gram multiset is row-local by
+    * definition, so [[graft.functions.RepSignals]] counts it in one local
+    * hash pass per row (O(tokens) time/memory inside the row's own task,
+    * which holds at any corpus size because the row already lives in one
+    * task). The previous explode → count-per-(doc, width, gram) →
+    * per-doc-fold plan shuffled the whole gram multiset (~7× the corpus
+    * bytes at w ∈ {2, 5}) to compute a per-row quantity; it survives as
+    * [[repetitionSignalsExchange]] — the oracle-shaped twin —
+    * and RepetitionSignalsSpec pins bit equality of the two. All ppms are
+    * PURE INTEGER arithmetic (long division == floor for non-negatives ==
+    * DuckDB `//`) — no double ever reaches the output (the r10 driver
+    * hash-fail surface, VERDICT #2).
     *
     * Flag thresholds follow the published filter family (top/duplicate
     * n-gram char fraction): dup-bigram chars > 20% or dup-5-gram chars
     * > 10% of the document. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
-                        nCharsCol: String): DataFrame = {
+                        nCharsCol: String): DataFrame =
+    df.select(col(idCol),
+        greatest(col(nCharsCol).cast("long"), lit(1L)).as("__nc"),
+        tokens(col(textCol)).as("__tv"))
+      .withColumn("__r", graft.functions.RepSignals.repSignals(col("__tv")))
+      .select(col(idCol), size(col("__tv")).cast("long").as("n_tokens"),
+        col("__r.n2").as("n_bigrams"),
+        expr("__r.dup2c * 1000000L div __nc").as("dup2_char_ppm"),
+        expr("__r.dup5c * 1000000L div __nc").as("dup5_char_ppm"),
+        expr("__r.top2 * 1000000L div greatest(__r.n2, 1L)").as("top2_count_ppm"),
+        // frac > 0.20  ⇔  5·dup2c > nc; frac > 0.10 ⇔ 10·dup5c > nc
+        (col("__r.dup2c") * lit(5L) > col("__nc") ||
+          col("__r.dup5c") * lit(10L) > col("__nc")).as("rep_flagged"))
+
+  /** The exchange form of [[repetitionSignals]] — explode every gram
+    * occurrence, count per (doc, width, gram), per-doc fold, join back so
+    * gram-less docs survive. Kept as the oracle-shaped twin of the
+    * [[graft.functions.RepSignals]] kernel (the DuckDB oracle replays
+    * this plan); the spec pins equality on real corpora. */
+  def repetitionSignalsExchange(df: DataFrame, idCol: String, textCol: String,
+                                nCharsCol: String): DataFrame = {
     val base = df.select(col(idCol), greatest(col(nCharsCol).cast("long"), lit(1L)).as("__nc"),
       tokens(col(textCol)).as("__tv"))
     def gramRows(w: Int) =
@@ -205,10 +229,6 @@ object TextOps {
         (col("__cnt") - 1) * col("__glen"))).as("__dup2c"),
       sum(when(col("__w") === 5 && col("__cnt") > 1,
         (col("__cnt") - 1) * col("__glen"))).as("__dup5c"))
-    // Fixed-point ppm via PURE INTEGER arithmetic (numerators and nc are
-    // longs; long division == floor for non-negatives == DuckDB `//`) —
-    // no double ever reaches the output, so no engine/version can disagree
-    // (round()-of-double was the r10 driver hash-fail surface, VERDICT #2).
     val dup2c = coalesce(col("__dup2c"), lit(0L))
     val dup5c = coalesce(col("__dup5c"), lit(0L))
     base.select(col(idCol), col("__nc"), size(col("__tv")).cast("long").as("n_tokens"))
@@ -219,7 +239,6 @@ object TextOps {
         expr("coalesce(__dup5c, 0L) * 1000000L div __nc").as("dup5_char_ppm"),
         expr("coalesce(__top2, 0L) * 1000000L div greatest(coalesce(__n2, 0L), 1L)")
           .as("top2_count_ppm"),
-        // frac > 0.20  ⇔  5·dup2c > nc; frac > 0.10 ⇔ 10·dup5c > nc
         (dup2c * lit(5L) > col("__nc") || dup5c * lit(10L) > col("__nc"))
           .as("rep_flagged"))
   }

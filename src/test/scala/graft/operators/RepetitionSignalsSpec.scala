@@ -72,4 +72,39 @@ class RepetitionSignalsSpec extends SparkSpec {
     assert(r.getAs[Long]("dup2_char_ppm") === 3L * 1000000L / 9L)
     assert(r.getAs[Long]("top2_count_ppm") === 500000L)
   }
+
+  test("kernel form equals the exchange twin on real documents, both exec paths") {
+    val docs = graft.Tables.documents(spark, sf())
+    def both(df: org.apache.spark.sql.DataFrame) = (
+      TextOps.repetitionSignals(df, "doc_id", "text", "n_chars")
+        .orderBy("doc_id").collect().toSeq,
+      TextOps.repetitionSignalsExchange(df, "doc_id", "text", "n_chars")
+        .orderBy("doc_id").collect().toSeq)
+    val (kernel, exchange) = both(docs)
+    assert(kernel === exchange)
+    // interpreted == codegen for the kernel path
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen == "true") "FALLBACK" else "NO_CODEGEN")
+      try TextOps.repetitionSignals(docs.limit(50), "doc_id", "text", "n_chars")
+        .orderBy("doc_id").collect().toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(run("true") == run("false"))
+  }
+
+  test("kernel is evaluated once per row, not once per extracted field") {
+    // catalyst-eval-cost: the struct-producing expression is referenced by
+    // 6 output columns — CollapseProject must NOT inline it 6×
+    val df = spark.createDataFrame(Seq((1L, "a b a b"))).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val plan = TextOps.repetitionSignals(df, "doc_id", "text", "n_chars")
+      .queryExecution.optimizedPlan.toString
+    assert("rep_signals|RepSignals".r.findAllIn(plan).size <= 2,
+      s"RepSignals inlined per field:\n$plan")
+  }
 }
