@@ -561,4 +561,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("repetition signals are a zero-exchange projection (t11 kernel)") {
+    val docs = Tables.documents(spark, sf())
+    val df = graft.operators.TextOps.repetitionSignals(
+      docs, "doc_id", "text", "n_chars")
+    assert(countExchanges(df) == 0, plan(df).take(3000))
+    assert(plan(df).contains("repsignals"), plan(df).take(3000))
+  }
+
+  test("d19/d20 shingle input is the native kernel, not interpreted HOFs") {
+    // the r12 5.8 s finding: two nested CodegenFallback ArrayTransforms
+    // (md5-hex + conv per gram) in the hot input projection. The pin is on
+    // the projection that feeds the prefix join.
+    val docs = Tables.documents(spark, sf())
+      .withColumn("__toks", graft.functions.MinhashBands.shingleHashes(
+        split(col("text"), " "), 3))
+      .select(col("doc_id"), col("__toks"))
+    val p = plan(docs)
+    assert(p.contains("shinglehashes"), p.take(2000))
+    assert(!p.contains("transform("), p.take(2000))
+  }
+
+  test("deletionJoin runs no edit-distance at all (fz1)") {
+    import spark.implicits._
+    val refs = Seq((1L, "abc"), (2L, "abcd")).toDF("rid", "name")
+    val probes = Seq((10L, "ab")).toDF("pid", "pname")
+    val p = plan(graft.operators.Fuzzy.deletionJoin(
+      probes, "pid", "pname", refs, "rid", "name"))
+    // candidates ARE the result (probe == variant ⇒ lev exactly 1): the
+    // plan must contain no levenshtein evaluation anywhere
+    assert(!p.toLowerCase.contains("levenshtein"), p.take(3000))
+  }
 }
