@@ -53,4 +53,28 @@ object Checks {
     val n = df.filter(col(c) < lo || col(c) > hi).count()
     if (n > 0) throw CheckFailed(s"$what: $n rows of $c outside [$lo, $hi]")
   }
+
+  /** Functional-dependency / candidate-key audit as a REPORT rather than an
+    * assertion: for one named rule, either LHS uniqueness (`rhs = None` —
+    * candidate-key discovery) or the FD lhs → rhs (every LHS group maps to
+    * exactly one RHS value), counted exactly. One aggregation keyed on the
+    * LHS (no collect; scale = one shuffle on the LHS key space, group
+    * cardinality ≤ rows by definition). Returns one row
+    * (rule, n_rows, n_groups, n_violating, holds); compose a profile from
+    * several rules with unionByName. */
+  def fdAudit(df: DataFrame, rule: String, lhs: Seq[String],
+              rhs: Option[String]): DataFrame = {
+    val grouped = rhs match {
+      case Some(r) => df.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("__n"), countDistinct(r).as("__nd"))
+      case None => df.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("__n"), lit(1L).as("__nd"))
+    }
+    val viol = if (rhs.isDefined) col("__nd") > 1 else col("__n") > 1
+    grouped
+      .agg(sum("__n").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(viol, 1L).otherwise(0L)).as("n_violating"))
+      .select(lit(rule).as("rule"), col("n_rows"), col("n_groups"),
+        col("n_violating"), (col("n_violating") === 0L).as("holds"))
+  }
 }

@@ -115,6 +115,114 @@ object Graph {
     r
   }
 
+  /** DIRECTED word-adjacency edges (a → b when b immediately follows a):
+    * (src, dst, w) with w = adjacency count, self-pairs dropped. The
+    * directed twin of [[cooccurrenceEdges]] — precedence matters for
+    * hub/authority structure. ONE shuffle (the pair groupBy). */
+  def adjacencyEdges(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(expr(s"filter(split($textCol, ' '), t -> t <> '')").as("__toks"))
+      .select(posexplode(col("__toks")).as(Seq("__i", "a")), col("__toks"))
+      .filter(col("__i") < size(col("__toks")) - 1)
+      .select(col("a").as("src"), expr("__toks[__i + 1]").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Integer-exact HITS (Kleinberg 1999) over weighted directed edges
+    * (src, dst, w): hub(n) = Σ_{n→m} w·auth(m), auth(n) = Σ_{m→n} w·hub(m),
+    * each half-step renormalized to total mass [[Scale]] by exact
+    * fixed-point division — `raw·Scale div Σraw` in DECIMAL(38,0) ≡
+    * HUGEINT `//`, so the whole chain is bit-exact on any engine and the
+    * oracle replays it as one unrolled CTE per half-step. Scale shape is
+    * [[pagerank]]'s: edges/nodes materialized once, each half-step is one
+    * edge⋈score join plus a map-side-combined aggregation, per-round
+    * frames checkpointed and superseded rounds freed with the input's ids
+    * protected. Returns (node, auth_fp, hub_fp). */
+  def hits(edges0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
+    val protectIds = Bridge.checkpointIds(edges0)
+    val edges =
+      if (Bridge.isBareCheckpoint(edges0)) edges0 else edges0.localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .unionByName(edges.select(col("dst").as("node")).distinct())
+      .distinct()
+      .localCheckpoint(true)
+    val keep = protectIds ++ Bridge.checkpointIds(edges) ++
+      Bridge.checkpointIds(nodes)
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum("__raw").as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"), expr(
+          s"CAST(CAST(coalesce(__raw, 0L) AS DECIMAL(38,0)) * $Scale" +
+            " div __tot AS BIGINT)").as(outCol))
+    }
+    var auth = nodes.withColumn("a_fp", lit(Scale))
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hraw = edges
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("a_fp")).as("__raw"))
+      val hubNext = normalized(hraw, "h_fp").localCheckpoint()
+      if (hub != null) Bridge.freeCheckpointExcept(hub, keep)
+      hub = hubNext
+      val araw = edges
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("h_fp")).as("__raw"))
+      val authNext = normalized(araw, "a_fp").localCheckpoint()
+      Bridge.freeCheckpointExcept(auth, keep)
+      auth = authNext
+    }
+    val out = auth.join(hub, "node")
+      .select(col("node"), col("a_fp").as("auth_fp"), col("h_fp").as("hub_fp"))
+    if (iters > 0) {
+      if (!(edges eq edges0)) Bridge.freeCheckpoint(edges)
+      Bridge.freeCheckpoint(nodes)
+    }
+    out
+  }
+
+  /** Multi-source shortest distances by `rounds` synchronous Bellman-Ford
+    * relaxations over weighted undirected edges (`aCol`, `bCol`, `wCol` —
+    * positive integer weights): dist(n) = min over ≤`rounds`-edge paths
+    * from any seed of the path weight sum. The distance-to-nearest-hub
+    * field of data-organization pipelines. Integer min-plus only — parity
+    * is trivial, and the oracle replays the unrolled relaxation exactly
+    * (idempotent past the graph's true shortest-path depth).
+    *
+    * Scale shape: the both-direction incidence frame is partitioned by
+    * source node and checkpointed ONCE (the only O(E) shuffle); each round
+    * joins it with the current distance frontier (node-dimension) and
+    * min-combines — map-side-combined aggregation, per-round checkpoints,
+    * superseded rounds freed with the input's ids protected. */
+  def multiSourceSssp(edges: DataFrame, aCol: String, bCol: String,
+                      wCol: String, seeds: DataFrame,
+                      rounds: Int): DataFrame = {
+    val protectIds = Bridge.checkpointIds(edges) ++ Bridge.checkpointIds(seeds)
+    val ebi = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).as("w"))
+      .unionByName(edges
+        .select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val keep = protectIds ++ Bridge.checkpointIds(ebi)
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = ebi
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relax)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Bridge.freeCheckpointExcept(dist, keep)
+      dist = next
+    }
+    Bridge.freeCheckpointExcept(ebi, protectIds)
+    dist
+  }
+
   /** Exact triangle listing by degree-ordered compact-forward: each
     * undirected edge is oriented from its lower-(degree, id) endpoint, so
     * every triangle is emitted exactly ONCE — at its unique apex with two

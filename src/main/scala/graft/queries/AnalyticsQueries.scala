@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Fuzzy, TextOps, ZOrder}
+import graft.operators.{Checks, Fuzzy, TextOps, ZOrder}
 
 /** Session-11 analytics additions: time-series gap-fill with forward
   * fill, sequential funnel stages, the deletion-neighborhood fuzzy JOIN
@@ -1818,5 +1818,62 @@ object AnalyticsQueries {
            |  CAST(CASE WHEN psgn IS NULL THEN 0
            |       WHEN sgn <> psgn THEN 1 ELSE 0 END AS BIGINT) AS cross
            |FROM sg ORDER BY day""".stripMargin
-      }))
+      }),
+
+    // Functional-dependency / candidate-key audit (Checks.fdAudit): a
+    // profiling REPORT over declared rules — key-uniqueness discovery
+    // (n_groups == n_rows) and FD checks (every LHS group maps to one RHS
+    // value), counted exactly. The schema-inference half of data-quality
+    // tooling that dq1's contract check ASSUMES: it tells you which
+    // contracts the data actually supports. Each rule is one aggregation
+    // keyed on its LHS — no collect, nothing quadratic; the rule list is
+    // fixed metadata, not data-derived.
+    Q("dq6_fd_audit",
+      (s, d) => {
+        def t(name: String) = name match {
+          case "customer" => Tables.customer(s, d)
+          case "lineitem" => Tables.lineitem(s, d)
+          case "nation" => Tables.nation(s, d)
+          case "orders" => Tables.orders(s, d)
+        }
+        dq6Rules.map { case (rule, table, lhs, rhs) =>
+          Checks.fdAudit(t(table), rule, lhs, rhs)
+        }.reduce(_ unionByName _).orderBy("rule")
+      },
+      Some(dq6Oracle)))
+
+  /** The audited rules: (rule label, table, LHS columns, RHS column or
+    * None for a uniqueness/candidate-key check). Shared verbatim by the
+    * Spark side and the oracle generator so labels can never drift. */
+  private def dq6Rules: Seq[(String, String, Seq[String], Option[String])] = Seq(
+    ("customer: c_custkey -> c_nationkey", "customer",
+      Seq("c_custkey"), Some("c_nationkey")),
+    ("lineitem: (l_orderkey, l_linenumber) unique", "lineitem",
+      Seq("l_orderkey", "l_linenumber"), None),
+    ("lineitem: l_orderkey -> l_returnflag", "lineitem",
+      Seq("l_orderkey"), Some("l_returnflag")),
+    ("nation: n_nationkey -> n_regionkey", "nation",
+      Seq("n_nationkey"), Some("n_regionkey")),
+    ("orders: o_custkey -> o_orderpriority", "orders",
+      Seq("o_custkey"), Some("o_orderpriority")),
+    ("orders: o_orderkey unique", "orders",
+      Seq("o_orderkey"), None))
+
+  private def dq6Oracle: String = {
+    val parts = dq6Rules.map { case (rule, table, lhs, rhs) =>
+      val inner = rhs match {
+        case Some(r) => s"SELECT COUNT(*) AS n, COUNT(DISTINCT $r) AS nd" +
+          s" FROM $table GROUP BY ${lhs.mkString(", ")}"
+        case None => s"SELECT COUNT(*) AS n, 1 AS nd" +
+          s" FROM $table GROUP BY ${lhs.mkString(", ")}"
+      }
+      val viol = if (rhs.isDefined) "nd > 1" else "n > 1"
+      s"""SELECT '$rule' AS rule, CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_groups,
+         |  CAST(SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+         |FROM ($inner)""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
 }

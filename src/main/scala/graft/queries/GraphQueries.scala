@@ -58,6 +58,74 @@ object GraphQueries {
 
   private val kcoreK = 75
   private val kcoreRounds = 8
+  private val hitsIters = 6
+  private val ssspRounds = 4
+
+  /** Unrolled HITS chain: one MATERIALIZED CTE per half-step (raw sums,
+    * then the exact renormalization `raw·10⁹ // Σraw` in HUGEINT — the
+    * Spark side divides in DECIMAL(38,0), bit-identical for positive
+    * values). Multiply-referenced CTEs are MATERIALIZED (the kcore
+    * unroll lesson). */
+  private def hitsOracle: String = {
+    val dirEdges =
+      """toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        |          FROM documents),
+        |adj AS (SELECT tl[i] AS a, tl[i + 1] AS b
+        |        FROM (SELECT tl, unnest(range(1, len(tl))) AS i FROM toks)
+        |        WHERE tl[i] <> tl[i + 1]),
+        |edges AS MATERIALIZED (SELECT a AS src, b AS dst, COUNT(*) AS w
+        |         FROM adj GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+        |         UNION SELECT DISTINCT dst AS node FROM edges),
+        |a0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS a_fp FROM nodes)""".stripMargin
+    val rounds = (1 to hitsIters).map { i =>
+      s"""h${i}r AS MATERIALIZED (SELECT n.node,
+         |    COALESCE(SUM(CAST(e.w AS HUGEINT) * a.a_fp), 0) AS raw
+         |  FROM nodes n LEFT JOIN edges e ON e.src = n.node
+         |  LEFT JOIN a${i - 1} a ON a.node = e.dst GROUP BY n.node),
+         |h$i AS MATERIALIZED (SELECT node,
+         |    CAST(raw * 1000000000 // (SELECT SUM(raw) FROM h${i}r) AS BIGINT) AS h_fp
+         |  FROM h${i}r),
+         |a${i}r AS MATERIALIZED (SELECT n.node,
+         |    COALESCE(SUM(CAST(e.w AS HUGEINT) * h.h_fp), 0) AS raw
+         |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN h$i h ON h.node = e.src GROUP BY n.node),
+         |a$i AS MATERIALIZED (SELECT node,
+         |    CAST(raw * 1000000000 // (SELECT SUM(raw) FROM a${i}r) AS BIGINT) AS a_fp
+         |  FROM a${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $dirEdges,
+       |$rounds
+       |SELECT a.node AS term, a.a_fp AS auth_fp, h.h_fp AS hub_fp
+       |FROM a$hitsIters a JOIN h$hitsIters h USING (node)
+       |ORDER BY auth_fp DESC, term""".stripMargin
+  }
+
+  /** Unrolled Bellman-Ford: r_i = min-plus relaxation of r_{i-1} over the
+    * both-direction weighted edge list. Idempotent past the true
+    * shortest-path depth. */
+  private def ssspOracle: String = {
+    val rounds = (1 to ssspRounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.dist + e.w AS dist
+         |    FROM r${i - 1} r JOIN ebi e ON e.src = r.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |       CAST(1000000 // COUNT(*) AS BIGINT) AS w
+       |     FROM items a JOIN items b
+       |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |     GROUP BY 1, 2),
+       |ebi AS MATERIALIZED (SELECT p1 AS src, p2 AS dst, w FROM e
+       |       UNION ALL SELECT p2, p1, w FROM e),
+       |r0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM part WHERE p_partkey <= 3),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM r$ssspRounds
+       |ORDER BY dist, node""".stripMargin
+  }
 
   /** Persisted co-purchase graph artifact (DISTINCT part pairs sharing an
     * order, p1 < p2), memoized per sf dir with an eager localCheckpoint —
@@ -189,6 +257,47 @@ object GraphQueries {
           .orderBy("node")
       },
       Some(kcoreOracle)),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED token-
+    // adjacency graph (src → dst when dst follows src): 6 integer
+    // fixed-point iterations, each half-step renormalized to mass 10⁹ by
+    // exact wide division — the oracle replays the chain as one CTE per
+    // half-step, every product and floor-division identical. Directed
+    // precedence makes hubs (words that LEAD INTO central words) and
+    // authorities (words central contexts point AT) genuinely different
+    // rankings, unlike PageRank over the symmetric graph (g1).
+    Q("g7_hits_keywords",
+      (s, d) => Graph.hits(
+          Graph.adjacencyEdges(
+            Tables.documents(s, d).select("text"), "text"), hitsIters)
+        .select(col("node").as("term"), col("auth_fp"), col("hub_fp"))
+        .orderBy(col("auth_fp").desc, col("term")),
+      Some(hitsOracle)),
+
+    // Multi-source shortest distances (4 synchronous Bellman-Ford
+    // relaxations) over the co-purchase graph with affinity weights
+    // w = 10⁶ div co-count (stronger ties are shorter): dist(part) =
+    // min-plus path weight to the nearest of 3 hub parts — the
+    // distance-to-nearest-hub field data-organization pipelines assign
+    // shards by. Integer min-plus only; the unrolled oracle agrees
+    // exactly at any round count ≥ the true shortest-path depth.
+    Q("g8_multisource_sssp",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("__c"))
+          .select(col("p1"), col("p2"),
+            expr("1000000L div __c").as("w"))
+        val seeds = Tables.part(s, d).filter(col("p_partkey") <= 3)
+          .select(col("p_partkey").as("node"))
+        Graph.multiSourceSssp(edges, "p1", "p2", "w", seeds, ssspRounds)
+          .orderBy("dist", "node")
+      },
+      Some(ssspOracle)),
 
     // Link prediction over the co-purchase graph, anchored to 20 seed
     // parts (ids ≤ 2000 so the SAME seeds exist at every SF): top-5

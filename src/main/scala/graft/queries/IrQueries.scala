@@ -272,5 +272,69 @@ object IrQueries {
            |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
            |  doc_id, CAST(n_terms AS BIGINT) AS n_terms, best_pos
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // Multi-vector late-interaction retrieval — the ColBERT MaxSim shape
+    // (Khattab & Zaharia 2020): each item is a BAG of token vectors and
+    // score(q, c) = Σ over query tokens of the max dot against any
+    // candidate token. Token vectors here are the 8 contiguous 8-dim
+    // sub-vectors of the embedding (a deterministic stand-in for per-token
+    // encoder output — the Spark-side plumbing is the real thing),
+    // int8-quantized at the pinned power-of-two scale 256 so every dot is
+    // the exact integer kernel (QuantizedDot) and the oracle replays it
+    // bit-for-bit. Scale shape: the 160-row query token set BROADCASTS,
+    // candidate tokens stream through the codegen'd dot without
+    // shuffling; the per-(query, cand, qtoken) max and per-(query, cand)
+    // sum are map-side-combined aggregations. This is the exact
+    // brute-force baseline (s1's role) — at corpus scale the candidate
+    // set is first bounded by an ANN prefilter (s3/s4's machinery).
+    Q("ir6_maxsim_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.QuantizedVec
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val sub = array((0 until 8).map(i =>
+          QuantizedVec.quantizeInt8(expr(s"slice(v, ${i * 8 + 1}, 8)"), 256.0)): _*)
+        val toks = e.select(col("vec_id"), posexplode(sub).as(Seq("ti", "tq")))
+        val qt = toks.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("qid"), col("ti").as("qi"), col("tq").as("qq"))
+        val ct = toks.select(col("vec_id").as("cid"), col("tq").as("cq"))
+        val perTok = ct.join(broadcast(qt), col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"), col("qi"),
+            QuantizedVec.quantizedDot(col("qq"), col("cq")).as("dot"))
+          .groupBy("qid", "cid", "qi").agg(max("dot").as("m"))
+        val scored = perTok.groupBy("qid", "cid").agg(sum("m").as("score"))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("int").as("rank"),
+            col("cid"), col("score"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val quant8 = (v: String) =>
+          s"list_transform($v, x -> CAST(GREATEST(-127, LEAST(127, FLOOR(x * 256.0))) AS BIGINT))"
+        val dot8 = (a: String, b: String) =>
+          s"CAST(list_sum(list_transform(range(1, 9), i -> $a[i] * $b[i])) AS BIGINT)"
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings),
+           |toks AS (SELECT vec_id, ti,
+           |    ${quant8("list_slice(v, ti * 8 + 1, ti * 8 + 8)")} AS tq
+           |  FROM e, (SELECT unnest(range(0, 8)) AS ti)),
+           |q AS (SELECT vec_id AS qid, ti AS qi, tq AS qq FROM toks
+           |      WHERE vec_id >= 100 AND vec_id < 120),
+           |c AS (SELECT vec_id AS cid, tq AS cq FROM toks),
+           |pt AS (SELECT qid, cid, qi, MAX(${dot8("qq", "cq")}) AS m
+           |       FROM c JOIN q ON qid <> cid GROUP BY qid, cid, qi),
+           |sc AS (SELECT qid, cid, CAST(SUM(m) AS BIGINT) AS score
+           |       FROM pt GROUP BY qid, cid),
+           |r AS (SELECT qid, cid, score,
+           |        row_number() OVER (PARTITION BY qid
+           |          ORDER BY score DESC, cid) AS rank
+           |      FROM sc)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, score
+           |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
       }))
 }

@@ -3271,6 +3271,147 @@ object LlmQueries {
              |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
              |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Span-coverage decontamination — the PaLM/Llama-style "dirty part"
+    // measure that d7's gram COUNT cannot express: mark every training
+    // 8-token window that appears verbatim in the eval set, then report
+    // how much of each document the matched windows COVER (union of
+    // covered token positions, as ppm of the doc). A fixed 12-token probe
+    // phrase is planted into the eval docs (doc_id % 50 = 0) and leaked
+    // into some training docs (doc_id % 23 = 3), so coverage is
+    // deterministic and nonzero at any SF. Scale shape: the eval window
+    // set BROADCASTS (the d7 premise — eval benchmarks are bounded);
+    // training windows never shuffle — they stream through the broadcast
+    // semi-join keyed on the 60-bit window hash, and the only exchanges
+    // are the matched-window frame (tiny) and the per-doc aggregates.
+    // Window identity is the md5-60 hash on BOTH engines, so a collision
+    // is part of the operator's definition, not a divergence (the d16d
+    // reasoning).
+    Q("d22_contamination_coverage",
+      (s, d) => {
+        val phrase =
+          "le vif renard brun saute par dessus le chien tres paresseux aussi"
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          expr(s"if(doc_id % 50 = 0 or doc_id % 23 = 3," +
+            s" concat(text, ' $phrase'), text)").as("txt"))
+        val toks = docs.select(col("doc_id"), TextOps.tokens(col("txt")).as("toks"))
+        val wins = toks.select(col("doc_id"),
+          posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
+        val bench = wins.filter(col("doc_id") % 50 === 0)
+          .select(expr(TextOps.md5LongSql("g")).as("gh")).distinct()
+        val matched = wins.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("p"), expr(TextOps.md5LongSql("g")).as("gh"))
+          .join(broadcast(bench), Seq("gh"), "left_semi")
+        val mc = matched.groupBy("doc_id").agg(count(lit(1)).as("__m"))
+        val cov = matched
+          .select(col("doc_id"), explode(expr("sequence(p + 1, p + 8)")).as("pos"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("__cov"))
+        toks.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            greatest(size(col("toks")) - lit(7), lit(0)).cast("long").as("n_windows"))
+          .join(mc, Seq("doc_id"), "left")
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+            coalesce(col("__m"), lit(0L)).as("n_matched"),
+            coalesce(col("__cov"), lit(0L)).as("covered_tokens"),
+            expr("coalesce(__cov, 0L) * 1000000L div n_tokens").as("cover_ppm"),
+            (expr("coalesce(__cov, 0L) * 1000000L div n_tokens") >= 100000L)
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val phrase =
+          "le vif renard brun saute par dessus le chien tres paresseux aussi"
+        val gram8 = (0 until 8).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+        s"""WITH docs AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 50 = 0 OR doc_id % 23 = 3
+           |         THEN text || ' $phrase' ELSE text END AS txt
+           |  FROM documents),
+           |toks AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM docs),
+           |wins AS (SELECT doc_id, i, ${dMd5Long(gram8)} AS gh
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM toks)),
+           |bench AS (SELECT DISTINCT gh FROM wins WHERE doc_id % 50 = 0),
+           |matched AS (SELECT w.doc_id, w.i FROM wins w JOIN bench USING (gh)
+           |            WHERE w.doc_id % 50 <> 0),
+           |mc AS (SELECT doc_id, COUNT(*) AS n_matched FROM matched GROUP BY doc_id),
+           |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS covered FROM
+           |        (SELECT doc_id, unnest(range(i, i + 8)) AS pos FROM matched)
+           |        GROUP BY doc_id),
+           |base AS (SELECT doc_id, len(toks) AS n_tokens,
+           |           greatest(len(toks) - 7, 0) AS n_windows
+           |         FROM toks WHERE doc_id % 50 <> 0)
+           |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(b.n_windows AS BIGINT) AS n_windows,
+           |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+           |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           |  CAST(COALESCE(c.covered, 0) * 1000000 // b.n_tokens AS BIGINT) AS cover_ppm,
+           |  (COALESCE(c.covered, 0) * 1000000 // b.n_tokens) >= 100000 AS contaminated
+           |FROM base b LEFT JOIN mc m USING (doc_id) LEFT JOIN cov c USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Hashed n-gram importance selection — the DSIR shape (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling"): per-bucket target/raw frequency ratios over hashed
+    // unigram+bigram features (t13's feature map), averaged per document,
+    // select documents that look more target-like than the corpus base
+    // rate. The target distribution here is the lang='en' slice. Weights
+    // are Laplace-smoothed RATIONAL ratios, not DSIR's log-likelihoods —
+    // integer fixed-point survives any engine, log-sums do not (the
+    // no-libm float-parity invariant): w_ppm(b) = (ct+1)·Nraw·10⁶ div
+    // ((cr+1)·Ntgt) in DECIMAL(38,0) ≡ HUGEINT. Scale shape: the weight
+    // table is BOUNDED (16384 buckets) and broadcast back; gram traffic
+    // shuffles once into the bucket agg (map-side combined, even keys by
+    // construction) and once into the per-doc sum.
+    Q("samp7_dsir_selection",
+      (s, d) => {
+        val buckets = 16384
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+        val bk = docs.select(col("doc_id"), col("lang"),
+            explode(expr(TextOps.letSql("toks", "tv")(tv =>
+              s"concat($tv, ${TextOps.allGramsSql(tv, 2)})"))).as("g"))
+          .select(col("doc_id"), col("lang"),
+            expr(s"${TextOps.md5LongSql("g")} % $buckets").as("b"))
+        val w = bk.groupBy("b").agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = w.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+        val wp = w.crossJoin(broadcast(tot))
+          .select(col("b"), expr(
+            "CAST(((ct + 1) * CAST(nr AS DECIMAL(38,0)) * 1000000)" +
+              " div ((cr + 1) * CAST(nt AS DECIMAL(38,0))) AS BIGINT)").as("w_ppm"))
+        bk.join(broadcast(wp), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), sum("w_ppm").as("__s"))
+          .select(col("doc_id"), col("n_grams"),
+            expr("__s div n_grams").as("score_ppm"),
+            (expr("__s div n_grams") >= 1020000L).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val buckets = 16384
+        s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           |              FROM documents),
+           |feats AS (SELECT doc_id, lang, unnest(list_concat(toks,
+           |            CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+           |                 ELSE list_transform(range(1, len(toks)),
+           |                        i -> toks[i] || ' ' || toks[i + 1]) END)) AS g
+           |          FROM docs),
+           |bk AS (SELECT doc_id, lang, ${dMd5Long("g")} % $buckets AS b FROM feats),
+           |w AS (SELECT b, COUNT(*) AS cr,
+           |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+           |      FROM bk GROUP BY b),
+           |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM w),
+           |wp AS (SELECT b, CAST(((CAST(ct AS HUGEINT) + 1) * nr * 1000000)
+           |                      // ((CAST(cr AS HUGEINT) + 1) * nt) AS BIGINT) AS w_ppm
+           |       FROM w, tot),
+           |sc AS (SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(w_ppm) AS BIGINT) AS s
+           |       FROM bk JOIN wp USING (b) GROUP BY doc_id)
+           |SELECT doc_id, n_grams, CAST(s // n_grams AS BIGINT) AS score_ppm,
+           |  (s // n_grams) >= 1020000 AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -26,6 +26,29 @@ class ChecksSpec extends SparkSpec {
     intercept[Checks.CheckFailed] { Checks.assertInRange(o, "o_totalprice", 0.0, 10.0) }
   }
 
+  test("fdAudit counts uniqueness and FD violations exactly") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "b", 20L),
+      (3L, "b", 30L), (4L, "c", 40L)).toDF("k", "g", "v")
+    // k unique? k=3 appears twice -> one violating group
+    val u = Checks.fdAudit(df, "k unique", Seq("k"), None).head()
+    assert(u.getAs[String]("rule") === "k unique")
+    assert(u.getAs[Long]("n_rows") === 5L)
+    assert(u.getAs[Long]("n_groups") === 4L)
+    assert(u.getAs[Long]("n_violating") === 1L)
+    assert(!u.getAs[Boolean]("holds"))
+    // g -> v: g=b maps to {20,30} -> violated; g=a maps to {10} ok
+    val f = Checks.fdAudit(df, "g->v", Seq("g"), Some("v")).head()
+    assert(f.getAs[Long]("n_groups") === 3L)
+    assert(f.getAs[Long]("n_violating") === 1L)
+    assert(!f.getAs[Boolean]("holds"))
+    // g -> first letter of g: trivially holds
+    val ok = Checks.fdAudit(df.selectExpr("*", "substring(g, 1, 1) AS g2"),
+      "g->g2", Seq("g"), Some("g2")).head()
+    assert(ok.getAs[Long]("n_violating") === 0L)
+    assert(ok.getAs[Boolean]("holds"))
+  }
+
   test("sql registration exposes dot_product and hilbert_index") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))")

@@ -199,4 +199,93 @@ class GraphSpec extends SparkSpec {
     // no predicted pair may already be an edge
     got.foreach { case ((q, _), (c, _, _)) => assert(!es((q min c, q max c))) }
   }
+
+  test("adjacencyEdges: directed counts, self-pairs dropped") {
+    val docs = Seq("a b a b", "b c c").toDF("text")
+    val e = Graph.adjacencyEdges(docs, "text").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("w"))
+      .toMap
+    // "a b a b": a->b twice, b->a once; "b c": b->c once; "c c" dropped
+    assert(e === Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+  }
+
+  /** BigInt replica of the HITS fixed-point chain. */
+  private def refHits(edges: Map[(String, String), Long],
+                      iters: Int): Map[String, (Long, Long)] = {
+    val S = BigInt(Graph.Scale)
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSeq.distinct.sorted
+    var a = nodes.map(_ -> S).toMap
+    var h = Map.empty[String, BigInt]
+    def normalize(raw: Map[String, BigInt]): Map[String, BigInt] = {
+      val tot = raw.values.sum
+      nodes.map(n => n -> raw.getOrElse(n, BigInt(0)) * S / tot).toMap
+    }
+    for (_ <- 1 to iters) {
+      h = normalize(edges.toSeq.groupBy(_._1._1).map { case (src, es) =>
+        src -> es.map { case ((_, dst), w) => BigInt(w) * a(dst) }.sum
+      })
+      a = normalize(edges.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((src, _), w) => BigInt(w) * h(src) }.sum
+      })
+    }
+    nodes.map(n => n -> (a(n).toLong, h(n).toLong)).toMap
+  }
+
+  test("hits matches the BigInt reference chain") {
+    val docs = Seq("a b c a b", "b c d", "d a", "c c b a").toDF("text")
+    val edges = Graph.adjacencyEdges(docs, "text")
+    val em = edges.collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Long]("w"))
+      .toMap
+    val got = Graph.hits(edges, iters = 4).collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("auth_fp"), r.getAs[Long]("hub_fp"))).toMap
+    assert(got === refHits(em, 4))
+    // hubs and authorities must actually differ on a directed graph
+    assert(got.exists { case (_, (afp, hfp)) => afp != hfp })
+  }
+
+  test("hits over a checkpointed edge frame leaves the input readable") {
+    val docs = Seq("a b c", "b c a").toDF("text")
+    val e = Graph.adjacencyEdges(docs, "text").localCheckpoint(true)
+    val out = Graph.hits(e, iters = 2)
+    assert(out.count() > 0L)
+    assert(e.count() > 0L)
+  }
+
+  test("multiSourceSssp matches brute-force bounded Bellman-Ford") {
+    // weighted path graph with a shortcut: distances differ per round count
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L),
+      (1L, 4L, 50L), (4L, 5L, 10L), (6L, 7L, 5L))
+    def ref(rounds: Int, seeds: Set[Long]): Map[Long, Long] = {
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = edges.flatMap { case (x, y, w) =>
+          Seq(dist.get(x).map(dx => y -> (dx + w)),
+            dist.get(y).map(dy => x -> (dy + w))).flatten
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+      dist
+    }
+    val seeds = Seq(1L, 6L).toDF("node")
+    for (rounds <- Seq(1, 2, 4)) {
+      val got = Graph.multiSourceSssp(edges.toDF("a", "b", "w"), "a", "b", "w",
+          seeds, rounds)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+      assert(got === ref(rounds, Set(1L, 6L)), s"rounds=$rounds")
+    }
+    // the 3-hop path (30) must beat the 1-hop shortcut (50) once deep enough
+    assert(ref(4, Set(1L, 6L))(4L) === 30L)
+  }
+
+  test("multiSourceSssp leaves checkpointed inputs readable") {
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 4L)).toDF("a", "b", "w").localCheckpoint(true)
+    val s = Seq(1L).toDF("node").localCheckpoint(true)
+    val out = Graph.multiSourceSssp(e, "a", "b", "w", s, 2)
+    assert(out.count() === 3L)
+    assert(e.count() === 2L)
+    assert(s.count() === 1L)
+  }
 }
