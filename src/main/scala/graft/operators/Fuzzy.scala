@@ -103,4 +103,57 @@ object Fuzzy {
       .distinct()
       .filter(col("lev") <= 1)
   }
+
+  /** Soundex phonetic code (simplified standard variant) as a pure column
+    * expression — the classic ER BLOCKING key: first letter + the first 3
+    * consonant-class digits after adjacent-duplicate collapse, zero-padded.
+    * Variant pinned here (and in the DuckDB twin [[soundexDuckSql]]):
+    * codes from {BFPV→1, CGJKQSXZ→2, DT→3, L→4, MN→5, R→6, else 0},
+    * adjacent EQUAL CODES collapse (vowels between same codes do NOT
+    * separate them — the simplification), first code dropped, zeros
+    * removed, truncate/pad to 3. Every stage is an index-addressed array
+    * transform let-bound once ([[TextOps.letSql]] — the catalyst-eval-cost
+    * invariant); no regex backreferences (RE2 has none, so the oracle can
+    * replay char-for-char). */
+  def soundexSparkSql(e: String): String = {
+    val code = (c: String) =>
+      s"CASE WHEN $c IN ('B','F','P','V') THEN '1'" +
+        s" WHEN $c IN ('C','G','J','K','Q','S','X','Z') THEN '2'" +
+        s" WHEN $c IN ('D','T') THEN '3' WHEN $c = 'L' THEN '4'" +
+        s" WHEN $c IN ('M','N') THEN '5' WHEN $c = 'R' THEN '6'" +
+        s" ELSE '0' END"
+    TextOps.letSql(s"upper($e)", "u") { u =>
+      TextOps.letSql(
+        s"transform(sequence(1, length($u)), i -> ${code(s"substring($u, i, 1)")})",
+        "cs") { cs =>
+        TextOps.letSql(
+          s"filter(transform(sequence(1, size($cs)), i -> " +
+            s"if(i = 1 or element_at($cs, i) <> element_at($cs, i - 1), " +
+            s"element_at($cs, i), null)), x -> x is not null)", "dd") { dd =>
+          s"concat(substring($u, 1, 1), rpad(substring(concat_ws(''," +
+            s" filter(slice($dd, 2, size($dd)), x -> x <> '0')), 1, 3), 3, '0'))"
+        }
+      }
+    }
+  }
+
+  /** DuckDB twin of [[soundexSparkSql]] — same staged formula over
+    * 1-based list indexing; meant to run over a small DISTINCT-name
+    * registry CTE (the er1 contract), where per-stage re-evaluation is
+    * harmless. */
+  def soundexDuckSql(e: String): String = {
+    val code = (c: String) =>
+      s"CASE WHEN $c IN ('B','F','P','V') THEN '1'" +
+        s" WHEN $c IN ('C','G','J','K','Q','S','X','Z') THEN '2'" +
+        s" WHEN $c IN ('D','T') THEN '3' WHEN $c = 'L' THEN '4'" +
+        s" WHEN $c IN ('M','N') THEN '5' WHEN $c = 'R' THEN '6'" +
+        s" ELSE '0' END"
+    val u = s"upper($e)"
+    val cs = s"list_transform(range(1, length($u) + 1), i -> ${code(s"substr($u, i, 1)")})"
+    val dd = s"list_filter(list_transform(range(1, len($cs) + 1), i -> " +
+      s"CASE WHEN i = 1 OR ($cs)[i] <> ($cs)[i - 1] THEN ($cs)[i] END), " +
+      s"x -> x IS NOT NULL)"
+    s"substr($u, 1, 1) || rpad(substr(array_to_string(" +
+      s"list_filter(($dd)[2:], x -> x <> '0'), ''), 1, 3), 3, '0')"
+  }
 }

@@ -1840,7 +1840,62 @@ object AnalyticsQueries {
           Checks.fdAudit(t(table), rule, lhs, rhs)
         }.reduce(_ unionByName _).orderBy("rule")
       },
-      Some(dq6Oracle)))
+      Some(dq6Oracle)),
+
+    // Phonetic-blocked entity resolution — er1's sibling with a PHONETIC
+    // blocking key instead of the deletion neighborhood: Soundex
+    // (Fuzzy.soundexSparkSql, variant pinned there) over the corpus word
+    // registry, candidate pairs = within-block only (equi-join on the
+    // code — never all-pairs), verified with exact levenshtein. One
+    // deterministic deletion-typo per word ≥ 4 chars is planted into the
+    // registry at count 0 (the query-log-misspelling premise; corpus
+    // vocabulary is the name universe, occurrence counts ride along), so
+    // matches exist at any SF: custmer→customer, flter→filter. The er1
+    // contract holds — the registry is DISTINCT names, multiplicity stays
+    // in the count column.
+    Q("er2_soundex_blocking",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("name"))
+          .filter(col("name").rlike("^[a-z]{3,}$"))
+          .groupBy("name").agg(count(lit(1)).as("n"))
+        val typos = vocab.filter(length(col("name")) >= 4)
+          .select(expr(TextOps.letSql(
+            s"cast(${TextOps.md5LongSql("name")} % length(name) as int) + 1", "p")(p =>
+              s"concat(substring(name, 1, $p - 1)," +
+                s" substring(name, $p + 1, length(name)))")).as("name"),
+            lit(0L).as("n"))
+        val reg = vocab.unionByName(typos)
+          .groupBy("name").agg(sum("n").as("n"))
+        val withSx = reg.withColumn("sx", expr(Fuzzy.soundexSparkSql("name")))
+        val a = withSx.select(col("sx"), col("name").as("name1"), col("n").as("n1"))
+        val b = withSx.select(col("sx"), col("name").as("name2"), col("n").as("n2"))
+        a.join(b, Seq("sx")).filter(col("name1") < col("name2"))
+          .withColumn("lev", levenshtein(col("name1"), col("name2")))
+          .withColumn("matched", col("lev") <= 2)
+          .select(col("sx"), col("name1"), col("name2"), col("lev"),
+            col("matched"), col("n1"), col("n2"))
+          .orderBy("sx", "name1", "name2")
+      },
+      Some {
+        val md5l = "(('0x' || substr(md5(name), 1, 15))::BIGINT)"
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS name FROM documents),
+           |vocab AS (SELECT name, COUNT(*) AS n FROM toks
+           |          WHERE regexp_matches(name, '^[a-z]{3,}$$') GROUP BY 1),
+           |typos AS (SELECT substr(name, 1, p - 1) || substr(name, p + 1, length(name)) AS name,
+           |                 CAST(0 AS BIGINT) AS n
+           |          FROM (SELECT name, CAST($md5l % length(name) AS INTEGER) + 1 AS p
+           |                FROM vocab WHERE length(name) >= 4)),
+           |reg AS (SELECT name, CAST(SUM(n) AS BIGINT) AS n FROM
+           |        (SELECT * FROM vocab UNION ALL SELECT * FROM typos) GROUP BY name),
+           |sx AS (SELECT name, n, ${Fuzzy.soundexDuckSql("name")} AS sx FROM reg)
+           |SELECT a.sx, a.name AS name1, b.name AS name2,
+           |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev,
+           |  (levenshtein(a.name, b.name) <= 2) AS matched,
+           |  a.n AS n1, b.n AS n2
+           |FROM sx a JOIN sx b ON a.sx = b.sx AND a.name < b.name
+           |ORDER BY a.sx, name1, name2""".stripMargin
+      }))
 
   /** The audited rules: (rule label, table, LHS columns, RHS column or
     * None for a uniqueness/candidate-key check). Shared verbatim by the

@@ -193,6 +193,70 @@ object GeoQueries {
           |nat AS (SELECT 'n:' || nk AS node, 'r:' || rk AS parent FROM n WHERE nk % 2 = 0),
           |allp AS (SELECT node, parent FROM cust UNION SELECT node, parent FROM nat)
           |SELECT node, array_to_string(list_sort(list(DISTINCT parent)), '|') AS parents
-          |FROM allp GROUP BY node ORDER BY node""".stripMargin))
+          |FROM allp GROUP BY node ORDER BY node""".stripMargin)),
+
+    // Geohash spatial binning — the other standard space-filling cell key
+    // next to Hilbert (f23): 4-char geohash (20 bits — lon bit i at cell
+    // bit 2i+1, lat bit i at 2i, base32 per 5 bits from the top) over
+    // synthetic 10-bit coordinates from integer event fields. The
+    // interleave and base32 lookup are pure integer bit ops + substring —
+    // BOTH engines evaluate the identical formula (generated once with
+    // per-dialect shift spelling), so the cell string can never drift;
+    // the only double is floor(value·2¹⁰/330), an exact floor of a
+    // deterministic IEEE product. Per-cell counts = ONE map-side-combined
+    // aggregation keyed on the cell — the geo-sharding shape S17/layout3
+    // write with.
+    Q("geo2_geohash_cells",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(least(greatest(floor(value / cast(330 as double)" +
+            " * cast(1024 as double)), cast(0 as double))," +
+            " cast(1023 as double)) as bigint)").as("cx"),
+          expr("cast(user_id % 1024 as bigint)").as("cy"))
+        .withColumn("cell", expr(geohashInterleave(spark = true)))
+        .withColumn("gh", expr(geohashBase32("cell", spark = true)))
+        .groupBy("gh")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("gh"),
+      Some {
+        s"""WITH pts AS (SELECT user_id,
+           |    CAST(least(greatest(floor(value / CAST(330 AS DOUBLE)
+           |      * CAST(1024 AS DOUBLE)), CAST(0 AS DOUBLE)),
+           |      CAST(1023 AS DOUBLE)) AS BIGINT) AS cx,
+           |    CAST(user_id % 1024 AS BIGINT) AS cy
+           |  FROM events),
+           |cells AS (SELECT user_id, ${geohashInterleave(spark = false)} AS cell
+           |          FROM pts),
+           |gh AS (SELECT user_id, ${geohashBase32("cell", spark = false)} AS gh
+           |       FROM cells)
+           |SELECT gh, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+           |FROM gh GROUP BY gh ORDER BY gh""".stripMargin
+      })
   )
+
+  /** 20-bit lon/lat interleave over columns `cx`, `cy` (10 bits each):
+    * lon bit i lands at cell bit 2i+1, lat bit i at 2i — the standard
+    * geohash layout for an even char count. Generated per dialect
+    * (shiftleft/shiftright vs <</>>) from ONE formula. */
+  private def geohashInterleave(spark: Boolean): String = {
+    def shl(e: String, n: Int) = if (spark) s"shiftleft($e, $n)" else s"($e << $n)"
+    def shr(e: String, n: Int) = if (spark) s"shiftright($e, $n)" else s"($e >> $n)"
+    (0 until 10).map(i =>
+      s"${shl(s"(${shr("cx", i)} & 1)", 2 * i + 1)} + ${shl(s"(${shr("cy", i)} & 1)", 2 * i)}")
+      .mkString("(", " + ", ")")
+  }
+
+  /** Base32 geohash alphabet render of a 20-bit cell: 4 chars, 5 bits
+    * each from the top. */
+  private def geohashBase32(cell: String, spark: Boolean): String = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    (0 until 4).map { j =>
+      val sh = 15 - 5 * j
+      if (spark)
+        s"substring('$alpha', cast((shiftright($cell, $sh) & 31) as int) + 1, 1)"
+      else
+        s"substr('$alpha', CAST((($cell >> $sh) & 31) AS INTEGER) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+  }
 }

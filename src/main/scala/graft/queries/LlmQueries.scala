@@ -3296,6 +3296,11 @@ object LlmQueries {
           expr(s"if(doc_id % 50 = 0 or doc_id % 23 = 3," +
             s" concat(text, ' $phrase'), text)").as("txt"))
         val toks = docs.select(col("doc_id"), TextOps.tokens(col("txt")).as("toks"))
+        // the window frame is read twice (bench build, match scan) but NOT
+        // checkpointed: materializing the corpus-sized hash frame costs as
+        // much as the second kernel pass it would save (measured ~wash at
+        // sf0.1), and the eval side scans only 2% of it behind the %50
+        // pushdown
         val wins = toks.select(col("doc_id"),
           posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
         val bench = wins.filter(col("doc_id") % 50 === 0)
@@ -3370,11 +3375,15 @@ object LlmQueries {
         val buckets = 16384
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+        // the hashed feature stream feeds BOTH the weight-table aggregation
+        // and the per-doc score join — checkpoint it so the explode+md5
+        // kernel runs once (the dvf1 materialize-once rule)
         val bk = docs.select(col("doc_id"), col("lang"),
             explode(expr(TextOps.letSql("toks", "tv")(tv =>
               s"concat($tv, ${TextOps.allGramsSql(tv, 2)})"))).as("g"))
           .select(col("doc_id"), col("lang"),
             expr(s"${TextOps.md5LongSql("g")} % $buckets").as("b"))
+          .localCheckpoint(true)
         val w = bk.groupBy("b").agg(count(lit(1)).as("cr"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
         val tot = w.agg(sum("cr").as("nr"), sum("ct").as("nt"))

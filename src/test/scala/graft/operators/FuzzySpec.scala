@@ -62,4 +62,38 @@ class FuzzySpec extends SparkSpec {
     assert(want((1L, 4L)) === 1L)
     assert(!want.contains((3L, 5L)))
   }
+
+  test("soundex expression matches the pinned-variant scalar reference") {
+    import org.apache.spark.sql.functions.expr
+    // the simplified variant pinned in Fuzzy.soundexSparkSql's doc:
+    // adjacent EQUAL CODES collapse (vowels do not separate), first code
+    // dropped, zeros removed, truncate/pad to 3
+    def ref(s: String): String = {
+      val u = s.toUpperCase
+      val codes = u.map {
+        case c if "BFPV".contains(c) => '1'
+        case c if "CGJKQSXZ".contains(c) => '2'
+        case c if "DT".contains(c) => '3'
+        case 'L' => '4'
+        case c if "MN".contains(c) => '5'
+        case 'R' => '6'
+        case _ => '0'
+      }
+      val dd = codes.foldLeft(List.empty[Char])((acc, c) =>
+        if (acc.nonEmpty && acc.head == c) acc else c :: acc).reverse
+      s"${u.head}${dd.drop(1).filter(_ != '0').mkString.take(3).padTo(3, '0')}"
+    }
+    val names = Seq("robert", "rupert", "tymczak", "ashcraft", "x", "aeiou",
+      "customer", "custmer", "merge", "mrge", "pfister", "jackson")
+    val got = names.toDF("name")
+      .withColumn("sx", expr(Fuzzy.soundexSparkSql("name")))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("sx")).toMap
+    names.foreach(n => assert(got(n) === ref(n), n))
+    // classic pairs land in shared blocks; the all-vowel/1-char edges pad
+    assert(got("robert") === "R163")
+    assert(got("robert") === got("rupert"))
+    assert(got("customer") === got("custmer"))
+    assert(got("aeiou") === "A000")
+    assert(got("x") === "X000")
+  }
 }
