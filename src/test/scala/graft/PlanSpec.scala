@@ -593,4 +593,43 @@ class PlanSpec extends SparkSpec {
     // plan must contain no levenshtein evaluation anywhere
     assert(!p.toLowerCase.contains("levenshtein"), p.take(3000))
   }
+
+  test("d22 matches ride a broadcast semi-join; training windows never shuffle pre-match") {
+    val p = plan(graft.SparkEntry.queries("d22_contamination_coverage")(spark, sf()))
+    // the eval window-hash set is the broadcast side of a LeftSemi
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("samp7 weight table broadcasts back onto the feature stream") {
+    val p = plan(graft.SparkEntry.queries("samp7_dsir_selection")(spark, sf()))
+    // bounded 16384-row weight table -> BroadcastHashJoin on the bucket id;
+    // the 1-row totals crossJoin is the only nested-loop and builds a
+    // broadcast scalar
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("ir6 broadcasts the query token bag; candidate tokens stream unshuffled into the dots") {
+    val p = plan(graft.SparkEntry.queries("ir6_maxsim_topk")(spark, sf()))
+    // qid =!= cid over a broadcast 160-row side is the intended
+    // BroadcastNestedLoopJoin; the corpus side must never sort-merge
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("geo2 is the aggregation exchanges plus the output sort — no join, no extra pass") {
+    val q = graft.SparkEntry.queries("geo2_geohash_cells")(spark, sf())
+    // count-distinct expands to (gh, user) partial + gh final -> 2 data
+    // exchanges + 1 range exchange for the ORDER BY, nothing else; the
+    // interleave/base32 math is a pure projection (no Join node at all)
+    assert(countExchanges(q) <= 3, plan(q))
+    assert(!plan(q).contains("Join"), plan(q).take(2000))
+  }
+
+  test("er2 candidates are an equi-join on the soundex block key") {
+    val p = plan(graft.SparkEntry.queries("er2_soundex_blocking")(spark, sf()))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
