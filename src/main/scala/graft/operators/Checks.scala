@@ -70,7 +70,16 @@ object Checks {
       case None => df.groupBy(lhs.map(col): _*)
         .agg(count(lit(1)).as("__n"), lit(1L).as("__nd"))
     }
-    val viol = if (rhs.isDefined) col("__nd") > 1 else col("__n") > 1
+    fdReport(grouped, rule, fd = rhs.isDefined)
+  }
+
+  /** Report-assembly tail shared by [[fdAudit]] and the streaming monitor
+    * ([[graft.streaming.StreamingFdMonitor]]): fold a per-LHS-group frame
+    * carrying `__n` (group row count) and `__nd` (distinct RHS count; 1
+    * for uniqueness rules) into the one-row audit. */
+  private[graft] def fdReport(grouped: DataFrame, rule: String,
+                              fd: Boolean): DataFrame = {
+    val viol = if (fd) col("__nd") > 1 else col("__n") > 1
     grouped
       .agg(sum("__n").as("n_rows"), count(lit(1)).as("n_groups"),
         sum(when(viol, 1L).otherwise(0L)).as("n_violating"))
