@@ -3421,6 +3421,50 @@ object LlmQueries {
            |SELECT doc_id, n_grams, CAST(s // n_grams AS BIGINT) AS score_ppm,
            |  (s // n_grams) >= 1020000 AS keep
            |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // Corpus novelty accounting — the dedup-PLANNING metric (how much of
+    // each document is new text?): per doc, the fraction of its DISTINCT
+    // 8-token windows whose first corpus occurrence (min doc_id) is this
+    // document, as integer ppm. Near-duplicates and boilerplate-heavy docs
+    // score near 0 (their windows debuted earlier); this is the curve a
+    // curation pipeline reads to size its dedup budget before running it
+    // (Lee et al. 2022's dedup-rate estimate, per-document). Two shuffles,
+    // both on content-derived keys: window-hash (first-occurrence agg +
+    // self-join) and doc. Window identity = the 60-bit md5 hash on both
+    // engines (the d16d reasoning).
+    Q("t19_ngram_novelty",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val wins = docs
+          .select(col("doc_id"),
+            explode(expr(TextOps.allGramsSql("toks", 8))).as("g"))
+          .select(col("doc_id"), expr(TextOps.md5LongSql("g")).as("gh"))
+          .distinct()
+        val first = wins.groupBy("gh").agg(min("doc_id").as("first_doc"))
+        wins.join(first, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows_distinct"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_windows_distinct"), col("n_novel"),
+            expr("n_novel * 1000000L div n_windows_distinct").as("novelty_ppm"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram8 = (0 until 8).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |wins AS (SELECT DISTINCT doc_id, ${dMd5Long(gram8)} AS gh
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM toks)),
+           |first AS (SELECT gh, MIN(doc_id) AS first_doc FROM wins GROUP BY gh),
+           |nov AS (SELECT w.doc_id, COUNT(*) AS n_distinct,
+           |          SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS n_novel
+           |        FROM wins w JOIN first f USING (gh) GROUP BY w.doc_id)
+           |SELECT doc_id, CAST(n_distinct AS BIGINT) AS n_windows_distinct,
+           |  CAST(n_novel AS BIGINT) AS n_novel,
+           |  CAST(CAST(n_novel AS BIGINT) * 1000000 // n_distinct AS BIGINT) AS novelty_ppm
+           |FROM nov ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -126,6 +126,45 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(vecs.count() === 40)
   }
 
+  test("kcorePeel leaves only the final degree frame resident") {
+    val before = residentIds()
+    // dense-ish G(16, p) with a pendant path so ≥ 2 removal waves fire
+    val edges = ((for {
+      a <- 0L until 16L; b <- 0L until 16L if a < b
+      if DetHash.md5Long(s"khyg:$a:$b") % 3 == 0
+    } yield (a, b)) ++ Seq((0L, 100L), (100L, 101L))).toDF("a", "b")
+    val core = Graph.kcorePeel(edges, "a", "b", 3, 10)
+    assert(core.count() > 0L)
+    // the node-partitioned incidence frame and every superseded round's
+    // degree table are freed; only the final degree checkpoint remains
+    assert((residentIds() -- before).size === 1)
+    Bridge.freeCheckpoint(core)
+    assert((residentIds() -- before).isEmpty)
+  }
+
+  test("hits leaves only the final auth/hub frames resident") {
+    val before = residentIds()
+    val docs = Seq("a b c a b", "b c d", "d a", "c c b a").toDF("text")
+    val out = Graph.hits(Graph.adjacencyEdges(docs, "text"), iters = 3)
+    assert(out.count() > 0L)
+    // edges/nodes materializations freed; final auth + hub remain
+    assert((residentIds() -- before).size === 2)
+    Bridge.freeCheckpoint(out)
+    assert((residentIds() -- before).isEmpty)
+  }
+
+  test("multiSourceSssp leaves only the final distance frame resident") {
+    val before = residentIds()
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L), (1L, 4L, 50L))
+      .toDF("a", "b", "w")
+    val dist = Graph.multiSourceSssp(edges, "a", "b", "w",
+      Seq(1L).toDF("node"), rounds = 3)
+    assert(dist.count() === 4L)
+    assert((residentIds() -- before).size === 1)
+    Bridge.freeCheckpoint(dist)
+    assert((residentIds() -- before).isEmpty)
+  }
+
   test("semDedupRemovedScaled end-to-end (the r10 broken composition)") {
     // near-duplicate pairs: 2i and 2i+1 share a base vector
     val vecs = (0 until 30).flatMap { i =>
