@@ -73,6 +73,30 @@ object Checks {
     fdReport(grouped, rule, fd = rhs.isDefined)
   }
 
+  /** Join fan-out audit — the multiplicity half of referential integrity
+    * (dq4 counts orphans; this counts AMPLIFICATION): for a dim-key ⋈
+    * fact-FK relation, how many dim keys match, how many fact rows ride
+    * each, and the worst/average fan-out — the numbers that predict a
+    * join's output size and its skew exposure before running it. One
+    * fact-side aggregation keyed on the FK plus one dim-side left join —
+    * no data-sized collect, never the joined output itself. avg fan-out
+    * is integer ppm over matched keys (no doubles). */
+  def fanoutAudit(dim: DataFrame, key: String, fact: DataFrame, fk: String,
+                  relation: String): DataFrame = {
+    val f = fact.groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__c"))
+    dim.select(col(key).as("__k"))
+      .join(f, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_dim"),
+        count(col("__c")).as("n_matched_dim"),
+        coalesce(sum("__c"), lit(0L)).as("n_fact_rows"),
+        coalesce(max("__c"), lit(0L)).as("max_fanout"))
+      .select(lit(relation).as("relation"), col("n_dim"),
+        col("n_matched_dim"), col("n_fact_rows"), col("max_fanout"),
+        expr("CASE WHEN n_matched_dim = 0 THEN 0L" +
+          " ELSE n_fact_rows * 1000000L div n_matched_dim END")
+          .as("avg_fanout_ppm"))
+  }
+
   /** Report-assembly tail shared by [[fdAudit]] and the streaming monitor
     * ([[graft.streaming.StreamingFdMonitor]]): fold a per-LHS-group frame
     * carrying `__n` (group row count) and `__nd` (distinct RHS count; 1

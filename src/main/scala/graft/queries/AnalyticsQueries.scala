@@ -1895,6 +1895,95 @@ object AnalyticsQueries {
            |  a.n AS n1, b.n AS n2
            |FROM sx a JOIN sx b ON a.sx = b.sx AND a.name < b.name
            |ORDER BY a.sx, name1, name2""".stripMargin
+      }),
+
+    // Exact WEIGHTED median (a1 has the plain exact median): per return
+    // flag, the smallest price (exact DECIMAL cents) whose cumulative
+    // quantity reaches half the flag's total — the lower weighted median,
+    // rank-based, no interpolation anywhere (the r10 percentile rule).
+    // The cumulative window frame sums INTEGERS (cents-keyed quantity
+    // counts), so the frame-order float trap cannot apply; the boundary
+    // test is the integer cross-multiplication 2·cum ≥ tot. One groupBy
+    // (flag, cents) + per-flag windows over the distinct-price rows.
+    Q("a20_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        val g = base.groupBy("l_returnflag", "cents").agg(sum("w").as("cw"))
+        val cumW = Window.partitionBy("l_returnflag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy("l_returnflag")
+        g.withColumn("cum", sum("cw").over(cumW))
+          .withColumn("tot", sum("cw").over(totW))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(max("tot").as("total_qty"), min("cents").as("wmedian_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH base AS (SELECT l_returnflag,
+          |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+          |    CAST(l_quantity AS BIGINT) AS w
+          |  FROM lineitem),
+          |g AS (SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS cw
+          |      FROM base GROUP BY 1, 2),
+          |c AS (SELECT l_returnflag, cents,
+          |        SUM(cw) OVER (PARTITION BY l_returnflag ORDER BY cents
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |        SUM(cw) OVER (PARTITION BY l_returnflag) AS tot
+          |      FROM g)
+          |SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_qty,
+          |  CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+          |FROM c WHERE cum * 2 >= tot
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Join fan-out audit (Checks.fanoutAudit) — the multiplicity half of
+    // referential integrity: per star-schema relation, matched dim keys,
+    // fact rows riding them, worst and average fan-out (integer ppm). The
+    // numbers that predict a join's output size and skew exposure BEFORE
+    // running it — dq4 (orphans) and dq6 (FDs) complete the contract
+    // triad. One fact aggregation + one dim left join per relation.
+    Q("dq7_join_fanout",
+      (s, d) => {
+        Seq(
+          Checks.fanoutAudit(Tables.customer(s, d), "c_custkey",
+            Tables.orders(s, d), "o_custkey", "customer -> orders"),
+          Checks.fanoutAudit(Tables.nation(s, d), "n_nationkey",
+            Tables.customer(s, d), "c_nationkey", "nation -> customer"),
+          Checks.fanoutAudit(Tables.orders(s, d), "o_orderkey",
+            Tables.lineitem(s, d), "l_orderkey", "orders -> lineitem"),
+          Checks.fanoutAudit(Tables.part(s, d), "p_partkey",
+            Tables.lineitem(s, d), "l_partkey", "part -> lineitem")
+        ).reduce(_ unionByName _).orderBy("relation")
+      },
+      Some {
+        def rel(dim: String, key: String, fact: String, fk: String,
+                name: String) =
+          s"""SELECT '$name' AS relation,
+             |  CAST(COUNT(*) AS BIGINT) AS n_dim,
+             |  CAST(COUNT(c) AS BIGINT) AS n_matched_dim,
+             |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_fact_rows,
+             |  CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_fanout,
+             |  CAST(CASE WHEN COUNT(c) = 0 THEN 0
+             |    ELSE COALESCE(SUM(c), 0) * 1000000 // COUNT(c) END AS BIGINT)
+             |    AS avg_fanout_ppm
+             |FROM (SELECT d.$key, f.c FROM $dim d LEFT JOIN
+             |      (SELECT $fk, COUNT(*) AS c FROM $fact GROUP BY 1) f
+             |      ON d.$key = f.$fk)""".stripMargin
+        Seq(
+          rel("customer", "c_custkey", "orders", "o_custkey",
+            "customer -> orders"),
+          rel("nation", "n_nationkey", "customer", "c_nationkey",
+            "nation -> customer"),
+          rel("orders", "o_orderkey", "lineitem", "l_orderkey",
+            "orders -> lineitem"),
+          rel("part", "p_partkey", "lineitem", "l_partkey",
+            "part -> lineitem")
+        ).mkString("", "\nUNION ALL\n", "\nORDER BY relation")
       }))
 
   /** The audited rules: (rule label, table, LHS columns, RHS column or
