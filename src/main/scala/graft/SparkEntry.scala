@@ -8,8 +8,10 @@ import graft.queries.{AnalyticsQueries, CorpusQueries, ExtraQueries, FunctionQue
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Every declared query, each paired with its DuckDB oracle. */
-  private def catalog: Seq[Q] =
+  /** Every declared query, each paired with its DuckDB oracle.
+    * private[graft]: EntrySpec audits the raw Seq for name collisions —
+    * `queries`' .toMap would silently shadow a duplicated name. */
+  private[graft] def catalog: Seq[Q] =
     RelationalQueries.all ++ FunctionQueries.all ++ LlmQueries.all ++
       CorpusQueries.all ++ ExtraQueries.all ++ GeoQueries.all ++
       MetricsQueries.all ++ SourceQueries.all ++ IrQueries.all ++

@@ -25,4 +25,11 @@ class EntrySpec extends SparkSpec {
     assert(noOracle.isEmpty,
       s"queries without DuckDB oracle (driver downgrades to rows-only): $noOracle")
   }
+
+  test("catalog query names are unique (toMap would silently shadow a duplicate)") {
+    val names = SparkEntry.catalog.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate catalog names: $dups")
+    assert(names.size === SparkEntry.queries.size)
+  }
 }
