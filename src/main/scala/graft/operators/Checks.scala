@@ -57,16 +57,21 @@ object Checks {
   /** Functional-dependency / candidate-key audit as a REPORT rather than an
     * assertion: for one named rule, either LHS uniqueness (`rhs = None` —
     * candidate-key discovery) or the FD lhs → rhs (every LHS group maps to
-    * exactly one RHS value), counted exactly. One aggregation keyed on the
-    * LHS (no collect; scale = one shuffle on the LHS key space, group
-    * cardinality ≤ rows by definition). Returns one row
+    * exactly one RHS value), counted exactly. NULL counts as a distinct
+    * RHS value — a group with values {x, NULL} violates "maps to exactly
+    * one RHS value" (plain countDistinct would silently ignore the NULL
+    * and under-report). One aggregation keyed on the LHS (no collect;
+    * scale = one shuffle on the LHS key space, group cardinality ≤ rows
+    * by definition). Returns one row
     * (rule, n_rows, n_groups, n_violating, holds); compose a profile from
     * several rules with unionByName. */
   def fdAudit(df: DataFrame, rule: String, lhs: Seq[String],
               rhs: Option[String]): DataFrame = {
     val grouped = rhs match {
       case Some(r) => df.groupBy(lhs.map(col): _*)
-        .agg(count(lit(1)).as("__n"), countDistinct(r).as("__nd"))
+        .agg(count(lit(1)).as("__n"),
+          (countDistinct(col(r)) +
+            max(when(col(r).isNull, 1L).otherwise(0L))).as("__nd"))
       case None => df.groupBy(lhs.map(col): _*)
         .agg(count(lit(1)).as("__n"), lit(1L).as("__nd"))
     }

@@ -132,7 +132,11 @@ object Graph {
     * (src, dst, w): hub(n) = Σ_{n→m} w·auth(m), auth(n) = Σ_{m→n} w·hub(m),
     * each half-step renormalized to total mass [[Scale]] by exact
     * fixed-point division — `raw·Scale div Σraw` in DECIMAL(38,0) ≡
-    * HUGEINT `//`, so the whole chain is bit-exact on any engine and the
+    * HUGEINT `//`. The raw sums themselves also accumulate in
+    * DECIMAL(38,0) (matching the oracle's HUGEINT), so a hub whose
+    * weighted in-degree × the ~10⁹ fixed-point mass exceeds
+    * Long.MaxValue can never silently wrap on one engine only —
+    * the whole chain is bit-exact on any engine and the
     * oracle replays it as one unrolled CTE per half-step. Scale shape is
     * [[pagerank]]'s: edges/nodes materialized once, each half-step is one
     * edge⋈score join plus a map-side-combined aggregation, per-round
@@ -163,14 +167,14 @@ object Graph {
       val hraw = edges
         .join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(col("w") * col("a_fp")).as("__raw"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("a_fp")).as("__raw"))
       val hubNext = normalized(hraw, "h_fp").localCheckpoint()
       if (hub != null) Bridge.freeCheckpointExcept(hub, keep)
       hub = hubNext
       val araw = edges
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * col("h_fp")).as("__raw"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("h_fp")).as("__raw"))
       val authNext = normalized(araw, "a_fp").localCheckpoint()
       Bridge.freeCheckpointExcept(auth, keep)
       auth = authNext

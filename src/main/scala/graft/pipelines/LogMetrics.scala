@@ -71,10 +71,14 @@ object LogMetrics {
     agg.join(broadcast(deduped.select("slug", "id")), Seq("slug"), "left")
   }
 
-  /** Monthly rollup of daily metrics (A8: daily → monthly sums). */
-  def monthlyRollup(daily: DataFrame, counters: Seq[String]): DataFrame = {
+  /** Monthly rollup of daily metrics (A8: daily → monthly sums).
+    * `extraKeys` carries columns functionally dependent on the slug (the
+    * resolved catalog id) through the rollup without an extra join. */
+  def monthlyRollup(daily: DataFrame, counters: Seq[String],
+                    extraKeys: Seq[String] = Nil): DataFrame = {
     val aggs = counters.map(c => sum(col(c)).as(c))
-    daily.groupBy(substring(col("date"), 1, 7).as("month"), col("entity_type"), col("slug"))
+    daily.groupBy(substring(col("date"), 1, 7).as("month") +:
+        col("entity_type") +: col("slug") +: extraKeys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -281,7 +281,7 @@ object AnalyticsQueries {
       (s, d) => {
         val vocab = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z]+$"))
+          .filter(col("w").rlike("^[a-z]+\\z"))
           .groupBy("w").agg(count(lit(1)).as("f"))
         graft.operators.Bpe.merges(vocab, "w", "f", rounds = 8)
           .orderBy("round")
@@ -300,7 +300,7 @@ object AnalyticsQueries {
       (s, d) => {
         val vocab = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z]+$"))
+          .filter(col("w").rlike("^[a-z]+\\z"))
           .groupBy("w").agg(count(lit(1)).as("f"))
         val merges = graft.operators.Bpe.merges(vocab, "w", "f", rounds = 8)
           .orderBy("round").collect()
@@ -310,7 +310,7 @@ object AnalyticsQueries {
         }
         Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z]+$"))
+          .filter(col("w").rlike("^[a-z]+\\z"))
           .withColumn("enc", expr(applied))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
@@ -1857,7 +1857,7 @@ object AnalyticsQueries {
       (s, d) => {
         val vocab = Tables.documents(s, d)
           .select(explode(TextOps.tokens(col("text"))).as("name"))
-          .filter(col("name").rlike("^[a-z]{3,}$"))
+          .filter(col("name").rlike("^[a-z]{3,}\\z"))
           .groupBy("name").agg(count(lit(1)).as("n"))
         val typos = vocab.filter(length(col("name")) >= 4)
           .select(expr(TextOps.letSql(
@@ -2006,7 +2006,8 @@ object AnalyticsQueries {
   private def dq6Oracle: String = {
     val parts = dq6Rules.map { case (rule, table, lhs, rhs) =>
       val inner = rhs match {
-        case Some(r) => s"SELECT COUNT(*) AS n, COUNT(DISTINCT $r) AS nd" +
+        case Some(r) => s"SELECT COUNT(*) AS n, COUNT(DISTINCT $r)" +
+          s" + MAX(CASE WHEN $r IS NULL THEN 1 ELSE 0 END) AS nd" +
           s" FROM $table GROUP BY ${lhs.mkString(", ")}"
         case None => s"SELECT COUNT(*) AS n, 1 AS nd" +
           s" FROM $table GROUP BY ${lhs.mkString(", ")}"

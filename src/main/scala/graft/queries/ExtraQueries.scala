@@ -335,7 +335,74 @@ object ExtraQueries {
         stats.join(dist, Seq("code_geo"), "left")
           .orderBy("echelle", "code_geo", "month")
       },
-      Some(dvf1Oracle))
+      Some(dvf1Oracle)),
+
+    // ——— Schema-consolidation §3.3 capstone (`schema/utils/
+    // consolidation.py:977-1041`) in ONE gated query: three heterogeneous
+    // "producer files" carved from orders (one missing the optional
+    // priority column, one missing price, one with an extra column and
+    // planted NULL required fields) → projectToSchema (typed-null fill,
+    // extra-column drop, declared casts) → required-null drop →
+    // unionByName → keep-most-recent per primary key with the provenance
+    // tiebreak. Overlapping key slices (%15, %21) exercise BOTH dedup rule
+    // levels: recency wins across files, file order breaks exact ties.
+    // Scale: narrow projections + one union + ONE key-space shuffle (the
+    // dedup); price rides as DECIMAL(18,2) end-to-end (exact cast of
+    // 2-dec money, never a raw double).
+    Q("cons1_end_to_end",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val o = Tables.orders(s, d)
+        def dt = date_format(col("o_orderdate"), "yyyy-MM-dd")
+        val fileA = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"),
+            dt.as("updated"), col("o_orderstatus").as("status_extra"))
+        val fileB = o
+          .filter(col("o_orderkey") % 3 === 1 || col("o_orderkey") % 15 === 0)
+          .select(col("o_orderkey").as("id"),
+            col("o_orderpriority").as("priority"),
+            when(col("o_orderkey") % 15 === 0,
+              date_format(date_add(col("o_orderdate"), 1), "yyyy-MM-dd"))
+              .otherwise(dt).as("updated"))
+        val fileC = o
+          .filter(col("o_orderkey") % 3 === 2 || col("o_orderkey") % 21 === 0)
+          .select(col("o_orderkey").as("id"),
+            col("o_orderpriority").as("priority"),
+            col("o_totalprice").as("price"),
+            when(col("o_orderkey") % 11 === 5, lit(null).cast("string"))
+              .otherwise(dt).as("updated"))
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("priority", StringType),
+          StructField("price", DecimalType(18, 2)),
+          StructField("updated", StringType)))
+        graft.pipelines.Consolidation.consolidate(
+            Seq(fileA, fileB, fileC), schema,
+            requiredCols = Seq("id", "updated"), primaryKey = Seq("id"),
+            recencyCol = "updated")
+          .orderBy("id")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderkey AS k, o_orderpriority, o_totalprice,
+          |       strftime(o_orderdate, '%Y-%m-%d') AS dt,
+          |       strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') AS dt1
+          |     FROM orders),
+          |fa AS (SELECT k AS id, CAST(NULL AS VARCHAR) AS priority,
+          |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          |         dt AS updated, 0 AS src
+          |       FROM o WHERE k % 3 = 0),
+          |fb AS (SELECT k, o_orderpriority, CAST(NULL AS DECIMAL(18,2)),
+          |         CASE WHEN k % 15 = 0 THEN dt1 ELSE dt END, 1
+          |       FROM o WHERE k % 3 = 1 OR k % 15 = 0),
+          |fc AS (SELECT k, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)),
+          |         CASE WHEN k % 11 = 5 THEN NULL ELSE dt END, 2
+          |       FROM o WHERE k % 3 = 2 OR k % 21 = 0),
+          |u AS (SELECT * FROM fa UNION ALL SELECT * FROM fb
+          |      UNION ALL SELECT * FROM fc),
+          |flt AS (SELECT * FROM u WHERE id IS NOT NULL AND updated IS NOT NULL),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY id
+          |        ORDER BY updated DESC, src ASC) AS rn FROM flt)
+          |SELECT id, priority, price, updated FROM r WHERE rn = 1
+          |ORDER BY id""".stripMargin))
   )
 
   // Banker's rounding (Spark rint): half-to-even, not DuckDB's round().

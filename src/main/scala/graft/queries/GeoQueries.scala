@@ -195,6 +195,40 @@ object GeoQueries {
           |SELECT node, array_to_string(list_sort(list(DISTINCT parent)), '|') AS parents
           |FROM allp GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Geozones transitive-closure ancestors (`geozones/task_functions.py:
+    // 53-177`, the denormalized `ancestors` arrays): path-doubling
+    // self-join to fixpoint (Hierarchy.transitiveClosure) over the full
+    // customer→nation→region FK hierarchy, flattened to h1's pipe-joined
+    // flat-scalar form. The oracle replays it as a recursive CTE — any
+    // depth, not just this geography's 2 levels, so the closure SEMANTICS
+    // are gated, not the unrolled special case.
+    Q("h2_ancestors",
+      (s, d) => {
+        val custEdges = Tables.customer(s, d)
+          .select(concat(lit("c:"), col("c_custkey")).as("child"),
+            concat(lit("n:"), col("c_nationkey")).as("parent"))
+        val natEdges = Tables.nation(s, d)
+          .select(concat(lit("n:"), col("n_nationkey")).as("child"),
+            concat(lit("r:"), col("n_regionkey")).as("parent"))
+        val closure = graft.operators.Hierarchy.transitiveClosure(
+          custEdges.unionByName(natEdges), "child", "parent")
+        graft.operators.Hierarchy.ancestorArrays(closure)
+          .withColumn("ancestors", array_join(col("ancestors"), "|"))
+          .orderBy("node")
+      },
+      Some(
+        """WITH RECURSIVE e AS (
+          |  SELECT 'c:' || c_custkey AS node, 'n:' || c_nationkey AS anc
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation),
+          |anc AS (
+          |  SELECT node, anc FROM e
+          |  UNION
+          |  SELECT a.node, e.anc FROM anc a JOIN e ON a.anc = e.node)
+          |SELECT node, array_to_string(list_sort(list(DISTINCT anc)), '|') AS ancestors
+          |FROM anc GROUP BY node ORDER BY node""".stripMargin)),
+
     // Geohash spatial binning — the other standard space-filling cell key
     // next to Hilbert (f23): 4-char geohash (20 bits — lon bit i at cell
     // bit 2i+1, lat bit i at 2i, base32 per 5 bits from the top) over

@@ -1057,7 +1057,7 @@ object LlmQueries {
     // becomes a token set and d2's MinHash-LSH machinery (w = 1, 4-row
     // bands so organic low-Jaccard pairs rarely band-collide) finds
     // high-overlap node pairs WITHOUT the quadratic wedge join. Planted
-    // structural twins (node p+100000 adopting p's neighbors minus every
+    // structural twins (node p+1000000000 adopting p's neighbors minus every
     // z % 10 == 3) land at Jaccard ≈ 0.9; the verify step is exact.
     Q("g6_similar_nodes",
       (s, d) => {

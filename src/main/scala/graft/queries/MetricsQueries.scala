@@ -277,5 +277,135 @@ object MetricsQueries {
       "metric_month", "dataservice_id"),
     view("mv13_datasets_total", "datasets_total", "dataset_id"),
     view("mv14_reuses_total", "reuses_total", "reuse_id"),
-    view("mv15_dataservices_total", "dataservices_total", "dataservice_id"))
+    view("mv15_dataservices_total", "dataservices_total", "dataservice_id"),
+
+    // ——— §3.2 log-metrics flagship spine in ONE gated query ———————
+    // Raw HAProxy-style lines (synthesized deterministically from events
+    // on BOTH engines — date + method/path by event moduli + status code)
+    // → LogMetrics.parse (ordered first-match-wins regex table, 2xx/3xx
+    // filter) → conditional-count pivot per (date, entity, slug) →
+    // broadcast catalog join with the prefer-unarchived-then-most-recent
+    // dedup rule (catalog from range(): 3 variants per slug so BOTH rule
+    // levels decide winners) → monthly rollup. Previously this glue was
+    // ScalaTest-only (r12 verdict item 3); now any regression in
+    // pipelines/LogMetrics.scala fails the driver's hash gate.
+    // Scale: parse is one codegen'd projection, the pivot is the only
+    // data-sized shuffle, the catalog is broadcast.
+    Q("log1_end_to_end",
+      (s, d) => {
+        import graft.pipelines.LogMetrics
+        val ev = graft.Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts_us"), "yyyy-MM-dd").as("dt"))
+        val p = col("event_id") % 10
+        val dnum = (col("user_id") % 50).cast("string")
+        val onum = (col("user_id") % 7).cast("string")
+        val rs = concat(lit("r-"), (col("user_id") % 40).cast("string"))
+        val path = when(p === 0, concat(lit("GET /fr/datasets/r/"), rs))
+          .when(p === 1, concat(lit("GET /datasets/r/"), rs))
+          .when(p === 2, concat(lit("GET /api/1/datasets/D"), dnum, lit("/")))
+          .when(p === 3 || p === 4, concat(lit("GET /fr/datasets/D"), dnum))
+          .when(p === 5, concat(lit("GET /datasets/D"), dnum))
+          .when(p === 6, concat(lit("GET /fr/organizations/O"), onum))
+          .when(p === 7, concat(lit("GET /organizations/O"), onum))
+          .otherwise(lit("GET /static/style.css"))
+        val st = when(col("event_id") % 11 === 0, lit(404))
+          .when(col("event_id") % 7 === 0, lit(301))
+          .otherwise(lit(200)).cast("string")
+        val lines = ev.select(concat(col("dt"), lit(" web1 "), path,
+          lit(" "), st, lit(" +0")).as("value"))
+        val slugs = s.range(0, 50)
+          .select(concat(lit("D"), col("id").cast("string")).as("slug"),
+            col("id").as("num"))
+          .unionByName(s.range(0, 7)
+            .select(concat(lit("O"), col("id").cast("string")).as("slug"),
+              col("id").as("num")))
+          .unionByName(s.range(0, 40)
+            .select(concat(lit("r-"), col("id").cast("string")).as("slug"),
+              col("id").as("num")))
+        val catalog = slugs
+          .select(col("slug"), col("num"),
+            explode(array(lit(0), lit(1), lit(2))).as("v"))
+          .select(col("slug"),
+            concat(col("slug"), lit("-v"), col("v").cast("string")).as("id"),
+            when(col("v") === 0, lit(true))
+              .when(col("v") === 1, lit(false))
+              .otherwise(col("num") % 3 === 0).as("archived"),
+            concat(lit("2024-01-1"), col("v").cast("string")).as("created"))
+        val segs = Seq("fr", "direct", "api")
+        val counters = segs.map(sg => s"nb_visit_$sg") :+ "nb_visit_total"
+        val daily = LogMetrics.joinCatalog(
+          LogMetrics.aggregate(LogMetrics.parse(lines), segs), catalog)
+        LogMetrics.monthlyRollup(daily, counters, extraKeys = Seq("id"))
+          .orderBy("month", "entity_type", "slug")
+      },
+      Some(
+        """WITH ev AS (SELECT event_id, user_id,
+          |       strftime(ts::TIMESTAMP, '%Y-%m-%d') AS dt FROM events),
+          |lines AS (SELECT dt || ' web1 ' ||
+          |    CASE
+          |      WHEN event_id % 10 = 0 THEN 'GET /fr/datasets/r/r-' || (user_id % 40)
+          |      WHEN event_id % 10 = 1 THEN 'GET /datasets/r/r-' || (user_id % 40)
+          |      WHEN event_id % 10 = 2 THEN 'GET /api/1/datasets/D' || (user_id % 50) || '/'
+          |      WHEN event_id % 10 IN (3, 4) THEN 'GET /fr/datasets/D' || (user_id % 50)
+          |      WHEN event_id % 10 = 5 THEN 'GET /datasets/D' || (user_id % 50)
+          |      WHEN event_id % 10 = 6 THEN 'GET /fr/organizations/O' || (user_id % 7)
+          |      WHEN event_id % 10 = 7 THEN 'GET /organizations/O' || (user_id % 7)
+          |      ELSE 'GET /static/style.css' END
+          |    || ' ' || CASE WHEN event_id % 11 = 0 THEN 404
+          |                   WHEN event_id % 7 = 0 THEN 301 ELSE 200 END
+          |    || ' +0' AS value
+          |  FROM ev),
+          |p AS (SELECT regexp_extract(value, '^(\d{4}-\d{2}-\d{2})', 1) AS date,
+          |   CAST(regexp_extract(value, ' (\d{3}) \+', 1) AS INTEGER) AS status,
+          |   regexp_extract(value, 'GET /fr/datasets/r/([\w-]+)', 1) AS m1,
+          |   regexp_extract(value, 'GET /datasets/r/([\w-]+)', 1) AS m2,
+          |   regexp_extract(value, 'GET /api/[12]/datasets/([\w-]+)/', 1) AS m3,
+          |   regexp_extract(value, 'GET /fr/datasets/([\w-]+)', 1) AS m4,
+          |   regexp_extract(value, 'GET /datasets/([\w-]+)', 1) AS m5,
+          |   regexp_extract(value, 'GET /fr/organizations/([\w-]+)', 1) AS m6,
+          |   regexp_extract(value, 'GET /organizations/([\w-]+)', 1) AS m7
+          | FROM lines),
+          |hits AS (SELECT date,
+          |   CASE WHEN m1 <> '' THEN 'resources' WHEN m2 <> '' THEN 'resources'
+          |        WHEN m3 <> '' THEN 'datasets' WHEN m4 <> '' THEN 'datasets'
+          |        WHEN m5 <> '' THEN 'datasets' WHEN m6 <> '' THEN 'organizations'
+          |        WHEN m7 <> '' THEN 'organizations' END AS entity_type,
+          |   CASE WHEN m1 <> '' THEN m1 WHEN m2 <> '' THEN m2
+          |        WHEN m3 <> '' THEN m3 WHEN m4 <> '' THEN m4
+          |        WHEN m5 <> '' THEN m5 WHEN m6 <> '' THEN m6
+          |        WHEN m7 <> '' THEN m7 END AS slug,
+          |   CASE WHEN m1 <> '' THEN 'fr' WHEN m2 <> '' THEN 'direct'
+          |        WHEN m3 <> '' THEN 'api' WHEN m4 <> '' THEN 'fr'
+          |        WHEN m5 <> '' THEN 'direct' WHEN m6 <> '' THEN 'fr'
+          |        WHEN m7 <> '' THEN 'direct' END AS segment
+          | FROM p WHERE status BETWEEN 200 AND 399 AND date <> ''),
+          |daily AS (SELECT date, entity_type, slug,
+          |   CAST(SUM(CASE WHEN segment = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS nb_visit_fr,
+          |   CAST(SUM(CASE WHEN segment = 'direct' THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS nb_visit_direct,
+          |   CAST(SUM(CASE WHEN segment = 'api' THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS nb_visit_api,
+          |   COUNT(*) AS nb_visit_total
+          | FROM hits WHERE entity_type IS NOT NULL GROUP BY 1, 2, 3),
+          |slugs AS (SELECT 'D' || r AS slug, r AS num FROM range(0, 50) t(r)
+          |   UNION ALL SELECT 'O' || r, r FROM range(0, 7) t(r)
+          |   UNION ALL SELECT 'r-' || r, r FROM range(0, 40) t(r)),
+          |cat AS (SELECT slug, slug || '-v' || v AS id,
+          |   CASE WHEN v = 0 THEN TRUE WHEN v = 1 THEN FALSE
+          |        ELSE num % 3 = 0 END AS archived,
+          |   '2024-01-1' || v AS created
+          | FROM slugs CROSS JOIN (VALUES (0), (1), (2)) vv(v)),
+          |catd AS (SELECT slug, id FROM (SELECT slug, id, row_number() OVER
+          |   (PARTITION BY slug ORDER BY archived ASC, created DESC) AS rn
+          |   FROM cat) WHERE rn = 1),
+          |j AS (SELECT d.*, c.id FROM daily d LEFT JOIN catd c USING (slug))
+          |SELECT substr(date, 1, 7) AS month, entity_type, slug, id,
+          |  CAST(SUM(nb_visit_fr) AS BIGINT) AS nb_visit_fr,
+          |  CAST(SUM(nb_visit_direct) AS BIGINT) AS nb_visit_direct,
+          |  CAST(SUM(nb_visit_api) AS BIGINT) AS nb_visit_api,
+          |  CAST(SUM(nb_visit_total) AS BIGINT) AS nb_visit_total
+          |FROM j GROUP BY 1, 2, 3, 4
+          |ORDER BY month, entity_type, slug""".stripMargin)))
 }

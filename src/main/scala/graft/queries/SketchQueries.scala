@@ -171,12 +171,16 @@ object SketchQueries {
           .select(col("event_type"), col("est").as("est_2w"))
         val estAll = Sketches.hllEstimate(merged(lit(true)), "event_type")
           .select(col("event_type"), col("est").as("est_month"))
-        val ex2w = ev.filter(col("day") < dmin + 14).groupBy("event_type")
-          .agg(countDistinct("__v").as("exact_2w"))
-        val exAll = ev.groupBy("event_type")
-          .agg(countDistinct("__v").as("exact_month"))
-        est2w.join(estAll, "event_type").join(ex2w, "event_type")
-          .join(exAll, "event_type")
+        // Both exact legs from ONE data-sized shuffle: per-(type, value)
+        // first-seen day, then tiny per-type folds — a value is in the
+        // 2-week slice iff its MIN day is (two full countDistinct
+        // shuffles folded into one map-side-combined pass, r12 verdict).
+        val perV = ev.groupBy("event_type", "__v").agg(min("day").as("__d0v"))
+        val ex = perV.groupBy("event_type")
+          .agg(sum(when(col("__d0v") < dmin + 14, 1L).otherwise(0L))
+            .as("exact_2w"),
+            count(lit(1)).as("exact_month"))
+        est2w.join(estAll, "event_type").join(ex, "event_type")
           .select("event_type", "est_2w", "est_month", "exact_2w", "exact_month")
           .orderBy("event_type")
       },
@@ -197,14 +201,17 @@ object SketchQueries {
          |         FROM reg GROUP BY 1, 2),
          |${estSql("m2w", "z2w", "e2w")},
          |${estSql("mall", "zall", "eall")},
-         |x2w AS (SELECT event_type, COUNT(DISTINCT v) AS exact_2w
-         |        FROM vals, dmin WHERE day < d0 + 14 GROUP BY 1),
-         |xall AS (SELECT event_type, COUNT(DISTINCT v) AS exact_month
-         |         FROM vals GROUP BY 1)
+         |pv AS (SELECT event_type, v, MIN(day) AS d0v
+         |       FROM vals GROUP BY 1, 2),
+         |x AS (SELECT event_type,
+         |        CAST(SUM(CASE WHEN d0v < (SELECT d0 FROM dmin) + 14
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS exact_2w,
+         |        COUNT(*) AS exact_month
+         |      FROM pv GROUP BY 1)
          |SELECT e2w.event_type, e2w.est AS est_2w, eall.est AS est_month,
          |  exact_2w, exact_month
          |FROM e2w JOIN eall USING (event_type)
-         |JOIN x2w USING (event_type) JOIN xall USING (event_type)
+         |JOIN x USING (event_type)
          |ORDER BY event_type""".stripMargin)),
 
     // Count-Min frequency sketch: the corpus term-frequency stream folded

@@ -45,7 +45,9 @@ object StreamingFdMonitor {
     val store = spark.read.parquet(storePath)
     val grouped = rhs match {
       case Some(r) => store.groupBy(lhs.map(col): _*)
-        .agg(sum("cnt").as("__n"), countDistinct(r).as("__nd"))
+        .agg(sum("cnt").as("__n"),
+          (countDistinct(col(r)) +
+            max(when(col(r).isNull, 1L).otherwise(0L))).as("__nd"))
       case None => store.groupBy(lhs.map(col): _*)
         .agg(sum("cnt").as("__n"), lit(1L).as("__nd"))
     }

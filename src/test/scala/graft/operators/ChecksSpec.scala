@@ -49,6 +49,18 @@ class ChecksSpec extends SparkSpec {
     assert(ok.getAs[Boolean]("holds"))
   }
 
+  test("fdAudit counts NULL as a distinct RHS value") {
+    // a -> {10, NULL} violates (two "values"); b -> {NULL} alone holds
+    // (exactly one value, which happens to be NULL); c -> {30} holds.
+    val df = Seq(
+      ("a", Some(10L)), ("a", None), ("b", None), ("c", Some(30L)))
+      .toDF("g", "v")
+    val f = Checks.fdAudit(df, "g->v", Seq("g"), Some("v")).head()
+    assert(f.getAs[Long]("n_groups") === 3L)
+    assert(f.getAs[Long]("n_violating") === 1L)
+    assert(!f.getAs[Boolean]("holds"))
+  }
+
   test("sql registration exposes dot_product and hilbert_index") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))")
