@@ -56,7 +56,7 @@ case class HashedLinearScore(child: Expression, buckets: Int)
 
 object HashedLinearScore {
   // weight table per bucket count — keyed by RULE-derived data only
-  // (CLAUDE.md cache invariant), tiny (8 B per slot), executor-resident
+  // (the repo cache invariant), tiny (8 B per slot), executor-resident
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
 

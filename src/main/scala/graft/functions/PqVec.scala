@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * DuckDB's `list_sum`, so an external oracle replays scores bit-for-bit
   * (the LUT entries themselves are per-row double dots with the proven
   * fold-order parity). Both expressions are codegen'd tight loops (the HOF
-  * twin would box a lambda per element — CLAUDE.md hot-kernel rule);
+  * twin would box a lambda per element — the repo hot-kernel rule);
   * `PqSpec` pins bit parity against the HOF/SQL form.
   */
 case class PqPackCodes(child: Expression) extends UnaryExpression {

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *    float-parity machinery money sums need simply does not apply).
   *
   * Both expressions are codegen'd tight loops (the HOF twin would be a
-  * CodegenFallback boxed-lambda call per element — CLAUDE.md hot-kernel
+  * CodegenFallback boxed-lambda call per element — the repo hot-kernel
   * rule); `Int8QuantizeSpec` pins bit parity against the HOF/SQL form.
   * Assumes finite, non-null vector elements (embedding vectors).
   */

@@ -39,7 +39,7 @@ object LanguageModel {
     // slice + arrays_zip, not transform(sequence, λ): this runs per token
     // of every document, and higher-order functions are CodegenFallback
     // (a boxed lambda per element) while Slice/ArraysZip are codegen'd —
-    // the hot-kernel invariant (CLAUDE.md). <2-token docs have no bigrams
+    // the repo hot-kernel invariant. <2-token docs have no bigrams
     // and are filtered rather than special-cased in the expression.
     val t = col(toksCol)
     val bi = docs.filter(size(t) >= 2)

@@ -218,7 +218,7 @@ object LlmQueries {
         col("alpha_ppm") >= 800000 && col("stop_hits") >= 2)
 
   /** Drop-last-two-words transform for planted near-copies, let-bound so
-    * split(text) evaluates once (CLAUDE.md letSql rule). */
+    * split(text) evaluates once (the repo letSql invariant). */
   private val dropTwoSql: String = TextOps.letSql("toks", "tv") { tv =>
     s"slice($tv, 1, greatest(size($tv) - 2, 0))"
   }
@@ -2029,7 +2029,7 @@ object LlmQueries {
     // All three signals are pure-integer fixed point (×10⁴ floor-division;
     // score in ×10⁶ micro-units = min(n_words,100)·(10⁴ − stop_fp4), an
     // algebraic identity with the old double form) — no engine-version-
-    // sensitive double ever reaches the output (CLAUDE.md invariant).
+    // sensitive double ever reaches the output (a repo invariant).
     Q("t2_quality_score",
       (s, d) => Tables.documents(s, d)
         .withColumn("toks", TextOps.tokens(col("text")))
@@ -2582,7 +2582,7 @@ object LlmQueries {
     // global first occurrence; overlapping marks merge into maximal
     // per-doc islands. One codegen'd window kernel
     // (functions/SlidingWindows) + ONE shuffle keyed on the window VALUE
-    // (content-derived key space — grows with the corpus, CLAUDE.md
+    // (content-derived key space — grows with the corpus, the repo
     // bucketed-similarity invariant) + one per-doc ordered pass (equal
     // span lengths make the island test a plain lag).
     Q("d16_substring_dedup",

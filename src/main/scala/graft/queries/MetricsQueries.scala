@@ -281,39 +281,25 @@ object MetricsQueries {
 
     // ——— §3.2 log-metrics flagship spine in ONE gated query ———————
     // Raw HAProxy-style lines (synthesized deterministically from events
-    // on BOTH engines — date + method/path by event moduli + status code)
-    // → LogMetrics.parse (ordered first-match-wins regex table, 2xx/3xx
-    // filter) → conditional-count pivot per (date, entity, slug) →
-    // broadcast catalog join with the prefer-unarchived-then-most-recent
-    // dedup rule (catalog from range(): 3 variants per slug so BOTH rule
-    // levels decide winners) → monthly rollup. Previously this glue was
-    // ScalaTest-only (r12 verdict item 3); now any regression in
-    // pipelines/LogMetrics.scala fails the driver's hash gate.
-    // Scale: parse is one codegen'd projection, the pivot is the only
-    // data-sized shuffle, the catalog is broadcast.
+    // on BOTH engines — date + method/path by event moduli + status code —
+    // and landed as TEXT files by a memoized distributed write, so the
+    // timed plan parses a raw log SCAN exactly like production §3.2; an
+    // inline line-generator would instead be re-inlined into every pushed
+    // regex predicate, rebuilding the line per pattern — measured 3.2 s vs
+    // 0.3 s on 100k lines) → LogMetrics.parse (ordered first-match-wins
+    // regex table, 2xx/3xx filter) → conditional-count pivot per (date,
+    // entity, slug) → broadcast catalog join with the prefer-unarchived-
+    // then-most-recent dedup rule (catalog from range(): 3 variants per
+    // slug so BOTH rule levels decide winners) → monthly rollup.
+    // Previously this glue was ScalaTest-only (r12 verdict item 3); now
+    // any regression in pipelines/LogMetrics.scala fails the driver's
+    // hash gate. Scale: parse is one codegen'd projection over the line
+    // scan, the pivot is the only data-sized shuffle, the catalog is
+    // broadcast.
     Q("log1_end_to_end",
       (s, d) => {
         import graft.pipelines.LogMetrics
-        val ev = graft.Tables.events(s, d).select(
-          col("event_id"), col("user_id"),
-          date_format(col("ts_us"), "yyyy-MM-dd").as("dt"))
-        val p = col("event_id") % 10
-        val dnum = (col("user_id") % 50).cast("string")
-        val onum = (col("user_id") % 7).cast("string")
-        val rs = concat(lit("r-"), (col("user_id") % 40).cast("string"))
-        val path = when(p === 0, concat(lit("GET /fr/datasets/r/"), rs))
-          .when(p === 1, concat(lit("GET /datasets/r/"), rs))
-          .when(p === 2, concat(lit("GET /api/1/datasets/D"), dnum, lit("/")))
-          .when(p === 3 || p === 4, concat(lit("GET /fr/datasets/D"), dnum))
-          .when(p === 5, concat(lit("GET /datasets/D"), dnum))
-          .when(p === 6, concat(lit("GET /fr/organizations/O"), onum))
-          .when(p === 7, concat(lit("GET /organizations/O"), onum))
-          .otherwise(lit("GET /static/style.css"))
-        val st = when(col("event_id") % 11 === 0, lit(404))
-          .when(col("event_id") % 7 === 0, lit(301))
-          .otherwise(lit(200)).cast("string")
-        val lines = ev.select(concat(col("dt"), lit(" web1 "), path,
-          lit(" "), st, lit(" +0")).as("value"))
+        val lines = graft.sources.Readers.rawLines(s, log1Fixture(s, d))
         val slugs = s.range(0, 50)
           .select(concat(lit("D"), col("id").cast("string")).as("slug"),
             col("id").as("num"))
@@ -407,5 +393,44 @@ object MetricsQueries {
           |  CAST(SUM(nb_visit_api) AS BIGINT) AS nb_visit_api,
           |  CAST(SUM(nb_visit_total) AS BIGINT) AS nb_visit_total
           |FROM j GROUP BY 1, 2, 3, 4
-          |ORDER BY month, entity_type, slug""".stripMargin)))
+          |ORDER BY month, entity_type, slug""".stripMargin),
+      setup = Some((s, d) => { log1Fixture(s, d); () })))
+
+  /** Synthesized raw-log TEXT fixture for log1 — one line per event, every
+    * byte a pure function of integer event fields (the oracle rebuilds the
+    * identical strings in SQL). Distributed write (never a driver
+    * collect), memoized per (sfDir) and pre-warmed by Bench's untimed
+    * setup; the query fn builds it on first call so Verify needs no
+    * setup. */
+  private val log1Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def log1Fixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    log1Memo.computeIfAbsent(d, { _ =>
+      val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft-log1-$safe"
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts_us"), "yyyy-MM-dd").as("dt"))
+      val p = col("event_id") % 10
+      val dnum = (col("user_id") % 50).cast("string")
+      val onum = (col("user_id") % 7).cast("string")
+      val rs = concat(lit("r-"), (col("user_id") % 40).cast("string"))
+      val path = when(p === 0, concat(lit("GET /fr/datasets/r/"), rs))
+        .when(p === 1, concat(lit("GET /datasets/r/"), rs))
+        .when(p === 2, concat(lit("GET /api/1/datasets/D"), dnum, lit("/")))
+        .when(p === 3 || p === 4, concat(lit("GET /fr/datasets/D"), dnum))
+        .when(p === 5, concat(lit("GET /datasets/D"), dnum))
+        .when(p === 6, concat(lit("GET /fr/organizations/O"), onum))
+        .when(p === 7, concat(lit("GET /organizations/O"), onum))
+        .otherwise(lit("GET /static/style.css"))
+      val st = when(col("event_id") % 11 === 0, lit(404))
+        .when(col("event_id") % 7 === 0, lit(301))
+        .otherwise(lit(200)).cast("string")
+      ev.select(concat(col("dt"), lit(" web1 "), path,
+          lit(" "), st, lit(" +0")).as("value"))
+        .write.mode("overwrite").text(out)
+      out
+    })
 }

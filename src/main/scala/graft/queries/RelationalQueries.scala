@@ -64,7 +64,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"), count(col("disc_n")).as("n_disc"),
           // exact: DECIMAL(18,2) sum (discounts are 2-dec) over the
           // non-null count, one bit-identical double division — never a
-          // raw-double sum or round() output (CLAUDE.md invariant)
+          // raw-double sum or round() output (a repo invariant)
           (sum(col("disc_n").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double") / count(col("disc_n"))).as("avg_disc"))
         .orderBy("l_returnflag"),

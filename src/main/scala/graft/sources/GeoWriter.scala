@@ -108,7 +108,7 @@ object GeoWriter {
                           bboxes: Seq[Seq[(Double, Double)]] = FranceBboxes): DataFrame = {
     // Let-bind the parsed array ONCE: inlining from_json into every bbox
     // term would re-parse the JSON 2×bboxes times per row (the multi-stage
-    // let-bind invariant, CLAUDE.md).
+    // repo let-bind invariant).
     val parsedCol = "__coords_parsed"
     val parsed = col(parsedCol)
     // reversed pair = (second, first); Point(x=lon, y=lat) takes x from

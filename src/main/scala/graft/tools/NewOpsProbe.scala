@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scale probe for the r12 session-2 operators: wall time at sf0.1 vs the
+/** Scale probe for the r12+ operators: wall time at sf0.1 vs the
   * deterministic 10x dir (graft.ScaleGen), one warm pass then one timed
   * pass per (dir, query) — the PLANS r6 exponent method. Expectations:
   *   - d22/samp7: gram/window traffic is linear in corpus bytes; the eval
@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *   - ir6: brute MaxSim candidates scale linearly (broadcast query side).
   *   - er2: registry is the DISTINCT vocabulary — fixed here, so only the
   *     token scan scales.
+  *   - a20/dq7 (r13): one lineitem-keyed shuffle each (cumulative-weight
+  *     frame / FK pre-agg) → exponent ≈ 1.
+  *   - log1/cons1 (r13): events-/orders-sized scan + one pivot/dedup
+  *     shuffle; catalog side broadcast-fixed → exponent ≈ 1.
+  *   (h2_ancestors closes over customer — a symlinked DIM table in the
+  *   10x dir — so it has no fact-scaled probe here.)
   *
   * Usage: runMain graft.tools.NewOpsProbe <dir> [<dir> ...]
   */
@@ -22,7 +28,9 @@ object NewOpsProbe {
   private val queries = Seq(
     "d22_contamination_coverage", "samp7_dsir_selection", "g7_hits_keywords",
     "g8_multisource_sssp", "ir6_maxsim_topk", "geo2_geohash_cells",
-    "er2_soundex_blocking", "dq6_fd_audit")
+    "er2_soundex_blocking", "dq6_fd_audit",
+    "a20_weighted_median", "dq7_join_fanout",
+    "log1_end_to_end", "cons1_end_to_end")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -299,7 +299,7 @@ class PlanSpec extends SparkSpec {
     // the duplicate test must key its one corpus-wide exchange on the
     // window VALUE — a content-derived key space that grows with the
     // corpus; any fixed-cardinality key here would be the hidden-quadratic
-    // anti-pattern (CLAUDE.md bucketed-similarity invariant)
+    // anti-pattern (the repo bucketed-similarity invariant)
     assert("hashpartitioning\\(__win".r.findFirstIn(p).isDefined, p.take(3000))
   }
 

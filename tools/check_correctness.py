@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Float-parity lint (CLAUDE.md invariant, r10 post-mortem): a catalog query
+# Float-parity lint (a repo invariant, r10 post-mortem): a catalog query
 # may emit a DOUBLE column ONLY if it is a pinned bit-identity class —
 # (a) raw passthrough of a parquet double column, (b) a DECIMAL-exact
 # aggregate cast back to double (QH.moneySum/moneyAvg), or (c) a
