@@ -56,6 +56,24 @@ object ExactlyOnce {
     q.awaitTermination()
   }
 
+  /** [[drainAvailableNow]] for RAW TEXT inputs (one `value` line per row —
+    * the shape log shippers drop): same file-source registry + foreachBatch
+    * protocol, text reader instead of parquet. */
+  def drainTextAvailableNow(spark: SparkSession, inGlob: String,
+                            checkpoint: String)
+                           (body: (Dataset[Row], Long) => Unit): Unit = {
+    val stream = spark.readStream.text(inGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        body(batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Protocol 1: drain once through a stateless per-frame transform into a
     * plain append file sink — exactly-once from the file-source registry
     * plus the file-sink manifest in the checkpoint. */

@@ -142,13 +142,14 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert((residentIds() -- before).isEmpty)
   }
 
-  test("hits leaves only the final auth/hub frames resident") {
+  test("hits leaves only the final output frame resident") {
     val before = residentIds()
     val docs = Seq("a b c a b", "b c d", "d a", "c c b a").toDF("text")
     val out = Graph.hits(Graph.adjacencyEdges(docs, "text"), iters = 3)
     assert(out.count() > 0L)
-    // edges/nodes materializations freed; final auth + hub remain
-    assert((residentIds() -- before).size === 2)
+    // edges/nodes/per-round raw materializations freed; ONE output frame
+    // (the materialized all-nodes join) remains
+    assert((residentIds() -- before).size === 1)
     Bridge.freeCheckpoint(out)
     assert((residentIds() -- before).isEmpty)
   }
