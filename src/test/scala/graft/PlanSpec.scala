@@ -632,4 +632,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("sk3's exact legs never Expand — one min-day pass feeds both slices (r12 verdict)") {
+    val p = plan(graft.SparkEntry.queries("sk3_hll_cube")(spark, sf()))
+    // two sibling countDistinct aggregates would plan an Expand (each value
+    // shuffled once per distinct leg); the per-(type, value) min-day fold
+    // must keep the plan Expand-free, and every join here is tiny-per-type
+    // (broadcast), never a data-sized sort-merge
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("log1's catalog join broadcasts; the pivot is the only data-sized shuffle path") {
+    val p = plan(graft.SparkEntry.queries("log1_end_to_end")(spark, sf()))
+    // the slug->id catalog is a dim table: BroadcastHashJoin, never a
+    // sort-merge of the daily metrics against it
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("cons1 is the dedup shuffle plus the output sort — no join anywhere") {
+    val q = graft.SparkEntry.queries("cons1_end_to_end")(spark, sf())
+    // project-to-schema + required-drop + union are projection/filter work;
+    // the keep-most-recent window is the ONE key-space exchange, the ORDER
+    // BY adds the range exchange, and nothing joins
+    assert(countExchanges(q) == 2, plan(q))
+    assert(!plan(q).contains("Join"), plan(q).take(2000))
+  }
 }
