@@ -85,7 +85,11 @@ object Checks {
     * join's output size and its skew exposure before running it. One
     * fact-side aggregation keyed on the FK plus one dim-side left join —
     * no data-sized collect, never the joined output itself. avg fan-out
-    * is integer ppm over matched keys (no doubles). */
+    * is integer ppm over matched keys (no doubles), computed WIDE —
+    * n_fact_rows is a GLOBAL row count, so ×10⁶ can top Long.MaxValue at
+    * corpus scale; DECIMAL(38,0) div ≡ the oracle's HUGEINT `//` (DuckDB
+    * SUM already widens; only the Spark side could wrap — the HITS
+    * class, r12 ADVICE). */
   def fanoutAudit(dim: DataFrame, key: String, fact: DataFrame, fk: String,
                   relation: String): DataFrame = {
     val f = fact.groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__c"))
@@ -98,7 +102,8 @@ object Checks {
       .select(lit(relation).as("relation"), col("n_dim"),
         col("n_matched_dim"), col("n_fact_rows"), col("max_fanout"),
         expr("CASE WHEN n_matched_dim = 0 THEN 0L" +
-          " ELSE n_fact_rows * 1000000L div n_matched_dim END")
+          " ELSE CAST(CAST(n_fact_rows AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(n_matched_dim AS DECIMAL(38,0)) AS BIGINT) END")
           .as("avg_fanout_ppm"))
   }
 

@@ -225,15 +225,21 @@ object GraphQueries {
         val deg = edges.select(col("p1").as("n"))
           .unionByName(edges.select(col("p2").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
+        // wedge sum and the ppm product accumulate WIDE (DECIMAL(38,0) ≡
+        // the oracle's HUGEINT) — a hub whose degree² × node count tops
+        // Long.MaxValue must not wrap on one engine only (the HITS class,
+        // r12 ADVICE)
         val stats = deg.agg(count(lit(1)).as("n_nodes"),
-          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+          sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2"))
+            .cast("long").as("n_wedges"))
         val ecnt = edges.agg(count(lit(1)).as("n_edges"))
         val tcnt = Graph.triangles(edges, "p1", "p2")
           .agg(count(lit(1)).as("n_triangles"))
         stats.crossJoin(ecnt).crossJoin(tcnt)
           .withColumn("closure_ppm",
             expr("CASE WHEN n_wedges = 0 THEN 0L" +
-              " ELSE 3 * n_triangles * 1000000 div n_wedges END"))
+              " ELSE CAST(3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
+              " div CAST(n_wedges AS DECIMAL(38,0)) AS BIGINT) END"))
           .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
             "closure_ppm")
       },
@@ -249,13 +255,15 @@ object GraphQueries {
          |        JOIN e e2 ON e2.p1 = e1.p2
          |        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
          |st AS (SELECT COUNT(*) AS n_nodes,
-         |         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |         CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS BIGINT)
+         |           AS n_wedges
          |       FROM deg),
          |ec AS (SELECT COUNT(*) AS n_edges FROM e)
          |SELECT n_nodes, n_edges, n_wedges,
          |  CAST(n_triangles AS BIGINT) AS n_triangles,
          |  CAST(CASE WHEN n_wedges = 0 THEN 0
-         |    ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
+         |    ELSE 3 * CAST(n_triangles AS HUGEINT) * 1000000 // n_wedges
+         |    END AS BIGINT)
          |    AS closure_ppm
          |FROM st, ec, tri""".stripMargin)),
 
