@@ -456,14 +456,23 @@ object AnalyticsQueries {
         def audit(rel: String, child: org.apache.spark.sql.DataFrame,
                   fk: String, parent: org.apache.spark.sql.DataFrame,
                   pk: String) = {
+          // pre-agg the child on the FK first: ONE map-side-combined
+          // shuffle into distinct-key space, the parent join then carries
+          // distinct keys only, and the audit agg needs no distinct
+          // (each group IS a distinct fk) — the naive row-level join +
+          // two countDistinct legs shuffles every child row TWICE (Expand)
           val p = parent.select(col(pk).as("__pk")).distinct()
-          child.select(col(fk).as("__fk"))
+          child.groupBy(col(fk).as("__fk")).agg(count(lit(1)).as("__c"))
             .join(p, col("__fk") === col("__pk"), "left")
-            .agg(count(lit(1)).as("n_rows"),
-              countDistinct("__fk").as("n_distinct_fk"),
-              sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
-              expr("count(distinct CASE WHEN __pk IS NULL THEN __fk END)")
-                .as("n_orphan_values"))
+            // a NULL fk forms its own group: counted in n_rows and
+            // n_orphan_rows (it matches nothing) but never as a distinct
+            // VALUE — exactly the countDistinct semantics this replaces
+            .agg(sum("__c").as("n_rows"),
+              count(col("__fk")).as("n_distinct_fk"),
+              sum(when(col("__pk").isNull, col("__c")).otherwise(0L))
+                .as("n_orphan_rows"),
+              sum(when(col("__pk").isNull && col("__fk").isNotNull, 1L)
+                .otherwise(0L)).as("n_orphan_values"))
             .select(lit(rel).as("relation"), col("n_rows"),
               col("n_distinct_fk"), col("n_orphan_rows"),
               col("n_orphan_values"))
@@ -1867,7 +1876,11 @@ object AnalyticsQueries {
             lit(0L).as("n"))
         val reg = vocab.unionByName(typos)
           .groupBy("name").agg(sum("n").as("n"))
+        // materialize the registry ONCE: both self-join sides read it, and
+        // reg's two vocab branches each embed the full corpus explode — an
+        // unmaterialized registry re-runs that scan up to 4x in one plan
         val withSx = reg.withColumn("sx", expr(Fuzzy.soundexSparkSql("name")))
+          .localCheckpoint(true)
         val a = withSx.select(col("sx"), col("name").as("name1"), col("n").as("n1"))
         val b = withSx.select(col("sx"), col("name").as("name2"), col("n").as("n2"))
         a.join(b, Seq("sx")).filter(col("name1") < col("name2"))

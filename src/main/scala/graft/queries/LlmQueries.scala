@@ -3305,9 +3305,13 @@ object LlmQueries {
           posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
         val bench = wins.filter(col("doc_id") % 50 === 0)
           .select(expr(TextOps.md5LongSql("g")).as("gh")).distinct()
+        // matched is MATCHED-window-sized (2% of docs carry the phrase) but
+        // embeds the full corpus window kernel — materialize it once so the
+        // count and coverage branches don't each re-run that kernel
         val matched = wins.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), col("p"), expr(TextOps.md5LongSql("g")).as("gh"))
           .join(broadcast(bench), Seq("gh"), "left_semi")
+          .localCheckpoint(true)
         val mc = matched.groupBy("doc_id").agg(count(lit(1)).as("__m"))
         val cov = matched
           .select(col("doc_id"), explode(expr("sequence(p + 1, p + 8)")).as("pos"))

@@ -595,10 +595,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d22 matches ride a broadcast semi-join; training windows never shuffle pre-match") {
-    val p = plan(graft.SparkEntry.queries("d22_contamination_coverage")(spark, sf()))
+    // the query checkpoints the matched frame (so its count/coverage
+    // branches share one kernel pass), which hides the join from the final
+    // plan — pin the MATCHED stage's own plan, built exactly as the query
+    // builds it
+    import graft.operators.TextOps
+    val toks = Tables.documents(spark, sf())
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val wins = toks.select(col("doc_id"),
+      posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
+    val bench = wins.filter(col("doc_id") % 50 === 0)
+      .select(expr(TextOps.md5LongSql("g")).as("gh")).distinct()
+    val matched = wins.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("p"), expr(TextOps.md5LongSql("g")).as("gh"))
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+    val p = plan(matched)
     // the eval window-hash set is the broadcast side of a LeftSemi
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!plan(graft.SparkEntry.queries("d22_contamination_coverage")(spark, sf()))
+      .contains("CartesianProduct"))
   }
 
   test("samp7 weight table broadcasts back onto the feature stream") {
