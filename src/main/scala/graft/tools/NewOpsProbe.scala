@@ -30,7 +30,7 @@ object NewOpsProbe {
     "g8_multisource_sssp", "ir6_maxsim_topk", "geo2_geohash_cells",
     "er2_soundex_blocking", "dq6_fd_audit",
     "a20_weighted_median", "dq7_join_fanout",
-    "log1_end_to_end", "cons1_end_to_end")
+    "log1_end_to_end", "cons1_end_to_end", "dq4_referential_integrity")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
