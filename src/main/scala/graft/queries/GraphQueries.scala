@@ -228,10 +228,13 @@ object GraphQueries {
         // wedge sum and the ppm product accumulate WIDE (DECIMAL(38,0) ≡
         // the oracle's HUGEINT) — a hub whose degree² × node count tops
         // Long.MaxValue must not wrap on one engine only (the HITS class,
-        // r12 ADVICE)
+        // r12 ADVICE). The halving happens AFTER the wide sum (deg·(deg−1)
+        // is always even, so Σ(term/2) = (Σterm)/2 exactly): a per-term
+        // `div` would narrow each term to LONG and the sum would run
+        // narrow again.
         val stats = deg.agg(count(lit(1)).as("n_nodes"),
-          sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2"))
-            .cast("long").as("n_wedges"))
+          expr("CAST(SUM(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) div 2" +
+            " AS BIGINT)").as("n_wedges"))
         val ecnt = edges.agg(count(lit(1)).as("n_edges"))
         val tcnt = Graph.triangles(edges, "p1", "p2")
           .agg(count(lit(1)).as("n_triangles"))
@@ -255,7 +258,7 @@ object GraphQueries {
          |        JOIN e e2 ON e2.p1 = e1.p2
          |        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
          |st AS (SELECT COUNT(*) AS n_nodes,
-         |         CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS BIGINT)
+         |         CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1)) // 2 AS BIGINT)
          |           AS n_wedges
          |       FROM deg),
          |ec AS (SELECT COUNT(*) AS n_edges FROM e)

@@ -18,6 +18,36 @@ import QH._
   */
 object LlmQueries {
 
+  /** d22's planted contamination phrase — single source of truth for the
+    * Spark side, the oracle SQL, and the PlanSpec pin. */
+  private val d22Phrase =
+    "le vif renard brun saute par dessus le chien tres paresseux aussi"
+
+  /** d22's tokenized docs with the phrase planted on the %50/%23 slices. */
+  private[graft] def d22Toks(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        expr(s"if(doc_id % 50 = 0 or doc_id % 23 = 3," +
+          s" concat(text, ' $d22Phrase'), text)").as("txt"))
+      .select(col("doc_id"), TextOps.tokens(col("txt")).as("toks"))
+
+  /** d22's bench-vs-eval window semi-join stage — shared with the PlanSpec
+    * pin so the pinned plan can never drift from the shipped query. The
+    * window frame is read twice (bench build, match scan) but NOT
+    * checkpointed: materializing the corpus-sized hash frame costs as much
+    * as the second kernel pass it would save (measured ~wash at sf0.1),
+    * and the eval side scans only 2% of it behind the %50 pushdown. */
+  private[graft] def d22Matched(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val wins = d22Toks(s, d).select(col("doc_id"),
+      posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
+    val bench = wins.filter(col("doc_id") % 50 === 0)
+      .select(expr(TextOps.md5LongSql("g")).as("gh")).distinct()
+    wins.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("p"), expr(TextOps.md5LongSql("g")).as("gh"))
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+  }
+
   /** d16b's batch-only shared boilerplate tail (> 40 chars so it produces
     * within-batch duplicate windows the corpus index has never seen);
     * single-quoted verbatim into the oracle SQL, so keep it apostrophe- and
@@ -3290,28 +3320,11 @@ object LlmQueries {
     // reasoning).
     Q("d22_contamination_coverage",
       (s, d) => {
-        val phrase =
-          "le vif renard brun saute par dessus le chien tres paresseux aussi"
-        val docs = Tables.documents(s, d).select(col("doc_id"),
-          expr(s"if(doc_id % 50 = 0 or doc_id % 23 = 3," +
-            s" concat(text, ' $phrase'), text)").as("txt"))
-        val toks = docs.select(col("doc_id"), TextOps.tokens(col("txt")).as("toks"))
-        // the window frame is read twice (bench build, match scan) but NOT
-        // checkpointed: materializing the corpus-sized hash frame costs as
-        // much as the second kernel pass it would save (measured ~wash at
-        // sf0.1), and the eval side scans only 2% of it behind the %50
-        // pushdown
-        val wins = toks.select(col("doc_id"),
-          posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
-        val bench = wins.filter(col("doc_id") % 50 === 0)
-          .select(expr(TextOps.md5LongSql("g")).as("gh")).distinct()
+        val toks = d22Toks(s, d)
         // matched is MATCHED-window-sized (2% of docs carry the phrase) but
         // embeds the full corpus window kernel — materialize it once so the
         // count and coverage branches don't each re-run that kernel
-        val matched = wins.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"), col("p"), expr(TextOps.md5LongSql("g")).as("gh"))
-          .join(broadcast(bench), Seq("gh"), "left_semi")
-          .localCheckpoint(true)
+        val matched = d22Matched(s, d).localCheckpoint(true)
         val mc = matched.groupBy("doc_id").agg(count(lit(1)).as("__m"))
         val cov = matched
           .select(col("doc_id"), explode(expr("sequence(p + 1, p + 8)")).as("pos"))
@@ -3331,12 +3344,10 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some {
-        val phrase =
-          "le vif renard brun saute par dessus le chien tres paresseux aussi"
         val gram8 = (0 until 8).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
         s"""WITH docs AS (SELECT doc_id,
            |    CASE WHEN doc_id % 50 = 0 OR doc_id % 23 = 3
-           |         THEN text || ' $phrase' ELSE text END AS txt
+           |         THEN text || ' $d22Phrase' ELSE text END AS txt
            |  FROM documents),
            |toks AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM docs),
            |wins AS (SELECT doc_id, i, ${dMd5Long(gram8)} AS gh

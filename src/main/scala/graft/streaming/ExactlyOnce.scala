@@ -38,13 +38,11 @@ import graft.sources.Writers
   */
 object ExactlyOnce {
 
-  /** Drain available files once (AvailableNow) through `body`, which must
-    * land each batch idempotently via protocol 2 or 3. Re-invoke per ingest
-    * cycle; safe to re-run after a crash at any point. */
-  def drainAvailableNow(spark: SparkSession, inGlob: String,
-                        schemaSource: DataFrame, checkpoint: String)
-                       (body: (Dataset[Row], Long) => Unit): Unit = {
-    val stream = spark.readStream.schema(schemaSource.schema).parquet(inGlob)
+  /** The one foreachBatch drain wiring every reader variant shares —
+    * checkpointed AvailableNow trigger, drained to completion. A fix here
+    * fixes every drain path at once. */
+  private def drain(stream: DataFrame, checkpoint: String)
+                   (body: (Dataset[Row], Long) => Unit): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         body(batch, batchId)
@@ -56,23 +54,22 @@ object ExactlyOnce {
     q.awaitTermination()
   }
 
+  /** Drain available files once (AvailableNow) through `body`, which must
+    * land each batch idempotently via protocol 2 or 3. Re-invoke per ingest
+    * cycle; safe to re-run after a crash at any point. */
+  def drainAvailableNow(spark: SparkSession, inGlob: String,
+                        schemaSource: DataFrame, checkpoint: String)
+                       (body: (Dataset[Row], Long) => Unit): Unit =
+    drain(spark.readStream.schema(schemaSource.schema).parquet(inGlob),
+      checkpoint)(body)
+
   /** [[drainAvailableNow]] for RAW TEXT inputs (one `value` line per row —
     * the shape log shippers drop): same file-source registry + foreachBatch
     * protocol, text reader instead of parquet. */
   def drainTextAvailableNow(spark: SparkSession, inGlob: String,
                             checkpoint: String)
-                           (body: (Dataset[Row], Long) => Unit): Unit = {
-    val stream = spark.readStream.text(inGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        body(batch, batchId)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                           (body: (Dataset[Row], Long) => Unit): Unit =
+    drain(spark.readStream.text(inGlob), checkpoint)(body)
 
   /** Protocol 1: drain once through a stateless per-frame transform into a
     * plain append file sink — exactly-once from the file-source registry

@@ -597,19 +597,9 @@ class PlanSpec extends SparkSpec {
   test("d22 matches ride a broadcast semi-join; training windows never shuffle pre-match") {
     // the query checkpoints the matched frame (so its count/coverage
     // branches share one kernel pass), which hides the join from the final
-    // plan — pin the MATCHED stage's own plan, built exactly as the query
-    // builds it
-    import graft.operators.TextOps
-    val toks = Tables.documents(spark, sf())
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val wins = toks.select(col("doc_id"),
-      posexplode(expr(TextOps.allGramsSql("toks", 8))).as(Seq("p", "g")))
-    val bench = wins.filter(col("doc_id") % 50 === 0)
-      .select(expr(TextOps.md5LongSql("g")).as("gh")).distinct()
-    val matched = wins.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("p"), expr(TextOps.md5LongSql("g")).as("gh"))
-      .join(broadcast(bench), Seq("gh"), "left_semi")
-    val p = plan(matched)
+    // plan — pin the MATCHED stage's own plan via the SAME builder the
+    // query calls, so the pin can never drift from the shipped query
+    val p = plan(graft.queries.LlmQueries.d22Matched(spark, sf()))
     // the eval window-hash set is the broadcast side of a LeftSemi
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
