@@ -146,8 +146,17 @@ object Bench {
         System.gc()
         secs
       }.toVector
+      // true median: lower-middle for odd run counts, mean of the two
+      // middles for even ones (SPARK_GRAFT_RUNS is user-settable — a
+      // lower-middle-only pick would record a low-biased "median" at
+      // runs=4 while the artifact claims a median)
       val secs =
-        if (failed) -1.0 else times.sorted.apply((times.size - 1) / 2)
+        if (failed) -1.0
+        else {
+          val s = times.sorted
+          val n = s.size
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        }
       System.err.println(f"[bench] $name%-28s $secs%8.2f s" +
         (if (failed) "" else
           times.map(t => f"$t%.2f").mkString("  [", " ", "]")))

@@ -51,6 +51,42 @@ case class MinhashBands(child: Expression, w: Int, k: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Long-token sibling of [[MinhashBands]] at w = 1: input array<long> (a
+  * neighbor-id set, a pre-hashed shingle set), each distinct value hashed
+  * as the md5-60 of its decimal-string rendering. BIT-IDENTICAL signatures
+  * and band digests to `MinhashBands(transform(xs, x -> cast(x AS
+  * string)), 1, k, bands)` — so the DuckDB oracle twin stays the
+  * stringified HOF form unchanged — but skips the CodegenFallback
+  * ArrayTransform (a boxed lambda per element) and the UTF8String
+  * materialization per token (the g6 dominant kernel, VERDICT r13).
+  * Shingles ship as the raw longs: long → decimal string is a bijection,
+  * so downstream set-Jaccard verification is value-identical. Null
+  * elements are out of contract (collect_set-shaped inputs only);
+  * MinhashBandsSpec pins the bit parity. */
+case class MinhashBandsLong(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands_long requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("shingles", ArrayType(LongType)),
+    StructField("bands", ArrayType(StringType))))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinhashBands.computeLong(v.asInstanceOf[ArrayData], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashBands.computeLong($c, $k, $bands);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandsLong =
+    copy(child = newChild)
+}
+
 /** Signature-only sibling of [[MinhashBands]]: the k MinHash values as
   * array<long>. Same hash family/seeds — a band hash produced by
   * [[MinhashBands]] is the digest of a contiguous slice of this signature.
@@ -189,17 +225,10 @@ object MinhashBands {
     sig
   }
 
-  def compute(toks: ArrayData, w: Int, k: Int, nBands: Int): InternalRow = {
-    val seen = shinglesOf(toks, w)
-    if (seen == null) return null
-    val sig = sigOf(seen, k)
-    val shingleArr = new Array[AnyRef](seen.size)
-    val it = seen.iterator()
-    var s = 0
-    while (it.hasNext) {
-      shingleArr(s) = UTF8String.fromString(it.next())
-      s += 1
-    }
+  /** Band digests of a k-signature: md5 hex of the '|'-joined contiguous
+    * signature slices — shared verbatim by the string- and long-token
+    * entry points so their band spaces are structurally identical. */
+  private def bandsOf(sig: Array[Long], k: Int, nBands: Int): Array[AnyRef] = {
     val r = k / nBands
     val bandArr = new Array[AnyRef](nBands)
     var bIdx = 0
@@ -214,9 +243,63 @@ object MinhashBands {
       bandArr(bIdx) = md5Hex(sj.toString)
       bIdx += 1
     }
-    new GenericInternalRow(Array[Any](
-      new GenericArrayData(shingleArr), new GenericArrayData(bandArr)))
+    bandArr
   }
+
+  def compute(toks: ArrayData, w: Int, k: Int, nBands: Int): InternalRow = {
+    val seen = shinglesOf(toks, w)
+    if (seen == null) return null
+    val sig = sigOf(seen, k)
+    val shingleArr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var s = 0
+    while (it.hasNext) {
+      shingleArr(s) = UTF8String.fromString(it.next())
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(shingleArr),
+      new GenericArrayData(bandsOf(sig, k, nBands))))
+  }
+
+  /** Long-token kernel (see [[MinhashBandsLong]]): distinct first-
+    * occurrence longs, each hashed as the md5-60 of its DECIMAL-STRING
+    * rendering — bit-identical signatures and band digests to
+    * `compute(transform(xs, x -> cast(x AS string)), w = 1, …)`, minus the
+    * CodegenFallback transform and the per-token UTF8String round-trip.
+    * Null elements are out of contract (collect_set-shaped inputs). */
+  def computeLong(toks: ArrayData, k: Int, nBands: Int): InternalRow = {
+    val n = toks.numElements()
+    if (n < 1) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { seen.add(toks.getLong(i)); i += 1 }
+    val (sa, sb2) = seeds(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val shingleArr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var s = 0
+    while (it.hasNext) {
+      val v = it.next().longValue()
+      shingleArr(s) = Long.box(v)
+      s += 1
+      val h = md5Long60(java.lang.Long.toString(v)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)) % P
+      var q = 0
+      while (q < k) {
+        val x = (sa(q) * h + sb2(q)) % P
+        if (x < sig(q)) sig(q) = x
+        q += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(shingleArr),
+      new GenericArrayData(bandsOf(sig, k, nBands))))
+  }
+
+  /** Column entry point for [[computeLong]]. */
+  def minhashBandsLong(toks: Column, k: Int, b: Int): Column =
+    Bridge.column(MinhashBandsLong(Bridge.expression(toks), k, b))
 
   /** Column entry point matching `TextOps.minhashBandsExpr`'s shape. */
   def minhashBands(toks: Column, w: Int, k: Int, b: Int): Column =

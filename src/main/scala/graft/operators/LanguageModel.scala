@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * LM, threshold the tail), re-expressed exactly.
   *
   * Standard LM scores sum log-probabilities; ln() is libm-bound and
-  * engines disagree in the last ulp (the float-parity invariant, CLAUDE
-  * .md). The score here is the average SCALED Laplace-smoothed conditional
+  * engines disagree in the last ulp (the repo float-parity invariant).
+  * The score here is the average SCALED Laplace-smoothed conditional
   * probability — avg over a doc's bigrams of
   * floor((c(w1,w2)+1)·scale / (c(w1)+V)), V the history vocabulary —
   * computed entirely in integers: bit-identical on any engine, monotone

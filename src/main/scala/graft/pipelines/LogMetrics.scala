@@ -44,12 +44,29 @@ object LogMetrics {
     * Coalesce/CaseWhen), so each regex ran ~6x per line — measured 3.2 s →
     * 0.25 s on 100k lines from this let-binding alone (the repo letSql
     * invariant, in DataFrame form: CollapseProject keeps the boundary
-    * because the bound aliases are non-cheap and multiply referenced). */
+    * because the bound aliases are non-cheap and multiply referenced).
+    *
+    * ALL row filtering happens on the RAW line, below both projections.
+    * A filter ABOVE them (the obvious `entity_type.isNotNull` after the
+    * coalesce) gets pushed by PushPredicateThroughNonJoin — which inlines
+    * projection aliases with no cheapness check (the repo filter-pushdown
+    * invariant) — re-expanding every regexp_extract into the pushed
+    * predicate, so each regex ran ~2x per line despite the let-binding.
+    * The raw-line predicates are exact equivalents: the rlike-of-
+    * alternation IS `entity_type.isNotNull` (every pattern's group is
+    * +-quantified, so a match always captures non-empty), and the
+    * anchored-date / first-status predicates are the extracts themselves. */
   def parse(lines: DataFrame, patterns: Seq[LogPattern] = defaultPatterns): DataFrame = {
     val ms = patterns.indices.map(i => col(s"__m$i"))
-    val bound = lines.select(
+    val anyMatch = col("value").rlike(
+      patterns.map(p => s"(?:${p.regex})").mkString("|"))
+    val kept = lines.filter(
+      col("value").rlike("^\\d{4}-\\d{2}-\\d{2}") &&
+        regexp_extract(col("value"), " (\\d{3}) \\+", 1).cast("int")
+          .between(200, 399) &&
+        anyMatch)
+    val bound = kept.select(
       regexp_extract(col("value"), "^(\\d{4}-\\d{2}-\\d{2})", 1).as("date") +:
-        regexp_extract(col("value"), " (\\d{3}) \\+", 1).cast("int").as("status") +:
         patterns.zipWithIndex.map { case (pt, i) =>
           regexp_extract(col("value"), pt.regex, 1).as(s"__m$i")
         }: _*)
@@ -57,13 +74,10 @@ object LogMetrics {
       coalesce(patterns.zip(ms).map { case (pt, m) =>
         when(m =!= "", value(pt, m))
       }: _*)
-    bound
-      .filter(col("status").between(200, 399))
-      .select(col("date"),
-        firstMatch((pt, _) => lit(pt.entityType)).as("entity_type"),
-        firstMatch((_, m) => m).as("slug"),
-        firstMatch((pt, _) => lit(pt.segment)).as("segment"))
-      .filter(col("entity_type").isNotNull && col("date") =!= "")
+    bound.select(col("date"),
+      firstMatch((pt, _) => lit(pt.entityType)).as("entity_type"),
+      firstMatch((_, m) => m).as("slug"),
+      firstMatch((pt, _) => lit(pt.segment)).as("segment"))
   }
 
   /** Conditional-count pivot: one row per (date, entity_type, slug) with a

@@ -467,12 +467,15 @@ object AnalyticsQueries {
             // a NULL fk forms its own group: counted in n_rows and
             // n_orphan_rows (it matches nothing) but never as a distinct
             // VALUE — exactly the countDistinct semantics this replaces
-            .agg(sum("__c").as("n_rows"),
+            // coalesce(sum, 0): an EMPTY child yields zero groups, so the
+            // global agg's sums come back NULL where the row-level form
+            // this replaced reported 0s — the audit must report zeros
+            .agg(coalesce(sum("__c"), lit(0L)).as("n_rows"),
               count(col("__fk")).as("n_distinct_fk"),
-              sum(when(col("__pk").isNull, col("__c")).otherwise(0L))
-                .as("n_orphan_rows"),
-              sum(when(col("__pk").isNull && col("__fk").isNotNull, 1L)
-                .otherwise(0L)).as("n_orphan_values"))
+              coalesce(sum(when(col("__pk").isNull, col("__c")).otherwise(0L)),
+                lit(0L)).as("n_orphan_rows"),
+              coalesce(sum(when(col("__pk").isNull && col("__fk").isNotNull, 1L)
+                .otherwise(0L)), lit(0L)).as("n_orphan_values"))
             .select(lit(rel).as("relation"), col("n_rows"),
               col("n_distinct_fk"), col("n_orphan_rows"),
               col("n_orphan_values"))
@@ -1878,7 +1881,11 @@ object AnalyticsQueries {
           .groupBy("name").agg(sum("n").as("n"))
         // materialize the registry ONCE: both self-join sides read it, and
         // reg's two vocab branches each embed the full corpus explode — an
-        // unmaterialized registry re-runs that scan up to 4x in one plan
+        // unmaterialized registry re-runs that scan up to 4x in one plan.
+        // Query-local checkpoint, freed by the ContextCleaner once the
+        // frame is unreachable — reclamation KNOWINGLY rides the harness's
+        // untimed inter-run System.gc() (repeated runs hold ≤1 registry
+        // each until then; registry is vocab-sized, not corpus-sized)
         val withSx = reg.withColumn("sx", expr(Fuzzy.soundexSparkSql("name")))
           .localCheckpoint(true)
         val a = withSx.select(col("sx"), col("name").as("name1"), col("n").as("n1"))

@@ -347,8 +347,10 @@ object ExtraQueries {
     // tiebreak. Overlapping key slices (%15, %21) exercise BOTH dedup rule
     // levels: recency wins across files, file order breaks exact ties.
     // Scale: narrow projections + one union + ONE key-space shuffle (the
-    // dedup); price rides as DECIMAL(18,2) end-to-end (exact cast of
-    // 2-dec money, never a raw double).
+    // dedup); price rides as DECIMAL(18,2) INTERNALLY (exact cast of
+    // 2-dec money, never a raw double) but SHIPS as integer cents — raw
+    // DECIMAL output columns hash-diverge on the driver (r13 post-mortem,
+    // the DECIMAL twin of the r10 double lesson).
     Q("cons1_end_to_end",
       (s, d) => {
         import org.apache.spark.sql.types._
@@ -379,6 +381,11 @@ object ExtraQueries {
             Seq(fileA, fileB, fileC), schema,
             requiredCols = Seq("id", "updated"), primaryKey = Seq("id"),
             recencyCol = "updated")
+          // DECIMAL(18,2) * 100 is value-exact; the long cast is the
+          // driver-safe integer-cents rendering of 2-dec money
+          .select(col("id"), col("priority"),
+            (col("price") * 100).cast("long").as("price_cents"),
+            col("updated"))
           .orderBy("id")
       },
       Some(
@@ -401,7 +408,8 @@ object ExtraQueries {
           |flt AS (SELECT * FROM u WHERE id IS NOT NULL AND updated IS NOT NULL),
           |r AS (SELECT *, row_number() OVER (PARTITION BY id
           |        ORDER BY updated DESC, src ASC) AS rn FROM flt)
-          |SELECT id, priority, price, updated FROM r WHERE rn = 1
+          |SELECT id, priority, CAST(price * 100 AS BIGINT) AS price_cents,
+          |  updated FROM r WHERE rn = 1
           |ORDER BY id""".stripMargin))
   )
 

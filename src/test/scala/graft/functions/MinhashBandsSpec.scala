@@ -40,6 +40,44 @@ class MinhashBandsSpec extends SparkSpec {
     assert(run("true") == run("false"))
   }
 
+  test("long-token kernel equals the stringified string kernel (g6 contract)") {
+    // g6-shaped input: sorted distinct long sets (incl. negatives and 0 —
+    // the decimal rendering must match cast(x AS string) exactly)
+    val sets = graft.Tables.lineitem(spark, sf())
+      .groupBy($"l_orderkey".as("id"))
+      .agg(sort_array(collect_set($"l_partkey")).as("xs"))
+      .unionByName(Seq((-(1L), Seq(-42L, 0L, 7L, 1000000007L)))
+        .toDF("id", "xs"))
+    val both = sets
+      .withColumn("nat", MinhashBands.minhashBandsLong($"xs", 16, 4))
+      .withColumn("hof", MinhashBands.minhashBands(
+        expr("transform(xs, x -> cast(x as string))"), 1, 16, 4))
+    assert(both.filter(
+      ($"nat".isNull =!= $"hof".isNull) ||
+        ($"nat.bands" =!= $"hof.bands") ||
+        (expr("transform(nat.shingles, x -> cast(x as string))") =!=
+          $"hof.shingles")).count() == 0)
+    // empty array → null on both (too short to shingle at w = 1)
+    val empty = Seq(Seq.empty[Long]).toDF("xs")
+      .select(MinhashBands.minhashBandsLong($"xs", 16, 4).isNull)
+      .as[Boolean].head()
+    assert(empty)
+    // interpreted == codegen
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen == "true") "FALLBACK" else "NO_CODEGEN")
+      try sets.limit(50)
+        .select(MinhashBands.minhashBandsLong($"xs", 16, 4).cast("string"))
+        .as[String].collect().toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(run("true") == run("false"))
+  }
+
   test("shingleHashes equals the HOF chain on real documents, both exec paths") {
     val hof = expr(TextOps.tokenHashesSql(TextOps.shinglesSql("toks", 3)))
     val both = docs

@@ -61,6 +61,16 @@ DOUBLE_OK = {
     "w7_rolling_7day": {"roll7"},
 }
 
+# DECIMAL twin of the DOUBLE lint (r13 post-mortem): cons1 shipped a raw
+# DECIMAL(18,2) output column — the only one across all 266 outputs — that
+# passed this local replica bit-exact yet hash-failed on the driver (the
+# driver's hasher canonicalizes DECIMAL values differently than the local
+# compare). Catalog outputs are int64 / strings / pinned doubles — NEVER
+# raw DECIMAL: render money as integer cents (value-exact for 2-dec
+# DECIMAL) or a moneySum-class double. Any (query, column) not listed here
+# fails the gate; extend ONLY with a pinned driver-hash-identity argument.
+DECIMAL_OK = {}
+
 
 def canon(v):
     if v is None:
@@ -185,8 +195,18 @@ def main():
         if floaty:
             print(f"FAIL {name}: unlisted DOUBLE output columns {floaty} — "
                   "doubles are engine-version-sensitive unless a pinned "
-                  "bit-identity class; emit fixed-point/DECIMAL or add the "
+                  "bit-identity class; emit fixed-point or add the "
                   "(query, column) to DOUBLE_OK with its class")
+            n_fail += 1
+            continue
+        deccy = [f.name for f in st.schema if pt.is_decimal(f.type)
+                 and f.name not in DECIMAL_OK.get(name, set())]
+        if deccy:
+            print(f"FAIL {name}: raw DECIMAL output columns {deccy} — the "
+                  "driver's hasher canonicalizes DECIMAL differently than "
+                  "this replica (r13 cons1); emit integer cents / fixed-"
+                  "point int64 on BOTH engines, or add the (query, column) "
+                  "to DECIMAL_OK with a pinned driver-hash-identity argument")
             n_fail += 1
             continue
         try:
