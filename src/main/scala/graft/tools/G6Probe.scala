@@ -30,19 +30,21 @@ object G6Probe {
     spark.sparkContext.setLogLevel("WARN")
 
     for (n <- args.map(_.toLong)) {
+      // LONG neighbor sets — the exact input shape g6 feeds the r14
+      // long-token kernel (stringified-token probes pre-date it; the band
+      // space is bit-identical either way, so exponents are comparable)
       val base = spark.range(n).select(col("id").as("doc_id"),
         expr(s"""transform(sequence(0, 99),
-                  j -> cast(pmod(hash(id * 100 + j), $n) as string))""").as("toks"))
+                  j -> cast(pmod(hash(id * 100 + j), $n) as bigint))""").as("toks"))
       val twins = spark.range(n).filter(col("id") % 200 === 0)
         .select((col("id") + 10000000L).as("doc_id"),
           expr(s"""filter(transform(sequence(0, 99),
-                    j -> pmod(hash(id * 100 + j), $n)), z -> z % 10 != 3)""")
-            .as("zs"))
-        .select(col("doc_id"), expr("transform(zs, z -> cast(z as string))").as("toks"))
+                    j -> cast(pmod(hash(id * 100 + j), $n) as bigint)),
+                   z -> z % 10 != 3)""").as("toks"))
       val sets = base.unionByName(twins).localCheckpoint(true)
 
-      val bandRows = Dedup.minhashBandIndex(sets, "doc_id", "toks",
-        k = 16, bands = 4, w = 1).localCheckpoint(true)
+      val bandRows = Dedup.minhashBandIndexLong(sets, "doc_id", "toks",
+        k = 16, bands = 4).localCheckpoint(true)
       val cand = bandRows.select(col("doc_id").as("id1"), col("band_idx"), col("bh"))
         .join(bandRows.select(col("doc_id").as("id2"), col("band_idx"), col("bh")),
           Seq("band_idx", "bh"))
@@ -51,8 +53,8 @@ object G6Probe {
 
       def timed(): (Long, Double) = {
         val t0 = System.nanoTime()
-        val c = Dedup.minhashLshPairs(sets, "doc_id", "toks",
-          k = 16, bands = 4, threshold = 0.5, w = 1).count()
+        val c = Dedup.minhashLshPairsLong(sets, "doc_id", "toks",
+          k = 16, bands = 4, threshold = 0.5).count()
         (c, (System.nanoTime() - t0) / 1e9)
       }
       timed() // warm
