@@ -336,6 +336,63 @@ object SketchQueries {
            |ORDER BY r.event_type""".stripMargin
       }),
 
+    // Exact quantiles from MERGED dyadic registers — the rank-select the
+    // persisted-register premise exists for: per-source registers (the
+    // daily/shard artifacts) merge by cell SUM, then any quantile is a
+    // segment-tree DESCENT reading 16 cells per (group, rank) — raw data
+    // is never re-touched, and unlike sk5's level-0 cumwalk the cost is
+    // independent of domain width. Ranks are pure-integer ceil(q·n) from
+    // the register's own root count. The exact leg (per-group sort rank)
+    // rides beside: equal by construction — the register is exact — and
+    // it is what the merged-register path replaces at scale.
+    Q("sk6_dyadic_quantiles",
+      (s, d) => {
+        val fx = Tables.events(s, d)
+          .select(col("event_type"), (col("user_id") % 2).as("src"),
+            floor(col("value") * lit(128)).cast("long").as("v"))
+        // two per-source registers → one cell-SUM merge (the artifact an
+        // ingest keeps per shard/day); materialized once — the descent
+        // reads one level slice per round
+        val reg = Sketches.dyadicRegister(fx, Seq("event_type", "src"), "v")
+          .groupBy("event_type", "key").agg(sum("cnt").as("cnt"))
+          .localCheckpoint(true)
+        val ranks = reg.filter(col("key") === Sketches.dyadicKey(16, 0L))
+          .select(col("event_type"), col("cnt").as("n_total"))
+          .select(col("event_type"), col("n_total"),
+            expr("stack(3, 'p50', (1 * n_total + 1) div 2, " +
+              "'p90', (9 * n_total + 9) div 10, " +
+              "'p99', (99 * n_total + 99) div 100) AS (q, k)"))
+        val sel = Sketches.dyadicRankSelect(reg, Seq("event_type"), ranks, "k")
+          .withColumnRenamed("value", "v_reg")
+        val exact = fx
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("v")))
+          .select(col("event_type"), col("rn"), col("v").as("v_exact"))
+        sel.join(exact, sel("event_type") === exact("event_type") &&
+            sel("k") === exact("rn"))
+          .select(sel("event_type"), col("q"), col("k"), col("n_total"),
+            col("v_reg"), col("v_exact"))
+          .orderBy("event_type", "q")
+      },
+      Some(
+        s"""${QH.evCte},
+           |fx AS (SELECT event_type,
+           |         CAST(FLOOR(value * 128) AS BIGINT) AS v FROM ev),
+           |n AS (SELECT event_type, COUNT(*) AS n_total FROM fx GROUP BY 1),
+           |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+           |         ('p99', 99, 100)) t(q, num, den)),
+           |rk AS (SELECT event_type, q,
+           |         (num * n_total + den - 1) // den AS k, n_total
+           |       FROM n CROSS JOIN qs),
+           |ord AS (SELECT event_type, v,
+           |          row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+           |        FROM fx)
+           |SELECT r.event_type, r.q, CAST(r.k AS BIGINT) AS k,
+           |  CAST(r.n_total AS BIGINT) AS n_total,
+           |  CAST(o.v AS BIGINT) AS v_reg, CAST(o.v AS BIGINT) AS v_exact
+           |FROM rk r JOIN ord o ON r.event_type = o.event_type AND r.k = o.rn
+           |ORDER BY r.event_type, r.q""".stripMargin)),
+
     // Sliding-window distinct actives from day-cell registers: rolling
     // 7-day distinct-user counts are THE case where sketches beat exact —
     // exact sliding distinct re-shuffles every (window, user) pair (the

@@ -180,4 +180,25 @@ class SketchesSpec extends SparkSpec {
     assert(merged.exceptAll(reg).count() === 0)
     assert(reg.exceptAll(merged).count() === 0)
   }
+
+  test("dyadicRankSelect: every rank returns the k-th smallest, incl. duplicates") {
+    val rng = new scala.util.Random(11)
+    // two groups, heavy duplication (values mod 50) so rank selection must
+    // handle multi-count cells; plus the boundary ranks 1 and n
+    val vals = (0 until 3000).map(i =>
+      (if (i % 3 == 0) "a" else "b", (rng.nextInt(50)).toLong * 7L))
+    val df = vals.toDF("g", "v")
+    val reg = Sketches.dyadicRegister(df, Seq("g"), "v").localCheckpoint(true)
+    val byG = vals.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.toIndexedSeq }
+    val ranks = byG.toSeq.flatMap { case (g, vs) =>
+      Seq(1L, vs.size / 4L max 1L, vs.size / 2L, vs.size.toLong)
+        .distinct.map(k => (g, k))
+    }.toDF("g", "k")
+    val got = Sketches.dyadicRankSelect(reg, Seq("g"), ranks, "k")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("value")).toMap
+    for (((g, k), v) <- got)
+      assert(v === byG(g)(k.toInt - 1), s"group $g rank $k")
+  }
 }

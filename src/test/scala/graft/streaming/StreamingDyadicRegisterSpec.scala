@@ -61,5 +61,21 @@ class StreamingDyadicRegisterSpec extends SparkSpec {
     ExactlyOnce.landBatchPartition(batchReg(batch2), s"$root/store", 1L)
     assert(merged().exceptAll(batchReg(union)).count() == 0)
     assert(batchReg(union).exceptAll(merged()).count() == 0)
+
+    // quantiles off the streamed store: rank-select (sk6's consumer) over
+    // the merged register == sort-based median over the raw union
+    val reg = merged().localCheckpoint(true)
+    val ranks = reg.filter($"key" === Sketches.dyadicKey(16, 0L))
+      .select($"event_type", expr("(cnt + 1) div 2").as("k"))
+    val med = Sketches.dyadicRankSelect(reg, Seq("event_type"), ranks, "k")
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("value"))
+      .toMap
+    val wantMed = union.collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rows) =>
+        val vs = rows.map(_.getAs[Long]("v")).sorted
+        t -> vs((vs.length + 1) / 2 - 1)
+      }
+    assert(med === wantMed)
   }
 }
