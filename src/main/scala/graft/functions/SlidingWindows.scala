@@ -156,3 +156,116 @@ object SlidingWindowHashes {
   def slidingWindowHashes(text: Column, w: Int): Column =
     Bridge.column(SlidingWindowHashes(Bridge.expression(text), w))
 }
+
+/** Native codegen'd content-defined chunking (the LBFS/Gear shape used by
+  * dedup storage and delta-friendly corpus layouts): a cut is placed after
+  * codepoint position c whenever the [[SlidingWindowHashes]] rolling hash
+  * of the w-window ENDING at c has its low `maskBits` bits zero — cut
+  * points derive from CONTENT, so an edit resynchronizes at the first
+  * unaffected window and every later chunk hash is unchanged (fixed-size
+  * chunking shares ~nothing after one inserted byte). Mean chunk length
+  * 2^maskBits; the mask is a POWER OF TWO on purpose — the low k bits of
+  * the signed 64-bit Spark hash equal those of its unsigned mod-2^64
+  * reading, so an external engine replays the predicate from the
+  * polynomial-sum form exactly (a general modulus would diverge on
+  * negative longs).
+  *
+  * Guards: a candidate cut is skipped while the open chunk is shorter
+  * than `minLen`, and a cut is FORCED when it reaches `maxLen` (length
+  * bounds are what make downstream chunk stores plannable). With
+  * minLen = 1 and maxLen = MaxValue the cut set is exactly the positional
+  * filter over window hashes — the oracle-replayable catalog form;
+  * guarded variants are spec-pinned against a reference chunker.
+  *
+  * @return array<struct<start:int, len:int>> — 1-based CODEPOINT start
+  *         (substr coordinates) per chunk; empty array for an empty
+  *         string; a text shorter than w (no windows) is one chunk. */
+case class CdcChunks(child: Expression, w: Int, maskBits: Int,
+                     minLen: Int, maxLen: Int) extends UnaryExpression {
+  require(w >= 1, s"window width must be >= 1, got $w")
+  require(maskBits >= 1 && maskBits <= 62, s"maskBits out of range: $maskBits")
+  require(minLen >= 1 && maxLen >= minLen,
+    s"need 1 <= minLen <= maxLen, got $minLen..$maxLen")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    CdcChunks.compute(v.asInstanceOf[UTF8String], w, maskBits, minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunks.compute($c, $w, $maskBits, $minLen, $maxLen);")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  private val empty = new GenericArrayData(Array.empty[Any])
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Chunk the codepoints of `s` (same decode and rolling recurrence as
+    * [[SlidingWindowHashes.compute]] — hash of the window ENDING at 1-based
+    * position c is Σ cp·B^(w-1-j) over codepoints c-w+1..c, mod 2^64). */
+  def compute(s: UTF8String, w: Int, maskBits: Int,
+              minLen: Int, maxLen: Int): ArrayData = {
+    val B = SlidingWindowHashes.B
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val cps = new Array[Int](nb)
+    var n = 0
+    var i = 0
+    while (i < nb) {
+      val u = bytes(i) & 0xFF
+      val len = if (u < 0x80) 1 else if (u < 0xE0) 2 else if (u < 0xF0) 3 else 4
+      var cp = if (len == 1) u else u & (0x7F >> len)
+      var j = 1
+      while (j < len && i + j < nb) { cp = (cp << 6) | (bytes(i + j) & 0x3F); j += 1 }
+      cps(n) = cp
+      n += 1
+      i += len
+    }
+    if (n == 0) return empty
+    val mask = (1L << maskBits) - 1
+    var bw1 = 1L
+    var e = 0
+    while (e < w - 1) { bw1 *= B; e += 1 }
+    val cuts = new Array[Int](n / minLen.max(1) + 2)
+    var nCuts = 0
+    var start = 0 // 0-based start of the open chunk
+    var h = 0L
+    var c = 0 // 0-based index of the codepoint just consumed + 1
+    while (c < n) {
+      h = h * B + cps(c)
+      if (c >= w) h -= cps(c - w) * bw1 * B // retire the codepoint that left
+      c += 1
+      val len = c - start
+      val hashCut = c >= w && (h & mask) == 0L && len >= minLen
+      if (hashCut || len >= maxLen) {
+        cuts(nCuts) = c
+        nCuts += 1
+        start = c
+      }
+    }
+    if (start < n) { cuts(nCuts) = n; nCuts += 1 }
+    val out = new Array[Any](nCuts)
+    var prev = 0
+    var k = 0
+    while (k < nCuts) {
+      out(k) = new GenericInternalRow(Array[Any](prev + 1, cuts(k) - prev))
+      prev = cuts(k)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper. */
+  def cdcChunks(text: Column, w: Int, maskBits: Int,
+                minLen: Int = 1, maxLen: Int = Int.MaxValue): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), w, maskBits, minLen, maxLen))
+}

@@ -196,6 +196,66 @@ object LlmQueries {
        |FROM newb n LEFT JOIN agg a USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
 
+  /** d23's oracle: the DuckDB replay of content-defined chunking. The
+    * rolling window hash is recomputed per position as the direct
+    * polynomial sum Σ unicode(cp)·B^(15−j) mod 2^64 in HUGEINT (terms
+    * < 2^84, 16-term sum < 2^88 — no overflow), which is ≡ the kernel's
+    * Long-wrapped rolling value; the cut mask 2^6 is a power of two, so
+    * the unsigned-mod predicate equals the kernel's signed bit test
+    * exactly. Cut ends (q+15) union the doc end, chunks reconstruct via
+    * lag, identity is md5(substr) on both engines. */
+  private def d23Oracle: String = {
+    // B^j mod 2^64, j = 0..15 (B = 0x9E3779B97F4A7C15, the shared
+    // SlidingWindowHashes base), as unsigned HUGEINT literals
+    val pows = Seq("1", "11400714819323198485", "16088033396387240377",
+      "6938460308862072877", "15655466665053923249", "3326886199428185477",
+      "5469504572959700969", "6830608118596137501", "492214389440211041",
+      "1085593367962225653", "9286665386893256473", "8615425459235934477",
+      "4689622991568106001", "10358659684478818149", "5794004639870474057",
+      "9439115029807367421")
+    val terms = (0 until 16).map(j =>
+      s"unicode(substr(text, q + $j, 1))::HUGEINT * ${pows(15 - j)}::HUGEINT")
+      .mkString("(", "\n           + ", ")")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |vers AS (SELECT doc_id, 1 AS ver, text FROM base
+       |         UNION ALL
+       |         SELECT doc_id, 2,
+       |           'EDIT-' || CAST(doc_id AS VARCHAR) || ': ' || text
+       |         FROM base),
+       |pos AS (SELECT doc_id, ver, text,
+       |          CAST(unnest(range(1, greatest(length(text) - 14, 1))) AS BIGINT) AS q
+       |        FROM vers),
+       |h AS (SELECT doc_id, ver, text, q,
+       |        $terms % 18446744073709551616::HUGEINT AS hh
+       |      FROM pos),
+       |ends AS (SELECT doc_id, ver, text, q + 15 AS e FROM h WHERE hh % 64 = 0
+       |         UNION
+       |         SELECT doc_id, ver, text, length(text) FROM vers),
+       |chunks AS (SELECT doc_id, ver, text,
+       |             COALESCE(lag(e) OVER (PARTITION BY doc_id, ver ORDER BY e), 0) + 1 AS s,
+       |             e
+       |           FROM ends),
+       |ch AS (SELECT doc_id, ver,
+       |         md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chash,
+       |         e - s + 1 AS clen
+       |       FROM chunks),
+       |n1 AS (SELECT doc_id, COUNT(*) AS n_chunks_v1 FROM ch WHERE ver = 1 GROUP BY 1),
+       |n2 AS (SELECT doc_id, COUNT(*) AS n_chunks_v2 FROM ch WHERE ver = 2 GROUP BY 1),
+       |d1 AS (SELECT DISTINCT doc_id, chash, clen FROM ch WHERE ver = 1),
+       |d2 AS (SELECT DISTINCT doc_id, chash FROM ch WHERE ver = 2),
+       |sh AS (SELECT d1.doc_id, COUNT(*) AS n_shared, SUM(clen) AS shared_chars
+       |       FROM d1 JOIN d2 ON d1.doc_id = d2.doc_id AND d1.chash = d2.chash
+       |       GROUP BY 1)
+       |SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS total_chars,
+       |  CAST(n1.n_chunks_v1 AS BIGINT) AS n_chunks_v1,
+       |  CAST(n2.n_chunks_v2 AS BIGINT) AS n_chunks_v2,
+       |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(COALESCE(sh.shared_chars, 0) AS BIGINT) AS shared_chars
+       |FROM base b JOIN n1 USING (doc_id) JOIN n2 USING (doc_id)
+       |LEFT JOIN sh USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** s7/s7b's persisted artifacts — PQ codebook, encoded codes, and the
     * cell-keyed IVFPQ store — trained/encoded once per sf dir (Jégou-style
     * deployments persist exactly these), warmed by Q.setup like
@@ -3379,6 +3439,47 @@ object LlmQueries {
            |FROM base b LEFT JOIN mc m USING (doc_id) LEFT JOIN cov c USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // Content-defined chunking (the LBFS/Gear dedup-storage shape): cut
+    // points derive from a rolling-hash predicate over the text itself,
+    // so an EDIT resynchronizes at the first unaffected window and every
+    // later chunk is byte-identical across versions — the property that
+    // makes delta-friendly corpus storage and cross-version chunk dedup
+    // work (fixed-size chunking shares ~nothing after one inserted byte).
+    // The query versions every 5th document with a prefix insertion (the
+    // fixed-chunking killer) and reports per-doc chunk counts + shared
+    // distinct chunks/chars between v1 and v2. The cut mask is a POWER OF
+    // TWO so the signed Spark hash and the oracle's unsigned mod-2^64
+    // polynomial sum agree on the predicate bit-exactly; mean chunk = 64
+    // chars. Scale shape: one codegen'd pass per doc + a posexplode; all
+    // downstream work keys on the md5 chunk hash — a content-derived key
+    // space (the bucketed-similarity invariant by construction).
+    Q("d23_cdc_chunks",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+        val v2 = base.select(col("doc_id"),
+          concat(lit("EDIT-"), col("doc_id").cast("string"), lit(": "),
+            col("text")).as("text"))
+        val c1 = Dedup.contentDefinedChunks(base, "doc_id", "text",
+          w = 16, maskBits = 6)
+        val c2 = Dedup.contentDefinedChunks(v2, "doc_id", "text",
+          w = 16, maskBits = 6)
+        val n1 = c1.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_v1"))
+        val n2 = c2.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_v2"))
+        val shared = c1.select(col("doc_id"), col("chunk_md5"), col("len"))
+          .distinct()
+          .join(c2.select(col("doc_id"), col("chunk_md5")).distinct(),
+            Seq("doc_id", "chunk_md5"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"),
+            sum(col("len").cast("long")).as("shared_chars"))
+        base.select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+          .join(n1, "doc_id").join(n2, "doc_id")
+          .join(shared, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared", "shared_chars"))
+          .orderBy("doc_id")
+      },
+      Some(d23Oracle)),
 
     // Hashed n-gram importance selection — the DSIR shape (Xie et al.
     // 2023, "Data Selection for Language Models via Importance
