@@ -52,19 +52,25 @@ object LogMetrics {
     * projection aliases with no cheapness check (the repo filter-pushdown
     * invariant) — re-expanding every regexp_extract into the pushed
     * predicate, so each regex ran ~2x per line despite the let-binding.
-    * The raw-line predicates are exact equivalents: the rlike-of-
-    * alternation IS `entity_type.isNotNull` (every pattern's group is
-    * +-quantified, so a match always captures non-empty), and the
-    * anchored-date / first-status predicates are the extracts themselves. */
+    * The raw-line match predicate is exact for ANY pattern table: the
+    * rlike-of-alternation screens non-matching lines in one regex pass,
+    * then the extract-based disjunction (`Or` short-circuits in codegen,
+    * so a line matching pattern i pays i extracts, and the rlike already
+    * removed the all-false lines) reproduces `entity_type.isNotNull`
+    * precisely — a pattern whose group captures EMPTY is a non-match,
+    * exactly as the `when(m =!= "")` coalesce downstream treats it. */
   def parse(lines: DataFrame, patterns: Seq[LogPattern] = defaultPatterns): DataFrame = {
     val ms = patterns.indices.map(i => col(s"__m$i"))
     val anyMatch = col("value").rlike(
       patterns.map(p => s"(?:${p.regex})").mkString("|"))
+    val exactMatch = patterns
+      .map(pt => regexp_extract(col("value"), pt.regex, 1) =!= "")
+      .reduce(_ || _)
     val kept = lines.filter(
       col("value").rlike("^\\d{4}-\\d{2}-\\d{2}") &&
         regexp_extract(col("value"), " (\\d{3}) \\+", 1).cast("int")
           .between(200, 399) &&
-        anyMatch)
+        anyMatch && exactMatch)
     val bound = kept.select(
       regexp_extract(col("value"), "^(\\d{4}-\\d{2}-\\d{2})", 1).as("date") +:
         patterns.zipWithIndex.map { case (pt, i) =>

@@ -468,8 +468,9 @@ object AnalyticsQueries {
             // n_orphan_rows (it matches nothing) but never as a distinct
             // VALUE — exactly the countDistinct semantics this replaces
             // coalesce(sum, 0): an EMPTY child yields zero groups, so the
-            // global agg's sums come back NULL where the row-level form
-            // this replaced reported 0s — the audit must report zeros
+            // global agg's sums come back NULL (as they would in the
+            // row-level form too) — an audit must report zeros, and the
+            // oracle coalesces the same way
             .agg(coalesce(sum("__c"), lit(0L)).as("n_rows"),
               count(col("__fk")).as("n_distinct_fk"),
               coalesce(sum(when(col("__pk").isNull, col("__c")).otherwise(0L)),
@@ -526,7 +527,7 @@ object AnalyticsQueries {
          |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
          |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
          |  CAST(n_distinct_fk AS BIGINT) AS n_distinct_fk,
-         |  CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+         |  CAST(COALESCE(n_orphan_rows, 0) AS BIGINT) AS n_orphan_rows,
          |  CAST(n_orphan_values AS BIGINT) AS n_orphan_values
          |FROM a ORDER BY relation""".stripMargin)),
 

@@ -230,7 +230,8 @@ object LlmQueries {
        |      FROM pos),
        |ends AS (SELECT doc_id, ver, text, q + 15 AS e FROM h WHERE hh % 64 = 0
        |         UNION
-       |         SELECT doc_id, ver, text, length(text) FROM vers),
+       |         SELECT doc_id, ver, text, length(text) FROM vers
+       |         WHERE length(text) > 0),
        |chunks AS (SELECT doc_id, ver, text,
        |             COALESCE(lag(e) OVER (PARTITION BY doc_id, ver ORDER BY e), 0) + 1 AS s,
        |             e
@@ -3461,18 +3462,33 @@ object LlmQueries {
         val v2 = base.select(col("doc_id"),
           concat(lit("EDIT-"), col("doc_id").cast("string"), lit(": "),
             col("text")).as("text"))
-        val c1 = Dedup.contentDefinedChunks(base, "doc_id", "text",
-          w = 16, maskBits = 6)
-        val c2 = Dedup.contentDefinedChunks(v2, "doc_id", "text",
-          w = 16, maskBits = 6)
-        val n1 = c1.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_v1"))
-        val n2 = c2.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_v2"))
-        val shared = c1.select(col("doc_id"), col("chunk_md5"), col("len"))
-          .distinct()
-          .join(c2.select(col("doc_id"), col("chunk_md5")).distinct(),
+        // ONE chunking pass over both versions (cid packs doc_id + ver),
+        // materialized once: counts and the shared-hash join both read it,
+        // and an unmaterialized frame would re-run the chunk+md5 kernel
+        // per consumer (the dvf1 materialize-once rule; reclamation rides
+        // the harness's untimed inter-run GC as for d22)
+        val ch = Dedup.contentDefinedChunks(
+            base.withColumn("ver", lit(1L))
+              .unionByName(v2.withColumn("ver", lit(2L)))
+              .select((col("doc_id") * 2 + col("ver") - 1).as("cid"), col("text")),
+            "cid", "text", w = 16, maskBits = 6)
+          .select(expr("cid div 2").as("doc_id"), (col("cid") % 2).as("v2f"),
+            col("chunk_md5"), col("len"))
+          .localCheckpoint(true)
+        val n1 = ch.filter(col("v2f") === 0)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_chunks_v1"))
+        val n2 = ch.filter(col("v2f") === 1)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_chunks_v2"))
+        val shared = ch.filter(col("v2f") === 0)
+          .select(col("doc_id"), col("chunk_md5"), col("len")).distinct()
+          .join(ch.filter(col("v2f") === 1)
+              .select(col("doc_id"), col("chunk_md5")).distinct(),
             Seq("doc_id", "chunk_md5"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"),
             sum(col("len").cast("long")).as("shared_chars"))
+        // inner joins on n1/n2: an empty-text doc has NO chunks (kernel
+        // contract) and drops out — the oracle's end-union is gated on
+        // length(text) > 0 so it drops the same docs
         base.select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
           .join(n1, "doc_id").join(n2, "doc_id")
           .join(shared, Seq("doc_id"), "left")

@@ -31,6 +31,18 @@ class LogMetricsSpec extends SparkSpec {
     ("insee", "o-1", false, "2024-01-02")
   ).toDF("slug", "id", "archived", "created")
 
+  test("a pattern whose group captures empty is a NON-match (filter exactness)") {
+    // the raw-line rlike screen alone would pass this line; the exact
+    // extract-based disjunction must drop it, like the old isNotNull filter
+    val starPatterns = Seq(LogMetrics.LogPattern("datasets", "fr",
+      """GET /fr/datasets/([\w-]*)"""))
+    val rows = LogMetrics.parse(Seq(
+      """2024-03-01 x 200 + "GET /fr/datasets/ HTTP/1.1"""", // empty capture
+      """2024-03-01 x 200 + "GET /fr/datasets/ok HTTP/1.1""""
+    ).toDF("value"), starPatterns).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("slug") == "ok")
+  }
+
   test("parse → aggregate → catalog join matches the golden expectation") {
     val hits = LogMetrics.parse(lines.toDF("value"))
     assert(hits.count() == 6) // 404 and static dropped
