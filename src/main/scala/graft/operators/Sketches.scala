@@ -234,21 +234,18 @@ object Sketches {
 
   /** EXACT per-group rank selection (k-th smallest value) from a dyadic
     * register — the quantile query a persisted/merged register answers
-    * without ever re-touching raw data. Classic segment-tree descent as
-    * DyB chained frontier joins: at each level the frontier row looks up
-    * its LEFT child's count and goes left (rank unchanged) or right (rank
-    * reduced by the left count). Each (group, rank) probe touches exactly
-    * one cell per level — DyB rows total — so answering any number of
-    * quantiles over merged shard registers costs O(ranks · DyB) join rows,
+    * without ever re-touching raw data. Classic segment-tree descent: at
+    * each level look up the LEFT child's count and go left (rank
+    * unchanged) or right (rank reduced by the left count). Each (group,
+    * rank) probe touches exactly one cell per level — DyB lookups total —
+    * so answering any number of quantiles over merged shard registers is
     * independent of row count AND of domain width (the level-0 histogram
     * cumwalk alternative scans min(n, 2^DyB) cells per group under a
     * per-group sort window — fine at DyB = 16, quadratic pain if the
     * domain widens).
     *
     * @param reg     [[dyadicRegister]] frame (or a cell-SUM merge of
-    *                several) — materialize it first: the descent reads one
-    *                level slice per round, and an unmaterialized register
-    *                would re-run its aggregation DyB times.
+    *                several), read ONCE into per-group map cells.
     * @param ranks   one row per wanted selection: groupCols + `rankCol`.
     * @param rankCol 1-based rank in [1, group total]; out-of-range ranks
     *                return meaningless leaves (callers derive ranks from
@@ -256,28 +253,36 @@ object Sketches {
     * @return ranks + `value` (the k-th smallest level-0 value). */
   def dyadicRankSelect(reg: DataFrame, groupCols: Seq[String],
                        ranks: DataFrame, rankCol: String): DataFrame = {
-    var cur = ranks
+    // each group's register pivots into ONE map cell (domain-bounded:
+    // Σ 2^(DyB−l) ≤ 2^17 entries) in a single shuffle; the descent is then
+    // 16 map lookups per (group, rank) inside one task — the chained-join
+    // alternative (one join per level) costs 16 sequential stages of pure
+    // scheduler overhead for the same cell reads (measured 3.8 → 1.4 s on
+    // the sk6 gate). Each level's lookup is LET-BOUND via withColumn:
+    // __lc/__b/__r are multiply referenced and non-cheap, so
+    // CollapseProject keeps the per-level projection boundaries (the repo
+    // letSql invariant) and the expression tree stays linear in DyB.
+    val m = reg
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("key"), col("cnt"))))
+        .as("__m"))
+    var cur = ranks.join(m, groupCols)
       .withColumn("__b", lit(0L))
       .withColumn("__r", col(rankCol).cast("long"))
     for (l <- DyB to 1 by -1) {
-      val lo = (l - 1).toLong * 131072L
-      val slice = reg
-        .filter(col("key") >= lit(lo) && col("key") < lit(l.toLong * 131072L))
-        .select(groupCols.map(col) :+ col("key").as("__lk") :+
-          col("cnt").as("__lc"): _*)
+      // left child of node __b at level l is bucket 2·__b at level l−1
+      val lc = coalesce(
+        element_at(col("__m"), lit((l - 1).toLong * 131072L) + col("__b") * 2),
+        lit(0L))
       cur = cur
-        // left child of node __b at level l is bucket 2·__b at level l−1
-        .withColumn("__lk", lit(lo) + col("__b") * 2)
-        .join(slice, groupCols :+ "__lk", "left")
-        .withColumn("__lc", coalesce(col("__lc"), lit(0L)))
+        .withColumn("__lc", lc)
         .withColumn("__b",
           when(col("__r") <= col("__lc"), col("__b") * 2)
             .otherwise(col("__b") * 2 + 1))
         .withColumn("__r",
           when(col("__r") <= col("__lc"), col("__r"))
             .otherwise(col("__r") - col("__lc")))
-        .drop("__lk", "__lc")
     }
-    cur.withColumn("value", col("__b")).drop("__b", "__r")
+    cur.withColumn("value", col("__b")).drop("__b", "__r", "__lc", "__m")
   }
 }
