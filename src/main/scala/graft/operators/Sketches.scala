@@ -244,9 +244,19 @@ object Sketches {
     * per-group sort window — fine at DyB = 16, quadratic pain if the
     * domain widens).
     *
+    * The one-shuffle map build is O(register); the descent itself runs
+    * inside a single whole-stage pass (join + projections, no exchange
+    * between levels) and `__m` is dropped before the output, so the map
+    * never rides a downstream shuffle. A rank row does reference its
+    * group's whole map cell at the join, so keep `ranks` per-group counts
+    * sane (quantile lists, not one row per datum).
+    *
     * @param reg     [[dyadicRegister]] frame (or a cell-SUM merge of
     *                several), read ONCE into per-group map cells.
-    * @param ranks   one row per wanted selection: groupCols + `rankCol`.
+    * @param ranks   one row per wanted selection: groupCols + `rankCol` —
+    *                every input row survives (LEFT join: a group with no
+    *                register cells descends to a meaningless leaf, it does
+    *                not vanish).
     * @param rankCol 1-based rank in [1, group total]; out-of-range ranks
     *                return meaningless leaves (callers derive ranks from
     *                the register's own root count).
@@ -266,7 +276,7 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(map_from_entries(collect_list(struct(col("key"), col("cnt"))))
         .as("__m"))
-    var cur = ranks.join(m, groupCols)
+    var cur = ranks.join(m, groupCols, "left")
       .withColumn("__b", lit(0L))
       .withColumn("__r", col(rankCol).cast("long"))
     for (l <- DyB to 1 by -1) {

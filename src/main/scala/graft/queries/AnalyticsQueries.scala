@@ -32,7 +32,7 @@ object AnalyticsQueries {
   private[queries] def basketPairs(s: org.apache.spark.sql.SparkSession,
                                    d: String)
       : (org.apache.spark.sql.DataFrame, Long) =
-    mbCache.get(d).filter(_._1.sparkSession eq s).getOrElse {
+    QH.sessionMemo(mbCache, d, s)(_._1) {
       val minSup = 3L
       val items = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey").distinct()
@@ -53,7 +53,6 @@ object AnalyticsQueries {
         .localCheckpoint(true)
       // pairs is materialized; the intermediate basket checkpoint is done
       org.apache.spark.sql.graft.Bridge.freeCheckpoint(items)
-      mbCache(d) = (pairs, nOrders)
       (pairs, nOrders)
     }
 

@@ -100,11 +100,9 @@ object CorpusQueries {
   private val u1Indexes =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def u1Index(s: SparkSession, d: String): DataFrame =
-    u1Indexes.get(d).filter(_.sparkSession eq s).getOrElse {
-      val built = Web.domainKeptIndex(plantedDomains(s, d), "doc_id", "domain", 20)
+    QH.sessionMemo(u1Indexes, d, s)(identity) {
+      Web.domainKeptIndex(plantedDomains(s, d), "doc_id", "domain", 20)
         .localCheckpoint(true)
-      u1Indexes(d) = built
-      built
     }
 
   /** Deterministic HTML shell around each doc (t15/web1): head/title,

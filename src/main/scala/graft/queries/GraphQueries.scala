@@ -137,17 +137,15 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private[queries] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
                                        d: String): org.apache.spark.sql.DataFrame =
-    edgeCache.get(d).filter(_.sparkSession eq s).getOrElse {
+    QH.sessionMemo(edgeCache, d, s)(identity) {
       val items = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey").distinct()
-      val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      items.select(col("l_orderkey"), col("l_partkey").as("p1"))
         .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
           "l_orderkey")
         .filter(col("p1") < col("p2"))
         .select("p1", "p2").distinct()
         .localCheckpoint(true)
-      edgeCache(d) = edges
-      edges
     }
 
   /** g8's persisted artifact — the WEIGHTED co-purchase graph (affinity
@@ -159,18 +157,16 @@ object GraphQueries {
   private[queries] def coPurchaseWeightedEdges(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    wEdgeCache.get(d).filter(_.sparkSession eq s).getOrElse {
+    QH.sessionMemo(wEdgeCache, d, s)(identity) {
       val items = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey").distinct()
-      val edges = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      items.select(col("l_orderkey"), col("l_partkey").as("p1"))
         .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
           "l_orderkey")
         .filter(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("__c"))
         .select(col("p1"), col("p2"), expr("1000000L div __c").as("w"))
         .localCheckpoint(true)
-      wEdgeCache(d) = edges
-      edges
     }
 
   val all: Seq[Q] = Seq(

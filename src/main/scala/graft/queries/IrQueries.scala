@@ -43,14 +43,12 @@ object IrQueries {
   private val irIndexes =
     scala.collection.concurrent.TrieMap.empty[String, IrIndex]
   private def irIndex(s: org.apache.spark.sql.SparkSession, d: String): IrIndex =
-    irIndexes.get(d).filter(_.post.sparkSession eq s).getOrElse {
+    QH.sessionMemo(irIndexes, d, s)(_.post) {
       val post = Ir.postings(Tables.documents(s, d), "doc_id", "text")
         .localCheckpoint(true)
       val dfreq = Ir.docFreq(post).localCheckpoint(true)
       val (n, t) = Ir.corpusStats(Tables.documents(s, d), "doc_id", "text")
-      val built = IrIndex(post, dfreq, n, t)
-      irIndexes(d) = built
-      built
+      IrIndex(post, dfreq, n, t)
     }
 
   private def queriesDf(s: org.apache.spark.sql.SparkSession) = {

@@ -64,12 +64,10 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def d16Index(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame =
-    d16Indexes.get(d).filter(_.sparkSession eq s).getOrElse {
-      val built = Dedup.substringWindowIndex(
+    QH.sessionMemo(d16Indexes, d, s)(identity) {
+      Dedup.substringWindowIndex(
           Tables.documents(s, d).select("doc_id", "text"), "text", w = 40)
         .localCheckpoint(true)
-      d16Indexes(d) = built
-      built
     }
 
   /** d16d's persisted artifact — the HASH-KEYED window index (8 bytes per
@@ -78,12 +76,10 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def d16HIndex(s: org.apache.spark.sql.SparkSession,
                         d: String): org.apache.spark.sql.DataFrame =
-    d16HIndexes.get(d).filter(_.sparkSession eq s).getOrElse {
-      val built = Dedup.substringWindowIndexHashed(
+    QH.sessionMemo(d16HIndexes, d, s)(identity) {
+      Dedup.substringWindowIndexHashed(
           Tables.documents(s, d).select("doc_id", "text"), "text", w = 40)
         .localCheckpoint(true)
-      d16HIndexes(d) = built
-      built
     }
 
   /** The 3-shingle MinHash-LSH pair frame over the plain corpus at the
@@ -101,14 +97,12 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private[queries] def plainLsh03Pairs(s: org.apache.spark.sql.SparkSession,
                                        d: String): org.apache.spark.sql.DataFrame =
-    plainLshPairCache.get(d).filter(_.sparkSession eq s).getOrElse {
+    QH.sessionMemo(plainLshPairCache, d, s)(identity) {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "toks",
+      Dedup.minhashLshPairs(docs, "doc_id", "toks",
           k = 16, bands = 8, threshold = 0.3)
         .localCheckpoint(true)
-      plainLshPairCache(d) = pairs
-      pairs
     }
 
   /** The threshold-0.5 slice of [[plainLsh03Pairs]] (exact, see there) —
@@ -125,14 +119,12 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def corpusBandIndex(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
-    bandIndexCache.get(d).filter(_.sparkSession eq s).getOrElse {
+    QH.sessionMemo(bandIndexCache, d, s)(identity) {
       val corpus = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val idx = Dedup.minhashBandIndex(corpus, "doc_id", "toks",
+      Dedup.minhashBandIndex(corpus, "doc_id", "toks",
           k = 16, bands = 8, w = 3)
         .localCheckpoint(true)
-      bandIndexCache(d) = idx
-      idx
     }
 
   /** d16b's incremental batch over `documents` — shared verbatim by
@@ -269,7 +261,7 @@ object LlmQueries {
   private def pqArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) =
-    pqCache.get(d).filter(_._1.sparkSession eq s).getOrElse {
+    QH.sessionMemo(pqCache, d, s)(_._1) {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -282,9 +274,7 @@ object LlmQueries {
         dim = 64, nSub = 4).localCheckpoint(true)
       val cellCodes =
         Similarity.ivfPqIndex(c, centroids, codes).localCheckpoint(true)
-      val built = (cb, codes, cellCodes)
-      pqCache(d) = built
-      built
+      (cb, codes, cellCodes)
     }
 
   /** Gopher rule battery columns (t12 + llm_corpus_clean): adds n_words /
@@ -333,18 +323,12 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def d13Baseline(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame = {
-    // a localCheckpoint'd frame is bound to ITS session's block manager —
-    // a cached entry from a stopped/replaced session would fail with
-    // lost-block errors, so rebuild whenever the session differs
-    d13Baselines.get(d).filter(_.sparkSession eq s).getOrElse {
+    QH.sessionMemo(d13Baselines, d, s)(identity) {
       val docs = Tables.documents(s, d).select("doc_id")
       val oldPairs = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id").as("id1"),
           (col("doc_id") - col("doc_id") % 10).as("id2"))
-      val built =
-        Dedup.connectedComponents(oldPairs, "id1", "id2").localCheckpoint(true)
-      d13Baselines(d) = built
-      built
+      Dedup.connectedComponents(oldPairs, "id1", "id2").localCheckpoint(true)
     }
   }
 
@@ -373,16 +357,14 @@ object LlmQueries {
     .empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
   private def d15Artifacts(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    d15Cache.get(d).filter(_._1.sparkSession eq s).getOrElse {
+    QH.sessionMemo(d15Cache, d, s)(_._1) {
       val e = Tables.embeddings(s, d)
         .filter(col("vec_id") % 4 === 0)
         .select(col("vec_id").as("vid"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
       val (cents, idx) =
         graft.operators.Similarity.semClusterIndex(e, "vid", "v", k = 16, iters = 1)
-      val built = (cents.localCheckpoint(true), idx.localCheckpoint(true))
-      d15Cache(d) = built
-      built
+      (cents.localCheckpoint(true), idx.localCheckpoint(true))
     }
   }
 
@@ -412,14 +394,12 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def d4Pairs(s: org.apache.spark.sql.SparkSession,
                       d: String): org.apache.spark.sql.DataFrame =
-    d4PairCache.get(d).filter(_.sparkSession eq s).getOrElse {
+    QH.sessionMemo(d4PairCache, d, s)(identity) {
       val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val pairs = Dedup.minhashLshPairs(augNearCopies(docs), "doc_id", "toks",
+      Dedup.minhashLshPairs(augNearCopies(docs), "doc_id", "toks",
           k = 16, bands = 8, threshold = 0.3, w = 2, blockCols = Seq("source"))
         .localCheckpoint(true)
-      d4PairCache(d) = pairs
-      pairs
     }
 
   /** DuckDB twin of `Dedup.minhashLshPairs` as a CTE chain ending in

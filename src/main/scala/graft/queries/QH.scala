@@ -52,4 +52,19 @@ object QH {
   val evCte: String =
     "WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us_long, " +
       "ts::TIMESTAMP AS ts_us, user_id, event_type, value, props FROM events)"
+
+  /** Per-sf-dir memo of a persisted-artifact frame (the d13/ir2/pq setup
+    * pattern): rebuilds when absent OR when the cached value belongs to a
+    * DEAD SparkSession — localCheckpoint blocks die with their session, so
+    * serving a stale entry fails at runtime. The liveness check lives HERE,
+    * once: call sites supply only how to reach a representative frame
+    * (identity for plain DataFrames, a projection for tuples of them). */
+  def sessionMemo[T](cache: scala.collection.concurrent.TrieMap[String, T],
+                     d: String, s: SparkSession)(rep: T => DataFrame)
+                    (build: => T): T =
+    cache.get(d).filter(t => rep(t).sparkSession eq s).getOrElse {
+      val built = build
+      cache(d) = built
+      built
+    }
 }

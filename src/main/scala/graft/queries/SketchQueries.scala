@@ -33,24 +33,27 @@ object SketchQueries {
        |               // (zz * 1000000) AS BIGINT) AS est
        |        FROM $z)""".stripMargin
 
+  /** sk6's quantized value stream — ONE definition feeds both the register
+    * build (v_reg) and the exact sort-rank leg (v_exact), so the two legs
+    * cannot desynchronize on the quantization. */
+  private def sk6Fx(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).as("src"),
+        floor(col("value") * lit(128)).cast("long").as("v"))
+
   /** sk6's persisted merged dyadic register — per-source registers
     * cell-SUM-merged, the artifact an ingest maintains on disk (the
     * streaming dyadic maintainer's store), memoized per sf dir with the
-    * d13/ir2 localCheckpoint/setup discipline. Session-checked because
-    * localCheckpoint blocks die with their session. */
+    * d13/ir2 localCheckpoint/setup discipline. */
   private val sk6RegCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def sk6Register(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
-    sk6RegCache.get(d).filter(_.sparkSession eq s).getOrElse {
-      val fx = Tables.events(s, d)
-        .select(col("event_type"), (col("user_id") % 2).as("src"),
-          floor(col("value") * lit(128)).cast("long").as("v"))
-      val reg = Sketches.dyadicRegister(fx, Seq("event_type", "src"), "v")
+    QH.sessionMemo(sk6RegCache, d, s)(identity) {
+      Sketches.dyadicRegister(sk6Fx(s, d), Seq("event_type", "src"), "v")
         .groupBy("event_type", "key").agg(sum("cnt").as("cnt"))
         .localCheckpoint(true)
-      sk6RegCache(d) = reg
-      reg
     }
 
   val all: Seq[Q] = Seq(
@@ -371,9 +374,7 @@ object SketchQueries {
     // register-query work, not the ingest-time build.
     Q("sk6_dyadic_quantiles",
       (s, d) => {
-        val fx = Tables.events(s, d)
-          .select(col("event_type"), (col("user_id") % 2).as("src"),
-            floor(col("value") * lit(128)).cast("long").as("v"))
+        val fx = sk6Fx(s, d)
         val reg = sk6Register(s, d)
         val ranks = reg.filter(col("key") === Sketches.dyadicKey(16, 0L))
           .select(col("event_type"), col("cnt").as("n_total"))
