@@ -27,7 +27,150 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Bpe {
 
-  /** Run `rounds` BPE merges over (wordCol, freqCol) — words must be
+  /** One learned merge: batch round, rank within the round's batch, the
+    * 2-codepoint pair replaced, its count at selection time, and the fresh
+    * single-codepoint symbol. Global merge order is (round, rk). */
+  final case class Merge(round: Int, rk: Int, pair: String, cnt: Long, sym: String)
+
+  /** Shared conventions of the production-scale batched trainer (t17b/
+    * t18b) — the SQL oracle generator unrolls exactly these constants, so
+    * they are pinned here once. */
+  val SymBase: Int = 0x100 // first merge-symbol codepoint ('Ā'); corpus
+                           // alphabet is ASCII, so no collision, and all
+                           // symbols stay BMP (1 UTF-16 unit in Spark,
+                           // codepoint-ordered identically in UTF-8/DuckDB)
+  val BatchM: Int = 16     // merges selected per round
+  val CandK: Int = 64      // candidate window the conflict filter sees
+  val SampleCap: Int = 4096 // training-sample bound (docs), hash-ranked
+
+  /** Bounded deterministic training sample: the `cap` documents ranked by
+    * md5(id) (unique id tiebreak), grouped to a (sequence, freq) vocab.
+    * Real tokenizers never train on the full corpus — the trainer input is
+    * a BOUNDED sample by construction, which is what makes the driver-local
+    * induction below legitimate at any corpus size (the only corpus-wide
+    * passes are this top-k sample selection and the encode kernel).
+    * DuckDB replays the same sample with ORDER BY md5(CAST(id AS VARCHAR)). */
+  def sampleVocab(docs: DataFrame, textCol: String, idCol: String,
+                  cap: Int = SampleCap): Seq[(String, Long)] =
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(textCol).as("__t"), col(idCol).as("__id"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(cap)
+      .groupBy("__t").agg(count(lit(1)).as("__f"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Batched BPE merge induction, driver-local over a bounded vocab — the
+    * SentencePiece shape (whole sequences, space in-alphabet, no word
+    * pre-tokenization), so merge capacity grows into multi-word phrases
+    * instead of capping at the word list (Sennrich et al. 2016; Kudo &
+    * Richardson 2018). Replaces the r14 design's three scale bounds
+    * (26-symbol alphabet, one driver round-trip per merge, unrolled encode
+    * chain): symbols are fresh BMP codepoints, induction runs in driver
+    * memory over the bounded sample (ZERO per-merge Spark jobs), and the
+    * encode is the data-driven [[graft.functions.BpeEncode]] kernel.
+    *
+    * Batched-round semantics, pinned identically in the DuckDB oracle:
+    * per round, count adjacent pairs (overlapping positions, freq-
+    * weighted); rank (count DESC, pair ASC); within the top-`candK`
+    * candidates drop any pair sharing a symbol with ANY higher-ranked
+    * candidate (so selected pairs are mutually symbol-disjoint and their
+    * applications commute); keep the first `batchM` survivors; apply them
+    * in rank order, each left-to-right non-overlapping. Round r's rank-j
+    * merge gets symbol codepoint `symBase + (r-1)·batchM + (j-1)` —
+    * deterministic even when a round under-fills (gaps are harmless).
+    * With batchM = 1 every round is the classic global argmax, which the
+    * byte-parity spec pins against the legacy 8-round goldens. */
+  def trainBatched(vocab: Seq[(String, Long)], rounds: Int,
+                   batchM: Int = BatchM, candK: Int = CandK,
+                   symBase: Int = SymBase): Vector[Merge] = {
+    require(rounds >= 1 && batchM >= 1 && candK >= batchM, "bad BPE shape")
+    require(symBase >= 0x80 && symBase + rounds.toLong * batchM < 0xD800,
+      "merge symbols must stay below the surrogate range")
+    // pair key packs two BMP chars into a non-negative Int; ascending Int
+    // order == ascending pair-string order (UTF-8 preserves codepoint order)
+    var cur: Array[(String, Long)] = vocab.toArray
+    val out = Vector.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = new java.util.HashMap[Integer, java.lang.Long]()
+      var vi = 0
+      while (vi < cur.length) {
+        val s = cur(vi)._1; val f = cur(vi)._2
+        var i = 0
+        while (i < s.length - 1) {
+          val key = Integer.valueOf((s.charAt(i) << 16) | s.charAt(i + 1))
+          val prev = counts.get(key)
+          counts.put(key, if (prev == null) f else prev + f)
+          i += 1
+        }
+        vi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val cand = {
+          val arr = new Array[(Int, Long)](counts.size())
+          val it = counts.entrySet().iterator()
+          var i = 0
+          while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey.intValue(), e.getValue.longValue()); i += 1 }
+          java.util.Arrays.sort(arr, Ordering.by[(Int, Long), (Long, Int)](pc => (-pc._2, pc._1)))
+          arr.take(candK)
+        }
+        val batch = Array.newBuilder[(Int, Long)]
+        var taken = 0
+        var ci = 0
+        while (ci < cand.length && taken < batchM) {
+          val p = cand(ci)._1
+          val a = p >>> 16; val b = p & 0xFFFF
+          var conflict = false
+          var cj = 0
+          while (cj < ci && !conflict) {
+            val q = cand(cj)._1
+            val qa = q >>> 16; val qb = q & 0xFFFF
+            conflict = qa == a || qa == b || qb == a || qb == b
+            cj += 1
+          }
+          if (!conflict) { batch += ((p, cand(ci)._2)); taken += 1 }
+          ci += 1
+        }
+        val sel = batch.result()
+        if (sel.nonEmpty) {
+          val reps = new Array[(String, String)](sel.length)
+          var j = 0
+          while (j < sel.length) {
+            val (p, c) = sel(j)
+            val pair = new String(Array((p >>> 16).toChar, (p & 0xFFFF).toChar))
+            val sym = (symBase + (r - 1) * batchM + j).toChar.toString
+            out += Merge(r, j + 1, pair, c, sym)
+            reps(j) = (pair, sym)
+            j += 1
+          }
+          cur = cur.map { case (s, f) =>
+            var t = s
+            var k = 0
+            while (k < reps.length) { t = t.replace(reps(k)._1, reps(k)._2); k += 1 }
+            (t, f)
+          }
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Sequential rank-order application of a merge list to one sequence —
+    * the scalar reference the encode kernel's greedy loop must equal
+    * (specs only; the distributed encode is [[graft.functions.BpeEncode]]). */
+  def applySequential(s: String, merges: Seq[Merge]): String =
+    merges.foldLeft(s)((acc, m) => acc.replace(m.pair, m.sym))
+
+  /** Classic one-merge-per-round variant over a distributed word vocab —
+    * kept for the t17/t18 goldens and as the batch-1 reference shape. It
+    * is DEMO-scale by design (26 reserved symbols, one driver argmax per
+    * merge); the production path is [[trainBatched]] +
+    * [[graft.functions.BpeEncode]].
+    *
+    * Run `rounds` BPE merges over (wordCol, freqCol) — words must be
     * lowercase a-z only (the reserved merge alphabet is 'A'-'Z').
     * @return (round, pair, cnt, sym): merge r replaced `pair` (count
     *         `cnt` at selection time) with the single character `sym` */
