@@ -25,11 +25,13 @@ class CheckpointHygieneSpec extends SparkSpec {
   private def persistedCount(): Int = residentIds().size
 
   test("freeCheckpoint releases a localCheckpoint's blocks") {
-    val before = persistedCount()
+    // new-ids delta, not global counts (see scaladoc above): a global
+    // count races the ContextCleaner collecting an earlier suite's leak
+    val before = residentIds()
     val df = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
-    assert(persistedCount() === before + 1)
+    assert((residentIds() -- before).size === 1)
     Bridge.freeCheckpoint(df)
-    assert(persistedCount() === before)
+    assert((residentIds() -- before).isEmpty)
   }
 
   test("freeCheckpoint is a no-op on a non-checkpointed frame") {
