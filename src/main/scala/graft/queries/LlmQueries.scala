@@ -196,7 +196,12 @@ object LlmQueries {
     * the unsigned-mod predicate equals the kernel's signed bit test
     * exactly. Cut ends (q+15) union the doc end, chunks reconstruct via
     * lag, identity is md5(substr) on both engines. */
-  private def d23Oracle: String = {
+  /** Shared chunk-derivation CTE block for the d23 family: expects a prior
+    * CTE `vers(doc_id, ver, text)` and emits pos/h/ends/chunks/ch with
+    * ch = (doc_id, ver, chash, clen). The rolling window hash is
+    * recomputed per position as the direct polynomial sum in HUGEINT —
+    * see [[d23Oracle]]'s scaladoc for the bit-parity argument. */
+  private def dCdcChunkCtes: String = {
     // B^j mod 2^64, j = 0..15 (B = 0x9E3779B97F4A7C15, the shared
     // SlidingWindowHashes base), as unsigned HUGEINT literals
     val pows = Seq("1", "11400714819323198485", "16088033396387240377",
@@ -208,13 +213,7 @@ object LlmQueries {
     val terms = (0 until 16).map(j =>
       s"unicode(substr(text, q + $j, 1))::HUGEINT * ${pows(15 - j)}::HUGEINT")
       .mkString("(", "\n           + ", ")")
-    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-       |vers AS (SELECT doc_id, 1 AS ver, text FROM base
-       |         UNION ALL
-       |         SELECT doc_id, 2,
-       |           'EDIT-' || CAST(doc_id AS VARCHAR) || ': ' || text
-       |         FROM base),
-       |pos AS (SELECT doc_id, ver, text,
+    s"""pos AS (SELECT doc_id, ver, text,
        |          CAST(unnest(range(1, greatest(length(text) - 14, 1))) AS BIGINT) AS q
        |        FROM vers),
        |h AS (SELECT doc_id, ver, text, q,
@@ -231,7 +230,33 @@ object LlmQueries {
        |ch AS (SELECT doc_id, ver,
        |         md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chash,
        |         e - s + 1 AS clen
-       |       FROM chunks),
+       |       FROM chunks)""".stripMargin
+  }
+
+  /** d23b's memoized full-corpus chunk instances (doc_id, chunk_md5, len)
+    * — one kernel pass, checkpointed per sf dir; the streamed store is the
+    * distinct-hash projection of exactly this frame. */
+  private val d23bCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def d23bInstances(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    QH.sessionMemo(d23bCache, d, s)(identity) {
+      Dedup.contentDefinedChunks(
+          Tables.documents(s, d).filter(length(col("text")) > 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", w = 16, maskBits = 6)
+        .select("doc_id", "chunk_md5", "len")
+        .localCheckpoint(true)
+    }
+
+  private def d23Oracle: String = {
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |vers AS (SELECT doc_id, 1 AS ver, text FROM base
+       |         UNION ALL
+       |         SELECT doc_id, 2,
+       |           'EDIT-' || CAST(doc_id AS VARCHAR) || ': ' || text
+       |         FROM base),
+       |$dCdcChunkCtes,
        |n1 AS (SELECT doc_id, COUNT(*) AS n_chunks_v1 FROM ch WHERE ver = 1 GROUP BY 1),
        |n2 AS (SELECT doc_id, COUNT(*) AS n_chunks_v2 FROM ch WHERE ver = 2 GROUP BY 1),
        |d1 AS (SELECT DISTINCT doc_id, chash, clen FROM ch WHERE ver = 1),
@@ -3476,6 +3501,65 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some(d23Oracle)),
+
+    // The chunk-dedup question the streamed chunk store exists to answer
+    // (StreamingChunkIndex — bytes actually stored vs bytes ingested, per
+    // source): chunk the full corpus once, then per source report instance
+    // totals and the slice of the deduplicated store it is charged for.
+    // Store rows are attributed to the source of their MIN-doc_id instance
+    // — deterministic and arrival-order-independent, matching the store's
+    // order-free chunk-set identity (StreamingChunkIndexSpec drives this
+    // exact aggregation off the stream-maintained store and pins it equal
+    // to the batch build this query and its oracle compute). The instance
+    // frame is a memoized setup artifact (the ir2/s3b pattern), so the
+    // timed number is the store-side aggregation, not the chunk kernel.
+    Q("d23b_chunk_store_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("source"))
+        val inst = d23bInstances(s, d)
+        // the store's exact shape: distinct (chunk_md5, len) — len is
+        // functional in the hash; MIN matches the streaming maintainer's agg
+        val store = inst.groupBy("chunk_md5")
+          .agg(min(col("len").cast("long")).as("len"))
+        val owner = inst.groupBy("chunk_md5").agg(min("doc_id").as("doc_id"))
+        val attr = store.join(owner, "chunk_md5").join(docs, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_stored"), sum("len").as("chars_stored"))
+        val tot = inst.join(docs, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("len").cast("long")).as("chars_total"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(tot, "source").join(attr, "source")
+          .withColumn("stored_ppm",
+            expr("chars_stored * 1000000 div chars_total"))
+          .select("source", "n_docs", "n_chunks", "chars_total",
+            "n_stored", "chars_stored", "stored_ppm")
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source, text FROM documents
+         |             WHERE length(text) > 0),
+         |vers AS (SELECT doc_id, 1 AS ver, text FROM docs),
+         |$dCdcChunkCtes,
+         |store AS (SELECT chash, MIN(clen) AS len FROM ch GROUP BY 1),
+         |owner AS (SELECT chash, MIN(doc_id) AS doc_id FROM ch GROUP BY 1),
+         |attr AS (SELECT d.source, COUNT(*) AS n_stored,
+         |           SUM(st.len) AS chars_stored
+         |         FROM store st JOIN owner o USING (chash)
+         |         JOIN docs d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT d.source, COUNT(*) AS n_chunks, SUM(i.clen) AS chars_total
+         |        FROM ch i JOIN docs d USING (doc_id) GROUP BY 1),
+         |nd AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY 1)
+         |SELECT nd.source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(chars_total AS BIGINT) AS chars_total,
+         |  CAST(n_stored AS BIGINT) AS n_stored,
+         |  CAST(chars_stored AS BIGINT) AS chars_stored,
+         |  CAST(chars_stored * 1000000 // chars_total AS BIGINT) AS stored_ppm
+         |FROM nd JOIN tot USING (source) JOIN attr USING (source)
+         |ORDER BY nd.source""".stripMargin),
+      setup = Some((s, d) => { d23bInstances(s, d); () })),
 
     // Hashed n-gram importance selection — the DSIR shape (Xie et al.
     // 2023, "Data Selection for Language Models via Importance

@@ -55,6 +55,31 @@ object KcoreProbe {
       }
       curCnt
     }
+
+    // Scale exponent (r14 verdict item #3): the peel at 1x vs 10x edge
+    // volume. ScaleGen scales documents/embeddings only, so the graph is
+    // scaled by REPLICATION — 10 id-shifted copies of the co-purchase edge
+    // set (disjoint components, identical structure, identical round
+    // count), which isolates how the peel's per-round degree agg +
+    // decrement join scale with pure volume.
+    val offset = 10L * 1000L * 1000L
+    def replicated(m: Int) = e0
+      .crossJoin(spark.range(m).select(col("id").as("__r")))
+      .select((col("p1") + col("__r") * offset).as("p1"),
+        (col("p2") + col("__r") * offset).as("p2"))
+      .localCheckpoint(true)
+    val times = Seq(1, 10).map { m =>
+      val em = replicated(m)
+      val ne = em.count()
+      System.gc()
+      val t0 = System.nanoTime()
+      val surv = graft.operators.Graph.kcorePeel(em, "p1", "p2", 75, 8).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""KCORE scale m=$m edges=$ne survivors=$surv secs=$secs%.2f""")
+      org.apache.spark.sql.graft.Bridge.freeCheckpoint(em)
+      secs
+    }
+    println(f"""KCORE scale_exponent=${math.log(times(1) / times(0)) / math.log(10.0)}%.2f""")
     spark.stop()
   }
 }

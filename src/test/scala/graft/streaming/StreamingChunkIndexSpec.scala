@@ -80,4 +80,39 @@ class StreamingChunkIndexSpec extends SparkSpec {
     runOnce()
     assertSame(streamed(), batchSet(union.unionByName(batch3)))
   }
+
+  test("d23b's per-source dedup accounting off the streamed store == batch store") {
+    val root = Files.createTempDirectory("graft-stream-cdcidx-d23b").toString
+    val in = s"$root/raw"
+    val docs = Tables.documents(spark, sf()).filter(length($"text") > 0)
+      .select("doc_id", "source", "text").localCheckpoint(true)
+    // two-batch arrival split that does NOT follow doc_id order — the
+    // accounting must be arrival-order-independent
+    docs.filter($"doc_id" % 3 =!= 0).write.parquet(s"$in/f1")
+    StreamingChunkIndex.run(spark, s"$in/*", docs, "doc_id", "text",
+      s"$root/index", s"$root/ckpt")
+    docs.filter($"doc_id" % 3 === 0).write.parquet(s"$in/f2")
+    StreamingChunkIndex.run(spark, s"$in/*", docs, "doc_id", "text",
+      s"$root/index", s"$root/ckpt")
+
+    val inst = graft.operators.Dedup
+      .contentDefinedChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_md5", "len").localCheckpoint(true)
+    // d23b's attribution: store rows charged to the source of their
+    // min-doc_id instance
+    def perSource(store: org.apache.spark.sql.DataFrame) = {
+      val owner = inst.groupBy("chunk_md5").agg(min("doc_id").as("doc_id"))
+      store.join(owner, "chunk_md5")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_stored"),
+          sum($"len".cast("long")).as("chars_stored"))
+        .orderBy("source")
+        .collect().toSeq
+    }
+    val batchStore = inst.groupBy("chunk_md5")
+      .agg(min($"len".cast("long")).as("len"))
+    val streamedStore = StreamingChunkIndex.indexSoFar(spark, s"$root/index").get
+    assert(perSource(streamedStore) === perSource(batchStore))
+  }
 }
