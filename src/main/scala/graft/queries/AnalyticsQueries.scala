@@ -1137,23 +1137,38 @@ object AnalyticsQueries {
          |ORDER BY a.cohort_day, a.wk""".stripMargin)),
 
     // Last-touch attribution: each purchase attributed to the user's most
-    // recent click within a 7-day lookback — the arg-max is a per-user
-    // range join (bounded per user per window) + one (purchase) groupBy
+    // recent click within a 7-day lookback, then one (purchase) groupBy
     // argmax via the zero-padded (ts, id) ordering key (pack2's
     // lexicographic == numeric idiom — both engines' max_by on the same
-    // key string); unattributed purchases keep -1. No window function
-    // over the raw event stream.
+    // key string); unattributed purchases keep -1.
+    //
+    // The lookback is a BANDED range join, keyed (user, 7-day bucket) with
+    // each purchase probing its own band and the previous one (a click in
+    // [pts-7d, pts] lives in exactly one of the two, so no pair dedup):
+    // per-user fanout is purchases_band x clicks_band, never the global
+    // |P_u| x |C_u| a bare user-key join pays before its range filter.
+    // FnSkewProbe, injected bot user on sf0.1 organic events: at a
+    // 2x100k-event bot the bare join burns 2.5e9 pairs in one task
+    // (8.5 s) where the band join holds 3.9 s with identical output —
+    // and the gap grows quadratically with bot size. (The window
+    // RANGE-frame alternative is a trap: Spark re-aggregates sliding
+    // frames per row — 33 s already at a 2x20k bot.)
     Q("fn4_last_touch_attribution",
       (s, d) => {
         val ev = Tables.events(s, d)
+        val W = 604800000000L
         val pur = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("ts_us_long").as("pts"))
         val clk = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts_us_long").as("cts"))
-        val att = pur.join(clk, Seq("user_id"))
-          .filter(col("cts").between(col("pts") - lit(604800000000L), col("pts")))
+          .withColumn("__band", expr(s"cts div ${W}L"))
+        val att = pur
+          .withColumn("__band",
+            explode(array(expr(s"pts div ${W}L"), expr(s"pts div ${W}L - 1"))))
+          .join(clk, Seq("user_id", "__band"))
+          .filter(col("cts").between(col("pts") - lit(W), col("pts")))
           .groupBy("purchase_id")
           .agg(max_by(col("click_id"),
               expr("format_string('%020d%012d', cts, click_id)")).as("att_click"),
@@ -1187,19 +1202,24 @@ object AnalyticsQueries {
     // every quantile RANK-BASED (value at rank (n+1) div 2 and ceil(0.9n)
     // — ts2's lower-median convention, the stratify lesson: no
     // interpolation, integer epoch-µs end to end). Per-day windows are
-    // calendar-bounded; the attribution join is fn4's (per-user, 7-day
-    // lookback — bounded per user per window).
+    // calendar-bounded; the attribution join is fn4's BANDED 7-day
+    // lookback (per-band fanout — see fn4's comment and FnSkewProbe).
     Q("fn9_conversion_latency",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, d)
+        val W = 604800000000L
         val pur = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("ts_us_long").as("pts"))
         val clk = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us_long").as("cts"))
-        val gaps = pur.join(clk, Seq("user_id"))
-          .filter(col("cts").between(col("pts") - lit(604800000000L), col("pts")))
+          .withColumn("__band", expr(s"cts div ${W}L"))
+        val gaps = pur
+          .withColumn("__band",
+            explode(array(expr(s"pts div ${W}L"), expr(s"pts div ${W}L - 1"))))
+          .join(clk, Seq("user_id", "__band"))
+          .filter(col("cts").between(col("pts") - lit(W), col("pts")))
           .groupBy("purchase_id")
           .agg(min("pts").as("pts"), max("cts").as("att_cts"))
           .withColumn("gap_us", col("pts") - col("att_cts"))
