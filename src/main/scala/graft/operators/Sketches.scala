@@ -263,6 +263,14 @@ object Sketches {
     * @return ranks + `value` (the k-th smallest level-0 value). */
   def dyadicRankSelect(reg: DataFrame, groupCols: Seq[String],
                        ranks: DataFrame, rankCol: String): DataFrame = {
+    // the descent writes these via withColumn, which silently REPLACES a
+    // same-named caller column ('value' is a natural events column name) —
+    // refuse instead of corrupting the ranks frame (r14 ADVICE)
+    val reserved = Set("value", "__b", "__r", "__lc", "__m")
+    val clash = ranks.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"dyadicRankSelect: ranks must not carry reserved column(s) ${clash.mkString(", ")}" +
+        " — alias them away before selecting (the descent would overwrite them)")
     // each group's register pivots into ONE map cell (domain-bounded:
     // Σ 2^(DyB−l) ≤ 2^17 entries) in a single shuffle; the descent is then
     // 16 map lookups per (group, rank) inside one task — the chained-join

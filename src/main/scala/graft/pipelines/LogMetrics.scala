@@ -66,10 +66,15 @@ object LogMetrics {
     val exactMatch = patterns
       .map(pt => regexp_extract(col("value"), pt.regex, 1) =!= "")
       .reduce(_ || _)
+    // nullif before the cast: regexp_extract returns '' on a line without
+    // the status token, and under ANSI mode CAST('' AS INT) THROWS instead
+    // of dropping the line — nullif('') -> null -> between() is false,
+    // which is the intended drop semantics for arbitrary HAProxy-style
+    // input (r14 ADVICE)
     val kept = lines.filter(
       col("value").rlike("^\\d{4}-\\d{2}-\\d{2}") &&
-        regexp_extract(col("value"), " (\\d{3}) \\+", 1).cast("int")
-          .between(200, 399) &&
+        nullif(regexp_extract(col("value"), " (\\d{3}) \\+", 1), lit(""))
+          .cast("int").between(200, 399) &&
         anyMatch && exactMatch)
     val bound = kept.select(
       regexp_extract(col("value"), "^(\\d{4}-\\d{2}-\\d{2})", 1).as("date") +:
