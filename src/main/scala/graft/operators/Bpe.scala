@@ -86,6 +86,25 @@ object Bpe {
     require(rounds >= 1 && batchM >= 1 && candK >= batchM, "bad BPE shape")
     require(symBase >= 0x80 && symBase + rounds.toLong * batchM < 0xD800,
       "merge symbols must stay below the surrogate range")
+    // The whole design leans on two corpus-alphabet facts: merge symbols
+    // are FRESH (never pre-exist in the corpus — the greedy-kernel ≡
+    // sequential-fold proof needs it) and every char is one UTF-16 unit
+    // AND one codepoint (Spark charAt pairing ≡ DuckDB substr pairing).
+    // Both are exactly `char < symBase` (surrogates sit at 0xD800+, above
+    // any legal symBase range). Validate the bounded sample instead of
+    // assuming: a corpus char in the symbol range must fail loudly, not
+    // silently diverge the kernel from the oracle.
+    vocab.foreach { case (s, _) =>
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        require(c < symBase, f"corpus char U+${c.toInt}%04X (in ${
+          s.take(24)}…) collides with the merge-symbol range starting U+${
+          symBase}%04X: pre-normalize the corpus to chars below symBase, " +
+          "or raise symBase above the corpus alphabet")
+        i += 1
+      }
+    }
     // pair key packs two BMP chars into a non-negative Int; ascending Int
     // order == ascending pair-string order (UTF-8 preserves codepoint order)
     var cur: Array[(String, Long)] = vocab.toArray

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Checks, Fuzzy, TextOps, ZOrder}
+import graft.operators.{Checks, Fuzzy, Relational, TextOps, ZOrder}
 
 /** Session-11 analytics additions: time-series gap-fill with forward
   * fill, sequential funnel stages, the deletion-neighborhood fuzzy JOIN
@@ -458,7 +458,7 @@ object AnalyticsQueries {
          |        WHERE length(text) > 0)) v
          |ON v.orig = d.text
          |ORDER BY d.doc_id""".stripMargin),
-      setup = Some((s, d) => { bpeBatchTrain(s, d); () })),
+      setup = Some((s, d) => { bpeBatchMemo.getOrElse(d, bpeBatchTrain(s, d)); () })),
 
     // Nucleus (top-p) corpus cut per source — the data-mixing selection
     // between samp2's exact quotas and w5's top-k: within each source,
@@ -1163,12 +1163,7 @@ object AnalyticsQueries {
         val clk = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts_us_long").as("cts"))
-          .withColumn("__band", expr(s"cts div ${W}L"))
-        val att = pur
-          .withColumn("__band",
-            explode(array(expr(s"pts div ${W}L"), expr(s"pts div ${W}L - 1"))))
-          .join(clk, Seq("user_id", "__band"))
-          .filter(col("cts").between(col("pts") - lit(W), col("pts")))
+        val att = Relational.bandedLookbackJoin(pur, clk, "user_id", "pts", "cts", W)
           .groupBy("purchase_id")
           .agg(max_by(col("click_id"),
               expr("format_string('%020d%012d', cts, click_id)")).as("att_click"),
@@ -1214,12 +1209,7 @@ object AnalyticsQueries {
             col("ts_us_long").as("pts"))
         val clk = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us_long").as("cts"))
-          .withColumn("__band", expr(s"cts div ${W}L"))
-        val gaps = pur
-          .withColumn("__band",
-            explode(array(expr(s"pts div ${W}L"), expr(s"pts div ${W}L - 1"))))
-          .join(clk, Seq("user_id", "__band"))
-          .filter(col("cts").between(col("pts") - lit(W), col("pts")))
+        val gaps = Relational.bandedLookbackJoin(pur, clk, "user_id", "pts", "cts", W)
           .groupBy("purchase_id")
           .agg(min("pts").as("pts"), max("cts").as("att_cts"))
           .withColumn("gap_us", col("pts") - col("att_cts"))

@@ -33,21 +33,21 @@ object BpeProbe {
     val vocab = Bpe.sampleVocab(docs, "text", "doc_id")
     println(s"""{"dir": "$d", "docs": $nDocs, "sample_vocab": ${vocab.size}}""")
 
-    def timeTrain(rounds: Int): (Int, Double) = {
+    def timeTrain(rounds: Int): (Vector[Bpe.Merge], Double) = {
       System.gc()
       val t0 = System.nanoTime()
       val m = Bpe.trainBatched(vocab, rounds)
-      (m.length, (System.nanoTime() - t0) / 1e9)
+      (m, (System.nanoTime() - t0) / 1e9)
     }
     timeTrain(12) // warm
     val trains = Seq(12, 48, 192).map { r =>
       val (m, s) = timeTrain(r)
-      println(f"""{"phase": "train", "rounds": $r, "merges": $m, "secs": $s%.3f}""")
+      println(f"""{"phase": "train", "rounds": $r, "merges": ${m.length}, "secs": $s%.3f}""")
       (m, s)
     }
     val (m1, s1) = trains.head
     val (m2, s2) = trains.last
-    println(f"""{"phase": "train_exponent", "value": ${math.log(s2 / s1) / math.log(m2.toDouble / m1)}%.2f}""")
+    println(f"""{"phase": "train_exponent", "value": ${math.log(s2 / s1) / math.log(m2.length.toDouble / m1.length)}%.2f}""")
 
     def timeEncode(merges: Vector[Bpe.Merge]): Double = {
       System.gc()
@@ -56,8 +56,8 @@ object BpeProbe {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val small = Bpe.trainBatched(vocab, 12)
-    val large = Bpe.trainBatched(vocab, 192)
+    val small = m1 // 12-round merges, already trained above
+    val large = m2 // 192-round
     timeEncode(small) // warm
     val es = timeEncode(small)
     val el = timeEncode(large)

@@ -76,12 +76,9 @@ object FnSkewProbe {
       val W = 604800000000L
       val pur = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us_long").as("pts"))
-        .withColumn("__probe", explode(array(expr(s"pts div ${W}L"), expr(s"pts div ${W}L - 1"))))
       val clk = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"), col("ts_us_long").as("cts"))
-        .withColumn("__probe", expr(s"cts div ${W}L"))
-      pur.join(clk, Seq("user_id", "__probe"))
-        .filter(col("cts").between(col("pts") - lit(W), col("pts")))
+      graft.operators.Relational.bandedLookbackJoin(pur, clk, "user_id", "pts", "cts", W)
         .groupBy("purchase_id")
         .agg(max_by(col("click_id"),
           expr("format_string('%020d%012d', cts, click_id)")).as("att_click"))
