@@ -3669,6 +3669,49 @@ object LlmQueries {
            |  CAST(n_novel AS BIGINT) AS n_novel,
            |  CAST(CAST(n_novel AS BIGINT) * 1000000 // n_distinct AS BIGINT) AS novelty_ppm
            |FROM nov ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Dictionary-scale blocklist scan — the content-filter step of a
+    // curation pipeline (profanity/PII-trigger/contamination-phrase lists
+    // run to 10⁴–10⁵ terms): per doc, the number of DISTINCT dictionary
+    // terms contained, via ONE Aho–Corasick automaton kernel
+    // (functions/AcScan) with the term table as broadcast DATA — per-row
+    // cost O(len + matches) independent of the dictionary size, where
+    // f21's rlike-alternation shape grows with every term (AcProbe
+    // records the flat-vs-linear comparison). The dictionary here is
+    // derived from the corpus itself — the top-64 bigram phrases by
+    // (count DESC, phrase ASC), the same derive → broadcast → kernel
+    // pattern as t18b's merge table (a production blocklist arrives as a
+    // config table and skips the derivation); the 64-row collect is
+    // output-bounded by the LIMIT. Match semantics are plain substring
+    // containment — exactly DuckDB contains(), which the oracle replays
+    // as a dict × docs containment count. Pure-integer output.
+    Q("t20_blocklist_scan",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val dict = docs.select(TextOps.tokens(col("text")).as("toks"))
+          .select(explode(expr(TextOps.allGramsSql("toks", 2))).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("g")).limit(64)
+          .collect().map(_.getAs[String]("g")).toSeq
+        docs.select(col("doc_id"),
+            graft.functions.AcDistinctHits.distinctHits(col("text"), dict)
+              .cast("long").as("n_terms"))
+          .withColumn("flagged", col("n_terms") >= 1L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |               FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1]) END) AS g
+         |       FROM toks),
+         |dict AS (SELECT g FROM (SELECT g, COUNT(*) AS cnt FROM bg GROUP BY g
+         |                        ORDER BY cnt DESC, g LIMIT 64)),
+         |hits AS (SELECT t.doc_id,
+         |           SUM(CASE WHEN contains(t.text, dc.g) THEN 1 ELSE 0 END) AS n
+         |         FROM toks t CROSS JOIN dict dc GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_terms, n >= 1 AS flagged
+         |FROM hits ORDER BY doc_id""".stripMargin))
   )
 }
