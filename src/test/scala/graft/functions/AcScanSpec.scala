@@ -44,6 +44,22 @@ class AcScanSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII parity: code-unit matching equals codepoint containment") {
+    // the scaladoc's claim — for valid strings a UTF-16 code-unit match ≡
+    // a codepoint match ≡ DuckDB's UTF-8 byte match — exercised with
+    // multi-byte chars (é, 中) and a surrogate-pair emoji (😀, 2 UTF-16
+    // units): a term must never match across a codepoint boundary
+    val terms = Seq("éclair", "中文", "é", "文 a", "😀b", "a😀")
+    val texts = Seq("un éclair au café", "中文 abc 中", "café", "中文 a b",
+      "x😀bé", "a😀😀b", "éclair")
+    val a = AcAutomaton.build(terms)
+    texts.foreach { t =>
+      val got = AcDistinctHits.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), a)
+      assert(got == brute(t, terms), s"text '$t'")
+    }
+  }
+
   test("duplicate terms collapse; empty dictionary counts zero; null in null out") {
     val dup = AcAutomaton.build(Seq("ab", "ab", "b"))
     assert(dup.nTerms == 2)
