@@ -13,13 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * automaton (Aho & Corasick 1975) with the term table as DATA — the
   * LshBuckets/BpeEncode rule applied to keyword matching: a blocklist is a
   * corpus/config-derived parameter, so it must never become unrolled
-  * expression structure (f21's rlike alternation is the right shape for a
+  * expression structure (f21's rlike shape is the right shape for a
   * handful of keywords; a real content-filter list is 10⁴–10⁵ terms, where
   * the alternation blows both the regex engine and, if unrolled into
   * per-term expressions, the JIT bytecode budget — PLANS r11 s7). Per-row
-  * cost is O(len + matches), INDEPENDENT of the dictionary size; the
-  * automaton is built once per plan instance on the driver and ships as a
-  * broadcast reference object.
+  * cost is O(len + matches), INDEPENDENT of the dictionary size (the
+  * distinct-term visited set is a thread-local generation-stamped array,
+  * never a per-row allocation); the automaton is built once per plan
+  * instance on the driver and ships as a broadcast reference object.
   *
   * Match semantics are plain substring containment (no word boundaries) —
   * exactly DuckDB `contains(text, term)`, which the oracle replays as a
@@ -80,6 +81,27 @@ final class AcAutomaton(
     }
     -1
   }
+
+  /** Per-thread visited-term scratch: a generation-stamped int array, so
+    * the per-row cost carries no nTerms-proportional allocation or zeroing
+    * (the instance may be shared across tasks in one executor JVM —
+    * thread-local keeps rows isolated without locking). */
+  @transient private lazy val scratch: ThreadLocal[AcScratch] =
+    ThreadLocal.withInitial(() => new AcScratch(nTerms))
+  def rowScratch(): AcScratch = scratch.get()
+}
+
+/** Generation-stamped visited set: `gen(t) == stamp` means term t was seen
+  * in the current row. Advancing the stamp invalidates all marks in O(1);
+  * the array is re-zeroed only on the (once per 2³¹ rows) stamp wrap. */
+final class AcScratch(n: Int) {
+  val gen: Array[Int] = new Array[Int](n)
+  private var stamp: Int = 0
+  def nextStamp(): Int = {
+    if (stamp == Int.MaxValue) { java.util.Arrays.fill(gen, 0); stamp = 0 }
+    stamp += 1
+    stamp
+  }
 }
 
 object AcAutomaton {
@@ -116,49 +138,37 @@ object AcAutomaton {
       children(i).foreach { case (c, to) => edgeChar(j) = c; edgeTo(j) = to; j += 1 }
       i += 1
     }
-    val fail = new Array[Int](n)
-    val dict = new Array[Int](n)
+    // fail/dict are filled through the instance so the BFS shares the same
+    // binary-search `next` the matcher uses (no duplicated lookup code)
+    val a = new AcAutomaton(edgeChar, edgeTo, edgeStart,
+      new Array[Int](n), new Array[Int](n), termOf.toArray, nTerms)
     val queue = new java.util.ArrayDeque[Integer]()
-    children(0).foreach { case (_, v) => fail(v) = 0; queue.add(v) }
+    children(0).foreach { case (_, v) => a.fail(v) = 0; queue.add(v) }
     while (!queue.isEmpty) {
       val u = queue.poll().intValue()
-      dict(u) = if (termOf(u) >= 0) u else dict(fail(u))
+      a.dict(u) = if (a.termId(u) >= 0) u else a.dict(a.fail(u))
       children(u).foreach { case (c, v) =>
-        var f = fail(u)
+        var f = a.fail(u)
         var nx = -1
-        while ({ nx = lookup(edgeChar, edgeTo, edgeStart, f, c); nx < 0 && f != 0 })
-          f = fail(f)
-        fail(v) = if (nx >= 0 && nx != v) nx else 0
+        while ({ nx = a.next(f, c); nx < 0 && f != 0 }) f = a.fail(f)
+        a.fail(v) = if (nx >= 0 && nx != v) nx else 0
         queue.add(v)
       }
     }
-    new AcAutomaton(edgeChar, edgeTo, edgeStart, fail, dict, termOf.toArray, nTerms)
-  }
-
-  private def lookup(edgeChar: Array[Char], edgeTo: Array[Int],
-                     edgeStart: Array[Int], state: Int, c: Char): Int = {
-    var lo = edgeStart(state)
-    var hi = edgeStart(state + 1) - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val mc = edgeChar(mid)
-      if (mc == c) return edgeTo(mid)
-      else if (mc < c) lo = mid + 1
-      else hi = mid - 1
-    }
-    -1
+    a
   }
 }
 
 object AcDistinctHits {
   /** Distinct-term containment count; called from both interpreted eval and
-    * the generated code. The visited set is a per-row stack bitset (one
-    * long per 64 dictionary terms); the scan early-exits once every term
-    * has been seen. */
+    * the generated code. The scan early-exits once every term has been
+    * seen. */
   def compute(s: UTF8String, a: AcAutomaton): Int = {
     if (a.nTerms == 0) return 0
     val str = s.toString
-    val seen = new Array[Long]((a.nTerms + 63) >>> 6)
+    val sc = a.rowScratch()
+    val stamp = sc.nextStamp()
+    val gen = sc.gen
     var cnt = 0
     var st = 0
     var i = 0
@@ -171,9 +181,7 @@ object AcDistinctHits {
       var d = a.dict(st)
       while (d > 0) {
         val t = a.termId(d)
-        val w = t >>> 6
-        val b = 1L << (t & 63)
-        if ((seen(w) & b) == 0L) { seen(w) |= b; cnt += 1 }
+        if (gen(t) != stamp) { gen(t) = stamp; cnt += 1 }
         d = a.dict(a.fail(d))
       }
       i += 1

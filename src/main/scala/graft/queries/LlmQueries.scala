@@ -3694,9 +3694,11 @@ object LlmQueries {
           .groupBy("g").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("g")).limit(64)
           .collect().map(_.getAs[String]("g")).toSeq
+        // coalesce pins NULL-text parity: the kernel null-propagates, the
+        // oracle's CASE WHEN contains(...) maps a NULL text to 0/false
         docs.select(col("doc_id"),
-            graft.functions.AcDistinctHits.distinctHits(col("text"), dict)
-              .cast("long").as("n_terms"))
+            coalesce(graft.functions.AcDistinctHits.distinctHits(col("text"), dict)
+              .cast("long"), lit(0L)).as("n_terms"))
           .withColumn("flagged", col("n_terms") >= 1L)
           .orderBy("doc_id")
       },

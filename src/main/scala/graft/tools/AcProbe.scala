@@ -77,7 +77,8 @@ object AcProbe {
       docs.filter(AcDistinctHits.distinctHits(col("text"), terms) >= 1).count()
 
     val ks = Seq(64, 512, 4096).filter(_ <= pool.size)
-    kernel(pool.take(ks.head)); fold(pool.take(ks.head)); rx(pool.take(ks.head)) // warm
+    kernel(pool.take(ks.head)); fold(pool.take(ks.head)) // warm
+    rx(pool.take(ks.head)); kflag(pool.take(ks.head))
     val rows = ks.map { k =>
       val t = pool.take(k)
       val (nk, sk) = timed(kernel(t))
@@ -91,7 +92,8 @@ object AcProbe {
     }
     val (k1, s1, _) = rows.head
     val (k2, s2, _) = rows.last
-    println(f"""{"kernel_exponent": ${math.log(s2 / s1) / math.log(k2.toDouble / k1)}%.2f, "fold_exponent": ${math.log(rows.last._3 / rows.head._3) / math.log(k2.toDouble / k1)}%.2f, "fold_over_kernel_at_max": ${rows.last._3 / rows.last._2}%.1f}""")
+    if (k2 > k1) // a pool under 512 phrases leaves one K — no exponent
+      println(f"""{"kernel_exponent": ${math.log(s2 / s1) / math.log(k2.toDouble / k1)}%.2f, "fold_exponent": ${math.log(rows.last._3 / rows.head._3) / math.log(k2.toDouble / k1)}%.2f, "fold_over_kernel_at_max": ${rows.last._3 / rows.last._2}%.1f}""")
     spark.stop()
   }
 }

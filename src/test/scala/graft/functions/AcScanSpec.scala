@@ -70,7 +70,8 @@ class AcScanSpec extends SparkSpec {
       AcAutomaton.build(Nil)) == 0)
     val df = Seq(Some("ab"), None).toDF("t")
       .select(AcDistinctHits.distinctHits(col("t"), Seq("ab")).as("n"))
-    assert(df.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(df.collect().map(r =>
+      if (r.isNullAt(r.fieldIndex("n"))) -1 else r.getAs[Int]("n")).toSeq
       == Seq(1, -1))
   }
 
