@@ -665,4 +665,19 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(q) == 2, plan(q))
     assert(!plan(q).contains("Join"), plan(q).take(2000))
   }
+
+  test("t20's dictionary scan is a zero-exchange pruned projection (AcScan kernel)") {
+    // the scan phase: dictionary as kernel data, never a join or an
+    // unrolled per-term expression — one codegen'd projection over a
+    // two-column read
+    val df = Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        graft.functions.AcDistinctHits.distinctHits(col("text"),
+          Seq("fast table", "agg", "row scan")).as("n"))
+    val p = plan(df)
+    assert(countExchanges(df) == 0, p.take(2000))
+    assert(p.contains("acdistincthits"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+  }
 }
