@@ -283,7 +283,11 @@ object GraphQueries {
             "l_orderkey")
           .filter(col("p1") < col("p2"))
           .select("p1", "p2").distinct()
-        Graph.kcorePeel(edges, "p1", "p2", k = kcoreK, maxRounds = kcoreRounds)
+        // broadcastWaves: co-purchase nodes are PARTS — a TPC-H dimension,
+        // bounded at every SF — so the wave broadcast is scale-safe and
+        // keeps the incidence frame out of shuffle storage each round
+        Graph.kcorePeel(edges, "p1", "p2", k = kcoreK, maxRounds = kcoreRounds,
+            broadcastWaves = true)
           .orderBy("node")
       },
       Some(kcoreOracle)),

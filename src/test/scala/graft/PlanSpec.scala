@@ -666,6 +666,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan(q).contains("Join"), plan(q).take(2000))
   }
 
+  test("k-core wave decrement under broadcastWaves never exchanges the incidence frame") {
+    // g4's opt-in: without the explicit broadcast AQE still converts the
+    // join at runtime, but only after the planned exchange's map stage has
+    // materialized — the resident incidence frame is written to shuffle
+    // storage every peel round (PLANS r15 s6). With the hint the STATIC
+    // plan is already the broadcast join: the only shuffle is the dst
+    // aggregation's, and it carries the (shrinking) decrement rows, never
+    // the incidence frame.
+    val nbr = spark.range(100)
+      .select(col("id").as("n"), (col("id") + 1).as("z")).localCheckpoint(true)
+    val deg = nbr.groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val removed = deg.filter(col("deg") < 75).select("n")
+    val dec = nbr.join(broadcast(removed), "n")
+      .groupBy(col("z").as("n")).agg(count(lit(1)).as("__d"))
+    val p = plan(dec)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("Exchange hashpartitioning\\(n#".r.findAllIn(p).isEmpty,
+      s"incidence frame re-exchanged:\n${p.take(2000)}")
+  }
+
   test("t20's dictionary scan is a zero-exchange pruned projection (AcScan kernel)") {
     // the scan phase: dictionary as kernel data, never a join or an
     // unrolled per-term expression — one codegen'd projection over a

@@ -149,6 +149,20 @@ class GraphSpec extends SparkSpec {
     assert(!refKcore(kcoreFixture, 2).contains(102L), "pendant path must peel away")
   }
 
+  test("kcorePeel broadcastWaves mode equals the shuffle-join mode") {
+    // the g4 opt-in (dimension-bounded node set) must be a pure plan-shape
+    // change — survivor sets and core degrees identical at every k
+    val df = kcoreFixture.toDF("a", "b")
+    for (k <- Seq(2, 3, 4)) {
+      val off = Graph.kcorePeel(df, "a", "b", k, 20).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+      val on = Graph.kcorePeel(df, "a", "b", k, 20, broadcastWaves = true)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+      assert(off === on, s"k=$k")
+    }
+  }
+
   test("kcorePeel is invariant under input partitioning") {
     val df = kcoreFixture.toDF("a", "b")
     val a = Graph.kcorePeel(df, "a", "b", 3, 20).collect()
