@@ -315,17 +315,18 @@ object Graph {
       if (removed.count() == 0L) {
         done = true
       } else {
-        // broadcastWaves: when the graph's node set is a bounded DIMENSION
-        // (g4's co-purchase nodes are parts — dimension-sized at every SF),
-        // the removal wave broadcasts EXPLICITLY. Without the hint AQE does
-        // convert this join to broadcast at runtime — but only after the
-        // planned exchange's map stage has MATERIALIZED, so the resident
-        // incidence frame is still written to shuffle storage every round
-        // (plan audit, PLANS r15 s6: Exchange → ShuffleQueryStage →
+        // broadcastWaves: when the graph's node set is PROVABLY BOUNDED
+        // (a rule/config-derived dictionary graph, a fixed taxonomy —
+        // never an SF-scaling dimension like parts), the removal wave
+        // broadcasts EXPLICITLY. Without the hint AQE does convert this
+        // join to broadcast at runtime — but only after the planned
+        // exchange's map stage has MATERIALIZED, so the resident incidence
+        // frame is still written to shuffle storage every round (plan
+        // audit, PLANS r15 s6: Exchange → ShuffleQueryStage →
         // AQEShuffleRead-local under the BroadcastHashJoin). Invisible at
-        // local[32] (same warm medians — a 2.4M-long in-memory write), a
-        // real per-round cost once shuffle writes hit disk/network at
-        // cluster scale. Default false: a general corpus graph's wave is
+        // local[32] (same warm medians — an in-memory write), a real
+        // per-round cost once shuffle writes hit disk/network at cluster
+        // scale. Default false: a general graph's wave is
         // node-dimension-sized and must stay a shuffle join.
         val wave = if (broadcastWaves) broadcast(removed) else removed
         val dec = nbr.join(wave, "n")

@@ -283,11 +283,12 @@ object GraphQueries {
             "l_orderkey")
           .filter(col("p1") < col("p2"))
           .select("p1", "p2").distinct()
-        // broadcastWaves: co-purchase nodes are PARTS — a TPC-H dimension,
-        // bounded at every SF — so the wave broadcast is scale-safe and
-        // keeps the incidence frame out of shuffle storage each round
-        Graph.kcorePeel(edges, "p1", "p2", k = kcoreK, maxRounds = kcoreRounds,
-            broadcastWaves = true)
+        // NO broadcastWaves here: co-purchase nodes are parts, an
+        // SF-LINEAR dimension (TPC-H part = SF × 200k) — a removal wave at
+        // 100 TB is billions of rows, not broadcast material. The flag is
+        // for provably bounded node sets only (see kcorePeel's scaladoc
+        // and PLANS r15 s6).
+        Graph.kcorePeel(edges, "p1", "p2", k = kcoreK, maxRounds = kcoreRounds)
           .orderBy("node")
       },
       Some(kcoreOracle)),
