@@ -195,7 +195,15 @@ object Sketches {
     * ≤ 2·16 cell lookups ([[dyadicCover]]) instead of rescanning — the
     * zone-map/data-cube shape of the sketch family. The 17× explode
     * happens map-side and collapses in the same (group, key) aggregation
-    * that builds the register. */
+    * that builds the register.
+    *
+    * CONTRACT: the input MUST already lie in [0, 2^16) — clamp at
+    * ingestion (`least(greatest(v, 0), 65535)`, with the identical
+    * LEAST/GREATEST in any oracle SQL). An out-of-domain value is NOT
+    * dropped: it lands outside the root cell (so the register total
+    * silently under-reads any raw COUNT(*) — the r15 s7 sf0.1 catch on
+    * sk6: 2 events at value ≥ 512 diverged the quantile ranks), and past
+    * 2^17 its level-0 key collides with level-1 cells outright. */
   def dyadicRegister(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df
       .select(groupCols.map(col) :+

@@ -40,7 +40,12 @@ object SketchQueries {
                     d: String): org.apache.spark.sql.DataFrame =
     Tables.events(s, d)
       .select(col("event_type"), (col("user_id") % 2).as("src"),
-        floor(col("value") * lit(128)).cast("long").as("v"))
+        // domain clamp — the dyadicRegister contract (see its scaladoc):
+        // an unclamped v ≥ 2^16 falls outside the root cell (the r15 s7
+        // sf0.1 catch: 2 click events at value ≥ 512 made the register
+        // total diverge from COUNT(*))
+        least(greatest(floor(col("value") * lit(128)).cast("long"), lit(0L)),
+          lit(65535L)).as("v"))
 
   /** sk6's persisted merged dyadic register — per-source registers
     * cell-SUM-merged, the artifact an ingest maintains on disk (the
@@ -301,7 +306,8 @@ object SketchQueries {
         val (a, b) = (12800L, 31999L) // values in [100.0, 250.0)
         val fx = Tables.events(s, d)
           .select(col("event_type"),
-            floor(col("value") * lit(128)).cast("long").as("v"))
+            least(greatest(floor(col("value") * lit(128)).cast("long"),
+              lit(0L)), lit(65535L)).as("v")) // domain clamp (register contract)
         val reg = Sketches.dyadicRegister(fx, Seq("event_type"), "v")
         val root = reg.filter(col("key") === Sketches.dyadicKey(16, 0L))
           .select(col("event_type"), col("cnt").as("n_total"))
@@ -332,7 +338,7 @@ object SketchQueries {
           .mkString(", ")
         s"""${QH.evCte},
            |fx AS (SELECT event_type,
-           |         CAST(FLOOR(value * 128) AS BIGINT) AS v FROM ev),
+           |         LEAST(GREATEST(CAST(FLOOR(value * 128) AS BIGINT), 0), 65535) AS v FROM ev),
            |reg AS (SELECT event_type, l * 131072 + (v >> CAST(l AS INT)) AS key,
            |          COUNT(*) AS cnt
            |        FROM fx CROSS JOIN (SELECT unnest(range(0, 17)) AS l)
@@ -397,7 +403,7 @@ object SketchQueries {
       Some(
         s"""${QH.evCte},
            |fx AS (SELECT event_type,
-           |         CAST(FLOOR(value * 128) AS BIGINT) AS v FROM ev),
+           |         LEAST(GREATEST(CAST(FLOOR(value * 128) AS BIGINT), 0), 65535) AS v FROM ev),
            |n AS (SELECT event_type, COUNT(*) AS n_total FROM fx GROUP BY 1),
            |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
            |         ('p99', 99, 100)) t(q, num, den)),

@@ -181,6 +181,21 @@ class SketchesSpec extends SparkSpec {
     assert(reg.exceptAll(merged).count() === 0)
   }
 
+  test("dyadic register: the domain contract — clamped ingestion keeps the root total exact") {
+    // the r15 s7 sf0.1 catch: an UNCLAMPED out-of-domain value lands
+    // outside the root cell (total under-reads COUNT(*)); the ingestion
+    // clamp restores root == row count with the tail absorbed at 65535
+    val vals = Seq(("g", 10L), ("g", 70000L), ("g", 65535L), ("g", 200000L))
+    def rootOf(df: org.apache.spark.sql.DataFrame): Long =
+      Sketches.dyadicRegister(df, Seq("g"), "v")
+        .filter(col("key") === Sketches.dyadicKey(16, 0L))
+        .collect().headOption.map(_.getAs[Long]("cnt")).getOrElse(0L)
+    assert(rootOf(vals.toDF("g", "v")) === 2L) // unclamped: 2 rows lost
+    val clamped = vals.toDF("g", "v")
+      .select(col("g"), least(greatest(col("v"), lit(0L)), lit(65535L)).as("v"))
+    assert(rootOf(clamped) === 4L)
+  }
+
   test("dyadicRankSelect: every rank returns the k-th smallest, incl. duplicates") {
     val rng = new scala.util.Random(11)
     // two groups, heavy duplication (values mod 50) so rank selection must
