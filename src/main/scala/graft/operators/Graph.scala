@@ -67,14 +67,35 @@ object Graph {
     // through untouched and is never freed here (GraphSpec pins that).
     // nodes/outW are loop-invariant dimension frames — same treatment.
     val protectIds = Bridge.checkpointIds(edges0)
+    // Resident frames carry ADVERTISED layouts (r15 opt): edges and outW
+    // are joined by src and the rank frame by node EVERY iteration; plain
+    // checkpoints land UnknownPartitioning under AQE, so each iteration
+    // re-exchanged all three (the edge frame being the O(E) write — the
+    // r15 s6 shuffle-storage audit). Advertising HashPartitioning (+ a
+    // per-partition sort on the edge frame, so a sort-merge round never
+    // re-sorts the resident side) leaves ONE fundamental exchange per
+    // iteration: the dst-keyed contribution aggregation. A bare input
+    // artifact already advertising src passes through; anything else is
+    // laid out once here (one O(E) shuffle buys 2·iters of them).
     val edges =
-      if (Bridge.isBareCheckpoint(edges0)) edges0 else edges0.localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .unionByName(edges.select(col("dst").as("node")).distinct())
-      .distinct()
-      .localCheckpoint(true)
+      if (Bridge.isBareCheckpoint(edges0) &&
+          Bridge.advertisedHashCols(edges0).contains(Seq("src")))
+        edges0
+      else Bridge.localCheckpointPartitioned(
+        edges0.select("src", "dst", "w"), Seq("src"), sorted = true)
+    // every loop frame shares the edge frame's adaptive bucket count so
+    // all per-iteration joins stay co-partitioned
+    val nParts = Bridge.advertisedNumPartitions(edges).getOrElse(
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val nodes = Bridge.localCheckpointPartitioned(
+      edges.select(col("src").as("node")).distinct()
+        .unionByName(edges.select(col("dst").as("node")).distinct())
+        .distinct(),
+      Seq("node"), numParts = nParts)
     val nNodes = nodes.count()
-    val outW = edges.groupBy("src").agg(sum("w").as("wout")).localCheckpoint(true)
+    val outW = Bridge.localCheckpointPartitioned(
+      edges.groupBy("src").agg(sum("w").as("wout")), Seq("src"),
+      sorted = true, numParts = nParts)
     // base teleport shares, computed ONCE in exact Long arithmetic (the
     // oracle's // over positive longs agrees with Scala / here)
     def baseCol = seed match {
@@ -99,11 +120,13 @@ object Graph {
           s"CAST(($DampNum * CAST(w AS DECIMAL(38,0)) * rank_fp)" +
             s" div ($DampDen * CAST(wout AS DECIMAL(38,0))) AS BIGINT)"))
         .groupBy("dst").agg(sum("__c").as("__in"))
-      val next = nodes
+      // node-layout checkpoint: next round's rename to src is alias-aware,
+      // so the rank frame re-enters the edge join without an exchange
+      val next = Bridge.localCheckpointPartitioned(nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .withColumn("rank_fp", baseCol + coalesce(col("__in"), lit(0L)))
-        .select("node", "rank_fp")
-        .localCheckpoint()
+        .select("node", "rank_fp"),
+        Seq("node"), numParts = nParts)
       Bridge.freeCheckpointExcept(r, keep)
       r = next
     }
@@ -156,12 +179,30 @@ object Graph {
     val protectIds = Bridge.checkpointIds(edges0)
     val edges =
       if (Bridge.isBareCheckpoint(edges0)) edges0 else edges0.localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .unionByName(edges.select(col("dst").as("node")).distinct())
-      .distinct()
-      .localCheckpoint(true)
+    // TWO advertised resident copies (r15 opt): the hub half-step joins
+    // edges by dst, the authority half-step by src — one layout cannot
+    // serve both, and the alternative is re-exchanging (re-writing to
+    // shuffle storage) the full edge frame twice per iteration (the r15
+    // s6 audit). 2·|E| resident blocks buy zero per-round O(E) shuffle:
+    // each half-step's only exchange is its node-keyed aggregation.
+    val ebiDst = Bridge.localCheckpointPartitioned(
+      edges.select("src", "dst", "w"), Seq("dst"), sorted = true)
+    val nParts = Bridge.advertisedNumPartitions(ebiDst).getOrElse(
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ebiSrc = Bridge.localCheckpointPartitioned(
+      edges.select("src", "dst", "w"), Seq("src"), sorted = true,
+      numParts = nParts)
+    val nodes = Bridge.localCheckpointPartitioned(
+      edges.select(col("src").as("node")).distinct()
+        .unionByName(edges.select(col("dst").as("node")).distinct())
+        .distinct(),
+      Seq("node"), numParts = nParts)
     val keep = protectIds ++ Bridge.checkpointIds(edges) ++
+      Bridge.checkpointIds(ebiDst) ++ Bridge.checkpointIds(ebiSrc) ++
       Bridge.checkpointIds(nodes)
+    // the staging checkpoint fed ebiDst/ebiSrc/nodes (all eager) — free it
+    // now so resident storage holds 2·|E|, not 3·|E|
+    if (!(edges eq edges0)) Bridge.freeCheckpoint(edges)
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       val tot = raw.agg(sum("__raw").as("__tot"))
       raw.crossJoin(broadcast(tot))
@@ -173,18 +214,20 @@ object Graph {
     var hubRaw: DataFrame = null
     var authRaw: DataFrame = null
     for (_ <- 1 to iters) {
-      val hraw = edges
+      // node-layout checkpoints: the score frame re-enters the next
+      // half-step's edge join through an alias-aware rename — no exchange
+      val hraw = Bridge.localCheckpointPartitioned(ebiDst
         .join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(col("w").cast("decimal(38,0)") * col("a_fp")).as("__raw"))
-        .localCheckpoint()
+        .agg(sum(col("w").cast("decimal(38,0)") * col("a_fp")).as("__raw")),
+        Seq("node"), numParts = nParts)
       if (hubRaw != null) Bridge.freeCheckpointExcept(hubRaw, keep)
       hubRaw = hraw
-      val araw = edges
+      val araw = Bridge.localCheckpointPartitioned(ebiSrc
         .join(normalized(hubRaw, "h_fp").withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w").cast("decimal(38,0)") * col("h_fp")).as("__raw"))
-        .localCheckpoint()
+        .agg(sum(col("w").cast("decimal(38,0)") * col("h_fp")).as("__raw")),
+        Seq("node"), numParts = nParts)
       if (authRaw != null) Bridge.freeCheckpointExcept(authRaw, keep)
       authRaw = araw
       auth = normalized(authRaw, "a_fp")
@@ -197,7 +240,8 @@ object Graph {
         coalesce(col("a_fp"), lit(0L)).as("auth_fp"),
         coalesce(col("h_fp"), lit(0L)).as("hub_fp"))
       .localCheckpoint()
-    if (!(edges eq edges0)) Bridge.freeCheckpoint(edges)
+    Bridge.freeCheckpoint(ebiDst)
+    Bridge.freeCheckpoint(ebiSrc)
     Bridge.freeCheckpoint(nodes)
     Bridge.freeCheckpointExcept(hubRaw, keep)
     Bridge.freeCheckpointExcept(authRaw, keep)
@@ -221,12 +265,17 @@ object Graph {
                       wCol: String, seeds: DataFrame,
                       rounds: Int): DataFrame = {
     val protectIds = Bridge.checkpointIds(edges) ++ Bridge.checkpointIds(seeds)
-    val ebi = edges
+    // ADVERTISED src layout (r15 opt): the old repartition+checkpoint laid
+    // the frame out but the planner could not SEE it (UnknownPartitioning
+    // under AQE), so every round's frontier join re-exchanged — re-wrote
+    // to shuffle storage — the full incidence frame anyway. Advertising
+    // makes the one O(E) shuffle real: per round only the node-dimension
+    // frontier moves (its exchange + the min-combine aggregation).
+    val ebi = Bridge.localCheckpointPartitioned(edges
       .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).as("w"))
       .unionByName(edges
-        .select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w")))
-      .repartition(col("src"))
-      .localCheckpoint(true)
+        .select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w"))),
+      Seq("src"), sorted = true)
     val keep = protectIds ++ Bridge.checkpointIds(ebi)
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -301,11 +350,23 @@ object Graph {
   def kcorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
                 maxRounds: Int, broadcastWaves: Boolean = false): DataFrame = {
     val protectIds = Bridge.checkpointIds(edges)
-    val nbr = edges
+    // input staging: the both-direction union consumes `edges` TWICE — an
+    // unmaterialized build subtree (g4's self-join + distinct) would run
+    // twice inside the incidence materialization
+    val e0 = if (Bridge.isBareCheckpoint(edges)) edges
+             else edges.localCheckpoint(true)
+    // ADVERTISED layout (r15 opt): the resident incidence frame is joined
+    // by n every round; a plain repartition+localCheckpoint loses its
+    // partitioning under AQE, so every round's join re-exchanged — i.e.
+    // re-WROTE to shuffle storage — the full 2·|E| frame (the r15 s6 plan
+    // audit). With HashPartitioning(n) advertised on the checkpoint leaf,
+    // the planner satisfies the join distribution in place: per round only
+    // the shrinking removal wave moves.
+    val nbr = Bridge.localCheckpointPartitioned(e0
       .select(col(aCol).as("n"), col(bCol).as("z"))
-      .unionByName(edges.select(col(bCol).as("n"), col(aCol).as("z")))
-      .repartition(col("n"))
-      .localCheckpoint(true)
+      .unionByName(e0.select(col(bCol).as("n"), col(aCol).as("z"))),
+      Seq("n"))
+    if (!(e0 eq edges)) Bridge.freeCheckpoint(e0) // consumed only by nbr
     val keep = protectIds ++ Bridge.checkpointIds(nbr)
     var deg = nbr.groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var round = 0
@@ -328,7 +389,13 @@ object Graph {
         // per-round cost once shuffle writes hit disk/network at cluster
         // scale. Default false: a general graph's wave is
         // node-dimension-sized and must stay a shuffle join.
-        val wave = if (broadcastWaves) broadcast(removed) else removed
+        // default wave: SHUFFLE_HASH, not sort-merge — the advertised nbr
+        // side streams in place either way, but SMJ would SORT the full
+        // resident frame every round (O(E) CPU per round); hashing the
+        // node-dimension wave costs |wave| instead
+        val wave =
+          if (broadcastWaves) broadcast(removed)
+          else removed.hint("shuffle_hash")
         val dec = nbr.join(wave, "n")
           .groupBy(col("z").as("n")).agg(count(lit(1)).as("__d"))
         val next = deg.filter(col("deg") >= k)

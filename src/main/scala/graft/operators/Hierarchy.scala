@@ -36,11 +36,16 @@ object Hierarchy {
     * empties once 2^(r-1) passes the deepest min path. */
   def transitiveClosure(edges: DataFrame, childCol: String, parentCol: String,
                         maxRounds: Int = 20): DataFrame = {
-    var closure = edges
-      .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
-      .distinct()
-      .withColumn("__dist", lit(1L))
-      .localCheckpoint(true)
+    // ADVERTISED node layout (r15 opt): the doubling join probes the
+    // closure by b.node every round — advertised, the closure-side
+    // exchange disappears (only the exact-dist frontier re-keys by
+    // ancestor). The merge agg below then reuses the same layout.
+    var closure = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+      edges
+        .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
+        .distinct()
+        .withColumn("__dist", lit(1L)),
+      Seq("node"))
     var step = 1L
     var round = 0
     var converged = false
@@ -56,10 +61,25 @@ object Hierarchy {
             (col("a.__dist") + col("b.__dist")).as("__dist"))
         // min-agg, not distinct: a DAG can reach the same ancestor along
         // paths of different lengths; keeping the min preserves the
-        // unique-decomposition invariant for every later round
-        val merged = closure.unionByName(next)
-          .groupBy("node", "ancestor").agg(min("__dist").as("__dist"))
-          .localCheckpoint(true)
+        // unique-decomposition invariant for every later round.
+        // The union is re-keyed by NODE alone before the agg: a node-hash
+        // layout clusters the (node, ancestor) groups too (per-node group
+        // count is bounded by the hierarchy depth, so no skew), the agg
+        // runs in place on it, and the node-layout checkpoint right after
+        // adds no further exchange — one shuffle serves merge AND layout.
+        // the union re-keys by NODE alone: a node-hash layout clusters the
+        // (node, ancestor) groups too (per-node group count is bounded by
+        // the hierarchy depth — no skew), so the agg runs in place on the
+        // repartition and the advertised checkpoint reuses the same count
+        val nParts = org.apache.spark.sql.graft.Bridge
+          .advertisedNumPartitions(closure)
+          .getOrElse(closure.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt)
+        val merged = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+          closure.unionByName(next)
+            .repartition(nParts, col("node"))
+            .groupBy("node", "ancestor").agg(min("__dist").as("__dist")),
+          Seq("node"), numParts = nParts)
         // merged is materialized: the superseded round's blocks are dead weight
         org.apache.spark.sql.graft.Bridge.freeCheckpoint(closure)
         closure = merged
@@ -92,9 +112,16 @@ object Hierarchy {
   def closestExportedParents(edges: DataFrame, childCol: String, parentCol: String,
                              exported: DataFrame, exportedCol: String,
                              maxRounds: Int = 20): DataFrame = {
-    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
-      .filter(col("child") =!= col("parent")).distinct()
+    // resident frames (r15 opt): `e` is probed by child every round and
+    // `x` classifies every round's step — un-checkpointed, both re-ran
+    // their build per round; advertised child layout keeps the per-round
+    // join exchange on the shrinking frontier side only
+    val e = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+      edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
+        .filter(col("child") =!= col("parent")).distinct(),
+      Seq("child"))
     val x = exported.select(col(exportedCol).as("__xid")).distinct()
+      .localCheckpoint(true)
     def classify(df: DataFrame): DataFrame =
       df.join(x, df("parent") === x("__xid"), "left")
         .select(col("node"), col("parent"), col("__xid").isNotNull.as("__hit"))
@@ -109,8 +136,11 @@ object Hierarchy {
       .select(col("node"), col("parent").as("via"))
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
-      val step = frontier.join(e, frontier("via") === e("child"))
-        .select(col("node"), e("parent").as("parent")).distinct()
+      // qualified alias: the checkpointed leaf PRESERVES its output attr
+      // ids across rounds, so the frontier's lineage and `e` share ids —
+      // an unqualified e("parent") is ambiguous to the self-join check
+      val step = frontier.join(e.as("__e"), frontier("via") === col("__e.child"))
+        .select(col("node"), col("__e.parent").as("parent")).distinct()
       val nextTagged = classify(step).localCheckpoint(true)
       val nextResult = result
         .union(nextTagged.filter(col("__hit")).select("node", "parent"))

@@ -145,8 +145,16 @@ object Sketches {
     * statistic then): est_union = n_k, est_inter = n_common.
     * @return (ga, gb, n_common, est_union, est_inter) — all BIGINT. */
   def kmvOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
-    val a = sketch.select(col(groupCol).as("ga"), col("h"))
-    val b = sketch.select(col(groupCol).as("gb"), col("h"))
+    // materialize-once (r15 opt): the sketch is read SIX times below (both
+    // pair sides, both union legs, both common-hash probes) — an
+    // unmaterialized sketch (sk2 feeds the full distinct+window spine over
+    // the events scan) re-ran its derivation per consumer. ≤ k rows per
+    // group, trivially resident.
+    val sk0 =
+      if (org.apache.spark.sql.graft.Bridge.isBareCheckpoint(sketch)) sketch
+      else sketch.localCheckpoint(true)
+    val a = sk0.select(col(groupCol).as("ga"), col("h"))
+    val b = sk0.select(col(groupCol).as("gb"), col("h"))
     val pairs = a.select("ga").distinct()
       .join(b.select("gb").distinct(), col("ga") < col("gb"))
     val unioned = pairs.join(a, "ga")

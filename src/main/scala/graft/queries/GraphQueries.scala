@@ -218,6 +218,13 @@ object GraphQueries {
           .filter(col("p1") < col("p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("__c"))
           .filter(col("__c") >= 2).select("p1", "p2")
+          // materialize-once (r15 opt): the edge set feeds deg, the edge
+          // count, AND three consumers inside Graph.triangles — without
+          // the checkpoint each re-ran the support aggregation over the
+          // reused self-join shuffle (the r15 s5 edge-build adjudication
+          // tested a build reshape, not this; the post-shuffle re-agg per
+          // consumer is what this removes)
+          .localCheckpoint(true)
         val deg = edges.select(col("p1").as("n"))
           .unionByName(edges.select(col("p2").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))

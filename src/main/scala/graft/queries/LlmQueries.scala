@@ -1330,6 +1330,10 @@ object LlmQueries {
     // in DuckDB as one WITH chain.
     Q("llm_corpus_filter",
       (s, d) => {
+        // NOT checkpointed (r15 opt adjudication): materializing the
+        // (text, toks) frame for the four legs measured 2.3 → 2.9 s — the
+        // token arrays are cheap to re-derive and expensive to hold, the
+        // d19-docs lesson; per-leg recompute with column pruning wins here
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
         val withHash = docs.withColumn("__h", md5(col("text")))
@@ -2533,8 +2537,13 @@ object LlmQueries {
             TextOps.tokens(col("text")).as("toks"))
         val scored = graft.operators.LanguageModel
           .bigramLmScore(docs.select(col("doc_id"), col("toks")), "doc_id", "toks")
+        // materialize-once (r15 opt): `j` feeds the boundary spine AND the
+        // final bucket aggregation — un-checkpointed, the whole bigram-LM
+        // scoring pipeline (model build + per-doc scoring) ran twice (the
+        // static plan carried 15 input scans). Four narrow columns only.
         val j = docs.select("doc_id", "lang", "n_chars")
           .join(scored.select("doc_id", "lm_score"), Seq("doc_id"))
+          .localCheckpoint(true)
         val counts = j.groupBy("lang", "lm_score").agg(count(lit(1)).as("__c"))
         val cum = counts.withColumn("__cum",
           sum("__c").over(Window.partitionBy("lang").orderBy("lm_score")))
@@ -2809,8 +2818,12 @@ object LlmQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d).select("doc_id", "text")
+        // materialize-once (r15 opt): `uni` feeds three independent legs
+        // (substring spans, canonical window, Gopher gate) — each re-ran
+        // the scan + union otherwise
         val uni = docs.unionByName(docs.filter(col("doc_id") % 13 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .localCheckpoint(true)
         // the HASHED-window form (d16d's parameter swap): 8-byte rolling-
         // hash shuffle keys instead of 40-char strings, result-identical
         // (SubstringDedupSpec pins hashed == exact on the corpus); the
@@ -3646,14 +3659,23 @@ object LlmQueries {
             explode(expr(TextOps.allGramsSql("toks", 8))).as("g"))
           .select(col("doc_id"), expr(TextOps.md5LongSql("g")).as("gh"))
           .distinct()
+        // join-free novelty (r15 opt): a window is novel exactly for its
+        // first_doc, so the per-doc novel count is a groupBy over the
+        // first-occurrence AGGREGATE — the old wins⋈first equi-join
+        // carried the full window table through a join and a second
+        // full-volume aggregation map side for the same number. Both
+        // remaining aggregations are map-side combined; result identical
+        // (oracle unchanged).
         val first = wins.groupBy("gh").agg(min("doc_id").as("first_doc"))
-        wins.join(first, "gh")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows_distinct"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-          .select(col("doc_id"), col("n_windows_distinct"), col("n_novel"),
-            expr("n_novel * 1000000L div n_windows_distinct").as("novelty_ppm"))
+        val novel = first.groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        val perDoc = wins.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows_distinct"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows_distinct"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            expr("coalesce(n_novel, 0L) * 1000000L div n_windows_distinct")
+              .as("novelty_ppm"))
           .orderBy("doc_id")
       },
       Some {

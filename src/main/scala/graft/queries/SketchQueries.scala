@@ -117,7 +117,9 @@ object SketchQueries {
           .select(col("event_type"), expr(valueSparkSql).as("__v"))
         val sk = Sketches.kmvSketch(base, "event_type", "__v", kmvK)
         val over = Sketches.kmvOverlap(sk, "event_type", kmvK)
-        val dv = base.distinct()
+        // materialize-once (r15 opt): the exact-overlap legs read the
+        // distinct value set three times (self-join both sides + sizes)
+        val dv = base.distinct().localCheckpoint(true)
         val ex = dv.toDF("ga", "v")
           .join(dv.toDF("gb", "v"), Seq("v"))
           .filter(col("ga") < col("gb"))
@@ -251,6 +253,10 @@ object SketchQueries {
     // cardinality (HLL), set overlap (KMV), frequency (CM).
     Q("sk4_countmin_heavy",
       (s, d) => {
+        // NOT checkpointed (r15 opt adjudication): materializing the
+        // postings for the three consumers measured 1.76 → 1.94 s — the
+        // exploded table is wide relative to the reused tokenize shuffle,
+        // the d19-docs lesson again
         val post = graft.operators.Ir.postings(
           Tables.documents(s, d), "doc_id", "text")
         val reg = Sketches.cmRegister(post, "term", "tf")

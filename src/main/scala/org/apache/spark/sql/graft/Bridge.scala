@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.col
 
 /** Spark 4 removed `Column.expr` / `new Column(Expression)` from the public
   * API; the supported conversion lives in `org.apache.spark.sql.classic.
@@ -51,6 +54,155 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
+  /** `localCheckpoint(true)` that KEEPS its hash layout visible to the
+    * planner. A plain localCheckpoint lands `UnknownPartitioning` under
+    * AQE (the physical plan is an un-finalized AdaptiveSparkPlanExec when
+    * the checkpoint captures it — PLANS r15 s1), so an iterative
+    * operator's RESIDENT frame — checkpointed once, joined every round —
+    * is re-exchanged, i.e. re-WRITTEN to shuffle storage, on every round
+    * it participates in (the r15 s6 plan audit; AQE's late broadcast
+    * conversion does not spare the write either). This helper shuffles
+    * ONCE into exactly `spark.sql.shuffle.partitions` buckets
+    * (`repartition(n, cols)` — REPARTITION_BY_NUM, which AQE must
+    * preserve verbatim, never coalesce), materializes, and rebuilds the
+    * LogicalRDD leaf advertising `HashPartitioning(cols, n)` (and, with
+    * `sorted=true`, a per-partition ascending SortOrder backed by a
+    * sortWithinPartitions before the materialization). Downstream joins
+    * and aggregations keyed on a prefix-compatible set then satisfy their
+    * distribution requirement in place: only the round's frontier frame
+    * moves, the resident frame is scanned where it sits.
+    *
+    * The bucket count is SCALE-ADAPTIVE, not the local core count: with
+    * `numParts <= 0` the input is staged once (a plain eager checkpoint),
+    * its ACTUAL materialized bytes are read from the block manager, and
+    * n = clamp(bytes / advisoryPartitionSizeInBytes, 1,
+    * numShufflePartitions) — the same sizing rule AQE's coalescer applies
+    * to ordinary exchanges, which REPARTITION_BY_NUM shuffles (required
+    * here: a coalesced hash layout merges buckets and is no longer
+    * HashPartitioning) opt out of. Without this, a small graph pays
+    * `spark.sql.shuffle.partitions` near-empty tasks per round where the
+    * plain-checkpoint path would have AQE-coalesced to one (measured: d6
+    * 0.49 → 1.91 s under a fixed n = 32 advertisement, back under the
+    * adaptive one — r15 opt). Per-round frames pass the resident frame's
+    * count via `numParts` ([[advertisedNumPartitions]]) so every round
+    * stays co-partitioned without re-staging.
+    *
+    * Safety: the advertisement is exactly the layout the repartition
+    * produced — same hash family (`HashPartitioning`), same column order,
+    * same count — and a runtime guard refuses the rebuild (returning the
+    * plain checkpoint, merely slower) if the materialized RDD's partition
+    * count differs from `n` for any reason. Origin constraints are
+    * deliberately dropped — they crash `UnionBase.rewriteConstraints`
+    * when they reference dropped-side attributes (PLANS r15 s1) and only
+    * feed optional filter inference; origin stats pass through so a small
+    * frame stays visibly broadcastable downstream. BridgePartitioningSpec
+    * pins result parity and the exchange-free plan shape.
+    */
+  def localCheckpointPartitioned(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                                 cols: Seq[String],
+                                 sorted: Boolean = false,
+                                 numParts: Int = 0): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = ds.sparkSession
+    val maxN = session.sessionState.conf.numShufflePartitions
+    val (src, n, staged) =
+      if (numParts > 0) (df, numParts, None)
+      else {
+        // stage once to learn the real size — estimates on post-aggregate
+        // subtrees are unusable, and the advisory sizing must see actual
+        // bytes (deserialized block size: conservative, i.e. never fewer
+        // bytes than the shuffle would carry)
+        val cp0 = df.localCheckpoint(true)
+        val bytes = checkpointStorageBytes(cp0)
+        val advisory =
+          session.sessionState.conf.getConf(
+            org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+        val adaptive = bytes
+          .map(b => ((b + advisory - 1) / advisory).toInt.max(1).min(maxN))
+          .getOrElse(maxN)
+        (cp0, adaptive, Some(cp0))
+      }
+    val laid0 = src.repartition(n, cols.map(col): _*)
+    val laid = if (sorted) laid0.sortWithinPartitions(cols.map(col): _*) else laid0
+    val cp = laid.localCheckpoint(true)
+    staged.foreach(freeCheckpoint(_)) // the sizing stage is dead weight now
+    cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+      case lr: LogicalRDD if lr.rdd.getNumPartitions == n =>
+        val attrs = cols.map { c =>
+          lr.output.filter(a => session.sessionState.conf.resolver(a.name, c)) match {
+            case Seq(one) => one
+            case other => sys.error(
+              s"localCheckpointPartitioned: column '$c' resolves to ${other.size} attributes")
+          }
+        }
+        val ordering =
+          if (sorted) attrs.map(a => SortOrder(a, Ascending)) else Nil
+        // originStats pass through (computeStats returns them verbatim):
+        // a small checkpointed frame must stay visibly small, or every
+        // downstream auto-broadcast of it degrades to a sort-merge join
+        // (caught by the d13 label-table plan pin). originConstraints stay
+        // dropped — checkpoint-origin constraints referencing dropped-side
+        // attrs crash UnionBase.rewriteConstraints (PLANS r15 s1), and
+        // constraints only feed optional filter inference.
+        val relaid = new LogicalRDD(
+          lr.output, lr.rdd, HashPartitioning(attrs, n), ordering,
+          lr.isStreaming, lr.getStream)(session, Some(lr.computeStats()))
+        org.apache.spark.sql.classic.Dataset.ofRows(session, relaid)
+      case _ => cp
+    }
+  }
+
+  /** Actual materialized bytes of a bare eager-checkpoint leaf, from the
+    * block manager's storage registry (mem + disk). None when the frame
+    * is not a bare LogicalRDD or its blocks are not registered. */
+  def checkpointStorageBytes(df: org.apache.spark.sql.Dataset[_]): Option[Long] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
+
+  /** Partition count advertised by a [[localCheckpointPartitioned]] leaf —
+    * per-round frames of an iterative operator pass this as `numParts` so
+    * every round stays co-partitioned with the resident frame. None when
+    * `df` carries no hash advertisement. */
+  def advertisedNumPartitions(df: org.apache.spark.sql.Dataset[_]): Option[Int] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        lr.outputPartitioning match {
+          case hp: HashPartitioning => Some(hp.numPartitions)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The hash-layout advertisement carried by a bare checkpoint leaf, as
+    * column names — `Some(cols)` when `df` is a LogicalRDD advertising
+    * `HashPartitioning(cols, _)` (a [[localCheckpointPartitioned]]
+    * artifact), None otherwise. Iterative operators use it to skip
+    * re-laying-out an input artifact that already sits in the layout they
+    * need. */
+  def advertisedHashCols(df: org.apache.spark.sql.Dataset[_]): Option[Seq[String]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        lr.outputPartitioning match {
+          case hp: HashPartitioning =>
+            val names = hp.expressions.map {
+              case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+              case _ => return None
+            }
+            Some(names)
+          case _ => None
+        }
+      case _ => None
+    }
 
   /** [[freeCheckpoint]], but LogicalRDDs whose rdd id is in `keep` are
     * left alone — the iterative-operator hygiene primitive: pair with
