@@ -25,10 +25,22 @@ import graft.operators.{Distribution, Relational}
   */
 object DvfStats {
 
-  /** Stages 1–3: dedup, monobien, unit price. */
+  /** Stages 1–3: dedup, monobien, unit price.
+    *
+    * One exchange serves the whole chain (r15 opt, guide §2.4): the
+    * frame is clustered by sale id up front, and every downstream
+    * requirement is a SUPERSET-compatible clustering — the full-row
+    * distinct (ClusteredDistribution over all columns is satisfied by the
+    * sale-id hash layout), the monobien count (exact key), and the
+    * caller's sale-id equi-join. Unkeyed `dropDuplicates` used to shuffle
+    * on all columns, the count on sale id, and the join again — three
+    * exchanges of the fact frame for one. The keyless `repartition(col)`
+    * stays AQE-coalescible (scale-adaptive), and a coalesced read keeps
+    * the clustering property, so the elision holds at any size. */
   def prepare(sales: DataFrame, saleIdCol: String, priceCol: String,
               qtyCol: String): DataFrame = {
-    val deduped = sales.dropDuplicates()
+    val clustered = sales.repartition(col(saleIdCol))
+    val deduped = clustered.dropDuplicates()
     val mono = Relational.keepKeysWithCount(deduped, saleIdCol, 1L)
     mono.withColumn("unit_price",
       when(col(qtyCol) =!= 0.0, col(priceCol) / col(qtyCol)))
