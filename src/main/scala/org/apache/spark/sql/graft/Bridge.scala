@@ -110,16 +110,22 @@ object Bridge {
       if (numParts > 0) (df, numParts, None)
       else {
         // stage once to learn the real size — estimates on post-aggregate
-        // subtrees are unusable, and the advisory sizing must see actual
-        // bytes (deserialized block size: conservative, i.e. never fewer
-        // bytes than the shuffle would carry)
+        // subtrees are unusable, and the sizing must see actual bytes
+        // (deserialized block size: conservative, i.e. never fewer bytes
+        // than the shuffle would carry). Sizing rule = AQE's coalescer in
+        // its default PARALLELISM-FIRST mode: shrink the count only while
+        // partitions stay above minPartitionSize (1 MB default) — NOT the
+        // advisory target, which trades parallelism for size and starved
+        // a 10x-volume k-core peel to 6 partitions on 32 cores (KcoreProbe:
+        // 24.3 s vs 8-ish; exponent 0.99 vs 0.41 — r15 opt adjudication).
+        // Small frames still land at 1-few partitions (the d6/g2 fix).
         val cp0 = df.localCheckpoint(true)
         val bytes = checkpointStorageBytes(cp0)
-        val advisory =
-          session.sessionState.conf.getConf(
-            org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+        val minPart = session.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.COALESCE_PARTITIONS_MIN_PARTITION_SIZE)
+          .max(1L)
         val adaptive = bytes
-          .map(b => ((b + advisory - 1) / advisory).toInt.max(1).min(maxN))
+          .map(b => ((b + minPart - 1) / minPart).min(maxN.toLong).toInt.max(1))
           .getOrElse(maxN)
         (cp0, adaptive, Some(cp0))
       }
