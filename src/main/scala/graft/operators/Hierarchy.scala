@@ -66,11 +66,7 @@ object Hierarchy {
         // layout clusters the (node, ancestor) groups too (per-node group
         // count is bounded by the hierarchy depth, so no skew), the agg
         // runs in place on it, and the node-layout checkpoint right after
-        // adds no further exchange — one shuffle serves merge AND layout.
-        // the union re-keys by NODE alone: a node-hash layout clusters the
-        // (node, ancestor) groups too (per-node group count is bounded by
-        // the hierarchy depth — no skew), so the agg runs in place on the
-        // repartition and the advertised checkpoint reuses the same count
+        // reuses the same count — one shuffle serves merge AND layout.
         val nParts = org.apache.spark.sql.graft.Bridge
           .advertisedNumPartitions(closure)
           .getOrElse(closure.sparkSession.conf
@@ -153,6 +149,10 @@ object Hierarchy {
       round += 1
     }
     org.apache.spark.sql.graft.Bridge.freeCheckpoint(tagged)
+    // the resident edge/export frames are dead once the loop exits — the
+    // returned frame reads only the (checkpointed) result leaf
+    org.apache.spark.sql.graft.Bridge.freeCheckpoint(e)
+    org.apache.spark.sql.graft.Bridge.freeCheckpoint(x)
     result.distinct()
   }
 

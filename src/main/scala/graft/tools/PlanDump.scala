@@ -41,6 +41,10 @@ object PlanDump {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outDir, s"${n}_$tag.txt"), txt)
       System.err.println(s"[plandump] wrote $outDir/${n}_$tag.txt (${txt.length} chars)")
+      // queries may eagerly checkpoint at construction since r15 — GC per
+      // query so the ContextCleaner reclaims those blocks (the driver-loop
+      // rule), or an ALL run accumulates every query's resident frames
+      System.gc()
     }
     spark.stop()
   }

@@ -48,10 +48,15 @@ object ShuffleProbe {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       System.gc()
       val runs = (1 to 3).map { _ =>
+        // drain BEFORE reset and AFTER the action: listener events arrive
+        // asynchronously — without the drain a late stage-completed event
+        // is lost from this run or miscounted into the next
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
         sw.reset(); sr.reset(); tasks.reset()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
         System.gc()
         (dt, sw.sum() / 1e6, sr.sum() / 1e6, tasks.sum())
       }

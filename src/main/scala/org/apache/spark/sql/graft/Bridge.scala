@@ -188,6 +188,14 @@ object Bridge {
       case _ => None
     }
 
+  /** Block until the Spark listener bus has delivered every queued event —
+    * measurement tools (ShuffleProbe) read listener-accumulated metrics
+    * after an action returns, but events are dispatched asynchronously: a
+    * late stage-completed event would be lost from the finishing run or
+    * miscounted into the next one. Test-utility API, safe on a live bus. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** The hash-layout advertisement carried by a bare checkpoint leaf, as
     * column names — `Some(cols)` when `df` is a LogicalRDD advertising
     * `HashPartitioning(cols, _)` (a [[localCheckpointPartitioned]]
