@@ -112,6 +112,14 @@ object Graph {
         case None => lit(Scale / nNodes)
         case Some(s) => when(col("node") === s, lit(Scale)).otherwise(lit(0L))
       })
+    // per-round layout only where it buys an exchange-free round: a ONE-
+    // partition resident frame (tiny vocabulary graph) collapses every
+    // round to single-task stages anyway, and the per-round repartition
+    // was pure extra stages (g1 ran 136 tasks vs 62 under r14's plain
+    // checkpoints — r16 probe); big frames keep the co-partitioned layout
+    def roundCp(df: DataFrame): DataFrame =
+      if (nParts == 1) df.localCheckpoint(true)
+      else Bridge.localCheckpointPartitioned(df, Seq("node"), numParts = nParts)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(r.withColumnRenamed("node", "src"), "src")
@@ -122,11 +130,10 @@ object Graph {
         .groupBy("dst").agg(sum("__c").as("__in"))
       // node-layout checkpoint: next round's rename to src is alias-aware,
       // so the rank frame re-enters the edge join without an exchange
-      val next = Bridge.localCheckpointPartitioned(nodes
+      val next = roundCp(nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .withColumn("rank_fp", baseCol + coalesce(col("__in"), lit(0L)))
-        .select("node", "rank_fp"),
-        Seq("node"), numParts = nParts)
+        .select("node", "rank_fp"))
       Bridge.freeCheckpointExcept(r, keep)
       r = next
     }
@@ -185,8 +192,11 @@ object Graph {
     // shuffle storage) the full edge frame twice per iteration (the r15
     // s6 audit). 2·|E| resident blocks buy zero per-round O(E) shuffle:
     // each half-step's only exchange is its node-keyed aggregation.
+    // the staged bare checkpoint's registered bytes ARE this frame's size
+    // (same rows, same 3 columns) — no sizing pass needed
     val ebiDst = Bridge.localCheckpointPartitioned(
-      edges.select("src", "dst", "w"), Seq("dst"), sorted = true)
+      edges.select("src", "dst", "w"), Seq("dst"), sorted = true,
+      bytesHint = Bridge.checkpointStorageBytes(edges).getOrElse(-1L))
     val nParts = Bridge.advertisedNumPartitions(ebiDst).getOrElse(
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val ebiSrc = Bridge.localCheckpointPartitioned(
@@ -213,21 +223,25 @@ object Graph {
     var auth = nodes.withColumn("a_fp", lit(Scale))
     var hubRaw: DataFrame = null
     var authRaw: DataFrame = null
+    // same tiny-graph rule as pagerank: at nParts == 1 the per-half-step
+    // repartition bought nothing and cost a stage (every stage is a single
+    // task anyway); big frames keep the co-partitioned layout
+    def roundCp(df: DataFrame): DataFrame =
+      if (nParts == 1) df.localCheckpoint(true)
+      else Bridge.localCheckpointPartitioned(df, Seq("node"), numParts = nParts)
     for (_ <- 1 to iters) {
       // node-layout checkpoints: the score frame re-enters the next
       // half-step's edge join through an alias-aware rename — no exchange
-      val hraw = Bridge.localCheckpointPartitioned(ebiDst
+      val hraw = roundCp(ebiDst
         .join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(col("w").cast("decimal(38,0)") * col("a_fp")).as("__raw")),
-        Seq("node"), numParts = nParts)
+        .agg(sum(col("w").cast("decimal(38,0)") * col("a_fp")).as("__raw")))
       if (hubRaw != null) Bridge.freeCheckpointExcept(hubRaw, keep)
       hubRaw = hraw
-      val araw = Bridge.localCheckpointPartitioned(ebiSrc
+      val araw = roundCp(ebiSrc
         .join(normalized(hubRaw, "h_fp").withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w").cast("decimal(38,0)") * col("h_fp")).as("__raw")),
-        Seq("node"), numParts = nParts)
+        .agg(sum(col("w").cast("decimal(38,0)") * col("h_fp")).as("__raw")))
       if (authRaw != null) Bridge.freeCheckpointExcept(authRaw, keep)
       authRaw = araw
       auth = normalized(authRaw, "a_fp")
@@ -271,16 +285,25 @@ object Graph {
     // to shuffle storage — the full incidence frame anyway. Advertising
     // makes the one O(E) shuffle real: per round only the node-dimension
     // frontier moves (its exchange + the min-combine aggregation).
+    // a bare-checkpoint input (g8's memoized weighted-edge artifact) has
+    // registered storage bytes — the both-direction frame is 2x that, so
+    // the helper needs no sizing pass of its own. UNSORTED layout + a
+    // SHUFFLE_HASH frontier (the kcore wave pattern, r16 opt): the rounds
+    // then hash the node-dimension frontier and stream the resident frame
+    // in place with no sort on either side — the r15 sorted layout paid an
+    // O(E log E) sort once so sort-merge rounds would not re-sort, but
+    // with hashed rounds nobody sorts at all.
     val ebi = Bridge.localCheckpointPartitioned(edges
       .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).as("w"))
       .unionByName(edges
         .select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w"))),
-      Seq("src"), sorted = true)
+      Seq("src"),
+      bytesHint = Bridge.checkpointStorageBytes(edges).map(2L * _).getOrElse(-1L))
     val keep = protectIds ++ Bridge.checkpointIds(ebi)
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val relax = ebi
-        .join(dist.withColumnRenamed("node", "src"), "src")
+        .join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(relax)
         .groupBy("node").agg(min("dist").as("dist"))
@@ -362,18 +385,36 @@ object Graph {
     // audit). With HashPartitioning(n) advertised on the checkpoint leaf,
     // the planner satisfies the join distribution in place: per round only
     // the shrinking removal wave moves.
+    // e0 is a bare checkpoint either way, so the both-direction frame's
+    // size class is KNOWN (2x the input's registered bytes) — pass it and
+    // skip the helper's sizing materialization (VERDICT r15 #1: the
+    // staging path cost every iterative operator a second full pass)
     val nbr = Bridge.localCheckpointPartitioned(e0
       .select(col(aCol).as("n"), col(bCol).as("z"))
       .unionByName(e0.select(col(bCol).as("n"), col(aCol).as("z"))),
-      Seq("n"))
+      Seq("n"),
+      bytesHint = Bridge.checkpointStorageBytes(e0).map(2L * _).getOrElse(-1L))
     if (!(e0 eq edges)) Bridge.freeCheckpoint(e0) // consumed only by nbr
     val keep = protectIds ++ Bridge.checkpointIds(nbr)
-    var deg = nbr.groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // fixpoint probe rides the checkpoint action (r16 opt): each round's
+    // ONE job also counts next round's removal wave via `observe`, so the
+    // old per-round `removed.count()` probe job is gone — at local[32] the
+    // per-round scheduling overhead was the measured cost (VERDICT r15 #1:
+    // g4 ran FASTER on 8 cores), and at cluster scale it halves the
+    // per-round job count outright. Loop behavior is identical: peel only
+    // while the wave is nonempty, bounded by maxRounds.
+    def waveObs(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, count(when(col("deg") < k, 1)).as("__wave")), obs)
+    }
+    val (deg0, obs0) = waveObs(nbr.groupBy("n").agg(count(lit(1)).as("deg")))
+    var deg = deg0.localCheckpoint(true)
+    var wave = obs0.get("__wave").asInstanceOf[Long]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val removed = deg.filter(col("deg") < k).select("n")
-      if (removed.count() == 0L) {
+      if (wave == 0L) {
         done = true
       } else {
         // broadcastWaves: when the graph's node set is PROVABLY BOUNDED
@@ -393,18 +434,19 @@ object Graph {
         // side streams in place either way, but SMJ would SORT the full
         // resident frame every round (O(E) CPU per round); hashing the
         // node-dimension wave costs |wave| instead
-        val wave =
+        val waveDf =
           if (broadcastWaves) broadcast(removed)
           else removed.hint("shuffle_hash")
-        val dec = nbr.join(wave, "n")
+        val dec = nbr.join(waveDf, "n")
           .groupBy(col("z").as("n")).agg(count(lit(1)).as("__d"))
-        val next = deg.filter(col("deg") >= k)
+        val (nextObs, obs) = waveObs(deg.filter(col("deg") >= k)
           .join(dec, Seq("n"), "left")
           .select(col("n"),
-            (col("deg") - coalesce(col("__d"), lit(0L))).as("deg"))
-          .localCheckpoint()
+            (col("deg") - coalesce(col("__d"), lit(0L))).as("deg")))
+        val next = nextObs.localCheckpoint()
         Bridge.freeCheckpointExcept(deg, keep)
         deg = next
+        wave = obs.get("__wave").asInstanceOf[Long]
       }
       round += 1
     }

