@@ -72,84 +72,114 @@ object MetricsViews {
 
   private def org(num: Column): Column = concat(lit("O"), (num % 7).cast("string"))
 
-  /** Derive the 9 base tables from `events`: view/click events are page
-    * visits routed to an entity family by `event_id % 12`; purchase events
-    * are matomo outlinks routed by `event_id % 4`. */
-  def deriveBase(spark: SparkSession, dir: String): Base = {
+  /** The shared pre-aggregated event spine all 9 base facts derive from —
+    * UNMATERIALIZED (exposed for plan tests; [[deriveBase]] checkpoints
+    * it). Every event routes to EXACTLY ONE fact family: view/click events
+    * by disjoint `event_id % 12` slice ranges (datasets ≤3, resources 4–6,
+    * reuses 7–8, dataservices 9, organizations ≥10), purchase events by
+    * `event_id % 4` (datasets/reuses/organizations/dataservices). So ONE
+    * aggregation keyed (dt, family, num[, dnum]) — num already reduced by
+    * the family's own modulus — computes all nine fact tables' counts in
+    * one events pass and one shuffle whose volume is the SUM of the nine
+    * facts' group counts (bounded: ≤ days × 377 groups at any corpus
+    * size, and map-side combine collapses to it before the exchange —
+    * guide §2.3/§2.4). The nine facts become filters of the one
+    * materialized spine instead of nine separate full scans of events
+    * (r16 opt: mv plans carried 9 events scans each; at 100 TB that is
+    * 9 full passes → 1). */
+  private[graft] def baseSpine(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         date_format(col("ts_us"), "yyyy-MM-dd").as("dt"))
-    val hits = ev.filter(col("event_type").isin("view", "click"))
-      .withColumn("slice", col("event_id") % 12)
-    val outlinks = ev.filter(col("event_type") === "purchase")
-      .withColumn("slice", col("event_id") % 4)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("dt"),
+        col("event_type").isin("view", "click").as("__hit"),
+        (col("event_id") % 12).as("__e12"),
+        col("user_id").as("__u"))
+    val hs = col("__e12") // visit slice (event_id % 12)
+    val os = col("__e12") % 4 // outlink slice (event_id % 4; 4 divides 12)
+    ev.select(col("dt"),
+        when(col("__hit"),
+          when(hs <= 3, lit(0)).when(hs.between(4, 6), lit(1))
+            .when(hs.between(7, 8), lit(2)).when(hs === 9, lit(3))
+            .otherwise(lit(4)))
+          .otherwise(
+            when(os === 0, lit(5)).when(os === 1, lit(6))
+              .when(os === 2, lit(7)).otherwise(lit(8))).as("__fam"),
+        when(col("__hit"),
+          when(hs <= 3, col("__u") % 50)
+            // resources: rnum = dnum*4 + (event_id % 4)
+            .when(hs.between(4, 6), (col("__u") % 50) * 4 + col("__e12") % 4)
+            .when(hs.between(7, 8), col("__u") % 30)
+            .when(hs === 9, col("__u") % 10)
+            .otherwise(col("__u") % 7))
+          .otherwise(
+            when(os === 0, col("__u") % 50).when(os === 1, col("__u") % 30)
+              .when(os === 2, col("__u") % 7)
+              .otherwise(col("__u") % 10)).as("num"),
+        // resources carry the owning dataset's num separately — exact for
+        // any id sign (deriving it back from rnum would floor-divide)
+        when(col("__hit") && hs.between(4, 6), col("__u") % 50)
+          .otherwise(lit(0L)).as("dnum"))
+      .groupBy("dt", "__fam", "num", "dnum")
+      .agg(count(lit(1)).as("__cnt"))
+  }
 
-    /** One grouped fact table: id prefix + modulus define the entity. */
-    def fact(src: DataFrame, cond: Column, prefix: String, modulus: Int,
-             idName: String, family: Int, counter: String): DataFrame = {
-      src.filter(cond)
-        .withColumn("num", col("user_id") % modulus)
-        .groupBy(col("dt"), col("num"))
-        .agg(count(lit(1)).as(counter))
+  /** Derive the 9 base tables from `events`: view/click events are page
+    * visits routed to an entity family by `event_id % 12`; purchase events
+    * are matomo outlinks routed by `event_id % 4`. All nine are FILTERS of
+    * the one materialized [[baseSpine]] — its (dt, family, num) groups are
+    * exactly each fact's (dt, num) groups, same counts (each event belongs
+    * to one family, so no re-aggregation is even needed). */
+  def deriveBase(spark: SparkSession, dir: String): Base = {
+    val pre = baseSpine(spark, dir).localCheckpoint(true)
+
+    /** One fact table = one family slice of the spine. */
+    def fact(fam: Int, prefix: String, idName: String, family: Int,
+             counter: String): DataFrame =
+      pre.filter(col("__fam") === fam)
         .select(
           surrogateId(col("dt"), col("num"), family),
           col("dt").as("date_metric"),
           concat(lit(prefix), col("num").cast("string")).as(idName),
           org(col("num")).as("organization_id"),
-          col(counter))
-    }
+          col("__cnt").as(counter))
 
-    // Resources carry two ids (resource + owning dataset): rnum = dnum*4 + sub.
-    val visitsResources = hits.filter(col("slice").between(4, 6))
-      .withColumn("dnum", col("user_id") % 50)
-      .withColumn("rnum", col("dnum") * 4 + col("event_id") % 4)
-      .groupBy(col("dt"), col("dnum"), col("rnum"))
-      .agg(count(lit(1)).as("nb_visit"))
+    // Resources carry two ids (resource + owning dataset).
+    val visitsResources = pre.filter(col("__fam") === 1)
       .select(
-        surrogateId(col("dt"), col("rnum"), 1),
+        surrogateId(col("dt"), col("num"), 1),
         col("dt").as("date_metric"),
-        concat(lit("C"), col("rnum").cast("string")).as("resource_id"),
+        concat(lit("C"), col("num").cast("string")).as("resource_id"),
         concat(lit("D"), col("dnum").cast("string")).as("dataset_id"),
         org(col("dnum")).as("organization_id"),
-        col("nb_visit"))
+        col("__cnt").as("nb_visit"))
 
     // Organization-page visits key directly on the org id (no separate org()).
-    val visitsOrganizations = hits.filter(col("slice") >= 10)
-      .withColumn("num", col("user_id") % 7)
-      .groupBy(col("dt"), col("num"))
-      .agg(count(lit(1)).as("nb_visit"))
+    val visitsOrganizations = pre.filter(col("__fam") === 4)
       .select(
         surrogateId(col("dt"), col("num"), 4),
         col("dt").as("date_metric"),
         concat(lit("O"), col("num").cast("string")).as("organization_id"),
-        col("nb_visit"))
+        col("__cnt").as("nb_visit"))
 
-    val matomoOrganizations = outlinks.filter(col("slice") === 2)
-      .withColumn("num", col("user_id") % 7)
-      .groupBy(col("dt"), col("num"))
-      .agg(count(lit(1)).as("nb_outlink"))
+    val matomoOrganizations = pre.filter(col("__fam") === 7)
       .select(
         surrogateId(col("dt"), col("num"), 7),
         col("dt").as("date_metric"),
         concat(lit("O"), col("num").cast("string")).as("organization_id"),
-        col("nb_outlink"))
+        col("__cnt").as("nb_outlink"))
 
     Base(
-      visitsDatasets =
-        fact(hits, col("slice") <= 3, "D", 50, "dataset_id", 0, "nb_visit"),
+      visitsDatasets = fact(0, "D", "dataset_id", 0, "nb_visit"),
       visitsResources = visitsResources,
       visitsOrganizations = visitsOrganizations,
-      visitsReuses =
-        fact(hits, col("slice").between(7, 8), "R", 30, "reuse_id", 2, "nb_visit"),
-      visitsDataservices =
-        fact(hits, col("slice") === 9, "S", 10, "dataservice_id", 3, "nb_visit"),
-      matomoDatasets =
-        fact(outlinks, col("slice") === 0, "D", 50, "dataset_id", 5, "nb_outlink"),
-      matomoReuses =
-        fact(outlinks, col("slice") === 1, "R", 30, "reuse_id", 6, "nb_outlink"),
+      visitsReuses = fact(2, "R", "reuse_id", 2, "nb_visit"),
+      visitsDataservices = fact(3, "S", "dataservice_id", 3, "nb_visit"),
+      matomoDatasets = fact(5, "D", "dataset_id", 5, "nb_outlink"),
+      matomoReuses = fact(6, "R", "reuse_id", 6, "nb_outlink"),
       matomoOrganizations = matomoOrganizations,
-      matomoDataservices =
-        fact(outlinks, col("slice") === 3, "S", 10, "dataservice_id", 8, "nb_outlink"))
+      matomoDataservices = fact(8, "S", "dataservice_id", 8, "nb_outlink"))
   }
 
   // ---------------------------------------------------------------------

@@ -111,10 +111,16 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[source#\\d+, __salt#\\d+\\]".r.findFirstIn(p).isDefined, p)
   }
 
-  test("metrics DAG base facts push event_type filters to the parquet scan") {
-    val base = graft.pipelines.MetricsViews.deriveBase(spark, sf())
-    val p = plan(base.visitsDatasets)
+  test("metrics DAG base spine pushes event_type filters to the parquet scan") {
+    // deriveBase checkpoints the shared pre-aggregated spine (one events
+    // pass for all 9 facts — r16 opt), so the pushdown is visible on the
+    // UNMATERIALIZED spine, not on a fact's post-checkpoint plan
+    val p = plan(graft.pipelines.MetricsViews.baseSpine(spark, sf()))
     assert(p.contains("PushedFilters") && p.contains("In(event_type"), p)
+    // and the facts read the materialized spine, not events again
+    val base = graft.pipelines.MetricsViews.deriveBase(spark, sf())
+    val pf = plan(base.visitsDatasets)
+    assert(!pf.contains("Scan parquet"), pf)
   }
 
   test("metrics DAG aggregates are partial (map-side combine) before every shuffle") {
