@@ -88,7 +88,19 @@ object Distribution {
                         nBins: Int = 10, step: Double = 100.0,
                         minSupport: Long = 100L,
                         maxBufferedNdv: Long = 1000000L): DataFrame = {
-    val dv = df.select((keyCols :+ valueCol).map(col): _*).distinct()
+    // The distinct value set feeds the quantile edges in EVERY routing
+    // outcome, so it is materialized once (narrow: keys + one value) and
+    // the NDV probe reads IT instead of paying its own full scan of the
+    // raw frame (r16 opt: the HLL probe was a third raw scan + shuffle;
+    // the plan now scans df twice — distinct build and histogram — and
+    // the probe is a cheap exact aggregation of the checkpoint). Exact
+    // counts also make the routing decision precise; routing never
+    // changes results (the two quantile paths are bit-identical —
+    // DistributedQuantilesSpec), only the memory envelope.
+    val dv0 = df.select((keyCols :+ valueCol).map(col): _*).distinct()
+    val dv =
+      if (maxBufferedNdv == Long.MaxValue) dv0 // single consumer: stay lazy
+      else dv0.localCheckpoint(true)
     val probs = (0 to nBins).map(i => i.toDouble / nBins)
     val arr = probs.mkString("array(", ", ", ")")
     def bufferedEdges(part: DataFrame): DataFrame = part
@@ -100,8 +112,11 @@ object Distribution {
       else if (maxBufferedNdv <= 0L)
         Some(dv.select(keyCols.map(col): _*).distinct().localCheckpoint(true))
       else {
-        val hk = df.groupBy(keyCols.map(col): _*)
-          .agg(approx_count_distinct(col(valueCol), 0.05).as("__ndv"))
+        // count(valueCol) over the distinct set = the key's exact NDV,
+        // skipping the all-null row so those keys keep their NDV-0
+        // stay-buffered semantics
+        val hk = dv.groupBy(keyCols.map(col): _*)
+          .agg(count(col(valueCol)).as("__ndv"))
           .filter(col("__ndv") > maxBufferedNdv)
           .select(keyCols.map(col): _*).localCheckpoint(true)
         if (hk.isEmpty) None else Some(hk)
