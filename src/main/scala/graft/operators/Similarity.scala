@@ -343,6 +343,20 @@ object Similarity {
         struct(col("__d2"), col("cid"))).as("__best"))
       .select(col("__vid"), col("__best.__v").as("__v"), col("__best.cid").as("cid"))
 
+  /** [[assignStep]] when only the WINNING ID is needed (inference-side
+    * assignment): the argmin aggregation buffer carries just the cluster
+    * id, not the vector — the training loop's variant ships the full
+    * vector through min_by because the centroid recompute reads it, but
+    * an (id, cid) consumer paid dim×8 bytes per row of aggregation buffer
+    * and exchange for nothing (r16 opt). Same distance decomposition,
+    * same (d², cid) tie rule — results identical. */
+  private def assignStepIds(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids.select("cid", "__c", "__cc")))
+      .withColumn("__d2",
+        col("__xx") + col("__cc") - lit(2.0) * dot(col("__v"), col("__c")))
+      .groupBy("__vid")
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+
   /** Assign every vector to its nearest centroid from a [[kmeansLloyd]]
     * result — the inference half of k-means (same distance decomposition
     * and tie rule as training, so an external oracle replays it).
@@ -354,7 +368,7 @@ object Similarity {
       .withColumn("__xx", dot(col("__v"), col("__v")))
     val c = centroids.select(col("cid"), col("c").as("__c"))
       .withColumn("__cc", dot(col("__c"), col("__c")))
-    assignStep(e, c).select(col("__vid").as(idCol), col("cid"))
+    assignStepIds(e, c).select(col("__vid").as(idCol), col("cid"))
   }
 
   /** Cluster count for the [[semDedupRemoved]] family, sized from the
