@@ -211,7 +211,11 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","floor":${num(floor)},"runs":$runs,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"slowest20":$slowest,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","floor":${num2(floor)},"runs":$runs,"queries":$qs2,"sf":"$sfDir"}""")
+    // only a FULL run may put the catalog-shaped record on the guaranteed-
+    // last line — a restricted probe's subset total must never be
+    // tail-parsable as the round's result
+    if (only.isEmpty)
+      println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","floor":${num2(floor)},"runs":$runs,"queries":$qs2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

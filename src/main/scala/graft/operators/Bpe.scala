@@ -58,8 +58,10 @@ object Bpe {
     // heap and the driver merge, so the merge cost GREW with core count
     // (t17b measured faster at 8 cores than 32 — VERDICT r15 #6). The
     // winning cap-sized id set broadcasts back onto the corpus scan to
-    // fetch texts; doc ids are unique (the same assumption the md5
-    // tiebreak already leans on), so the sampled multiset is identical.
+    // fetch texts; doc ids are unique AND non-null (the same assumptions
+    // the md5 tiebreak already leans on — a NULL id never had a defined
+    // cross-engine rank: Spark sorts nulls first, DuckDB last), so the
+    // sampled multiset is identical.
     val ids = docs.filter(length(col(textCol)) > 0)
       .select(md5(col(idCol).cast("string")).as("__h"), col(idCol).as("__id"))
       .orderBy(col("__h"), col("__id"))

@@ -62,11 +62,16 @@ object Distribution {
     * values, which is right for the reference workload (communes/EPCI/
     * départements — many groups, each bounded) but melts on huge groups.
     * Rather than leave that to caller discipline, the operator probes
-    * per-key distinct-value counts (one HyperLogLog pass over the RAW
-    * rows — map-side combinable fixed-size registers, no distinct
-    * shuffle; ±5% rsd is plenty for an envelope decision) and routes ONLY
-    * the keys above the envelope through [[distributedQuantiles]]'s
-    * two-pass selection; everything else keeps the buffered plan. The
+    * per-key distinct-value counts EXACTLY, off the distinct (key, value)
+    * set it must compute for the quantile edges anyway (materialized once
+    * — narrow rows; the probe is a cheap aggregation of that checkpoint,
+    * where the r15 HyperLogLog probe paid a third full scan of the raw
+    * frame). The checkpoint is NDV-sized resident storage for the
+    * frame's lifetime (reclaimed by GC + ContextCleaner like the other
+    * operator-level checkpoints) — the measured trade against the extra
+    * raw scan (r16 opt; F18bProbe). Keys above the envelope route through
+    * [[distributedQuantiles]]'s two-pass selection; everything else keeps
+    * the buffered plan. The
     * huge-key set is tiny by definition, so it broadcasts, and the
     * selection core's driver-side counts stay bounded by it even on the
     * mixed millions-of-small-groups-plus-one-huge-group shape. The two

@@ -112,14 +112,10 @@ object Graph {
         case None => lit(Scale / nNodes)
         case Some(s) => when(col("node") === s, lit(Scale)).otherwise(lit(0L))
       })
-    // per-round layout only where it buys an exchange-free round: a ONE-
-    // partition resident frame (tiny vocabulary graph) collapses every
-    // round to single-task stages anyway, and the per-round repartition
-    // was pure extra stages (g1 ran 136 tasks vs 62 under r14's plain
-    // checkpoints — r16 probe); big frames keep the co-partitioned layout
+    // per-round layout only where it buys an exchange-free round (the
+    // Bridge.localCheckpointRound tiny-graph rule)
     def roundCp(df: DataFrame): DataFrame =
-      if (nParts == 1) df.localCheckpoint(true)
-      else Bridge.localCheckpointPartitioned(df, Seq("node"), numParts = nParts)
+      Bridge.localCheckpointRound(df, Seq("node"), nParts)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(r.withColumnRenamed("node", "src"), "src")
@@ -223,12 +219,10 @@ object Graph {
     var auth = nodes.withColumn("a_fp", lit(Scale))
     var hubRaw: DataFrame = null
     var authRaw: DataFrame = null
-    // same tiny-graph rule as pagerank: at nParts == 1 the per-half-step
-    // repartition bought nothing and cost a stage (every stage is a single
-    // task anyway); big frames keep the co-partitioned layout
+    // per-half-step layout under the Bridge.localCheckpointRound tiny-graph
+    // rule (same as pagerank's rounds)
     def roundCp(df: DataFrame): DataFrame =
-      if (nParts == 1) df.localCheckpoint(true)
-      else Bridge.localCheckpointPartitioned(df, Seq("node"), numParts = nParts)
+      Bridge.localCheckpointRound(df, Seq("node"), nParts)
     for (_ <- 1 to iters) {
       // node-layout checkpoints: the score frame re-enters the next
       // half-step's edge join through an alias-aware rename — no exchange

@@ -98,29 +98,35 @@ object MetricsViews {
         col("user_id").as("__u"))
     val hs = col("__e12") // visit slice (event_id % 12)
     val os = col("__e12") % 4 // outlink slice (event_id % 4; 4 divides 12)
+    // Every arm is EXPLICIT — no otherwise(): a NULL or out-of-domain
+    // slice (negative event_id outlink, NULL event_id) matched NONE of the
+    // old per-fact filters and none of the oracle's WHERE slice = N
+    // predicates, so it must fall through to a NULL family and be dropped
+    // here too, never silently rerouted to the last arm.
     ev.select(col("dt"),
         when(col("__hit"),
           when(hs <= 3, lit(0)).when(hs.between(4, 6), lit(1))
             .when(hs.between(7, 8), lit(2)).when(hs === 9, lit(3))
-            .otherwise(lit(4)))
+            .when(hs >= 10, lit(4)))
           .otherwise(
             when(os === 0, lit(5)).when(os === 1, lit(6))
-              .when(os === 2, lit(7)).otherwise(lit(8))).as("__fam"),
+              .when(os === 2, lit(7)).when(os === 3, lit(8))).as("__fam"),
         when(col("__hit"),
           when(hs <= 3, col("__u") % 50)
             // resources: rnum = dnum*4 + (event_id % 4)
             .when(hs.between(4, 6), (col("__u") % 50) * 4 + col("__e12") % 4)
             .when(hs.between(7, 8), col("__u") % 30)
             .when(hs === 9, col("__u") % 10)
-            .otherwise(col("__u") % 7))
+            .when(hs >= 10, col("__u") % 7))
           .otherwise(
             when(os === 0, col("__u") % 50).when(os === 1, col("__u") % 30)
               .when(os === 2, col("__u") % 7)
-              .otherwise(col("__u") % 10)).as("num"),
+              .when(os === 3, col("__u") % 10)).as("num"),
         // resources carry the owning dataset's num separately — exact for
         // any id sign (deriving it back from rnum would floor-divide)
         when(col("__hit") && hs.between(4, 6), col("__u") % 50)
           .otherwise(lit(0L)).as("dnum"))
+      .filter(col("__fam").isNotNull)
       .groupBy("dt", "__fam", "num", "dnum")
       .agg(count(lit(1)).as("__cnt"))
   }
@@ -134,10 +140,11 @@ object MetricsViews {
   def deriveBase(spark: SparkSession, dir: String): Base = {
     val pre = baseSpine(spark, dir).localCheckpoint(true)
 
-    /** One fact table = one family slice of the spine. */
-    def fact(fam: Int, prefix: String, idName: String, family: Int,
+    /** One fact table = one family slice of the spine. The routing family
+      * IS the surrogate-id family code (one numbering, by construction). */
+    def fact(family: Int, prefix: String, idName: String,
              counter: String): DataFrame =
-      pre.filter(col("__fam") === fam)
+      pre.filter(col("__fam") === family)
         .select(
           surrogateId(col("dt"), col("num"), family),
           col("dt").as("date_metric"),
@@ -171,15 +178,15 @@ object MetricsViews {
         col("__cnt").as("nb_outlink"))
 
     Base(
-      visitsDatasets = fact(0, "D", "dataset_id", 0, "nb_visit"),
+      visitsDatasets = fact(0, "D", "dataset_id", "nb_visit"),
       visitsResources = visitsResources,
       visitsOrganizations = visitsOrganizations,
-      visitsReuses = fact(2, "R", "reuse_id", 2, "nb_visit"),
-      visitsDataservices = fact(3, "S", "dataservice_id", 3, "nb_visit"),
-      matomoDatasets = fact(5, "D", "dataset_id", 5, "nb_outlink"),
-      matomoReuses = fact(6, "R", "reuse_id", 6, "nb_outlink"),
+      visitsReuses = fact(2, "R", "reuse_id", "nb_visit"),
+      visitsDataservices = fact(3, "S", "dataservice_id", "nb_visit"),
+      matomoDatasets = fact(5, "D", "dataset_id", "nb_outlink"),
+      matomoReuses = fact(6, "R", "reuse_id", "nb_outlink"),
       matomoOrganizations = matomoOrganizations,
-      matomoDataservices = fact(8, "S", "dataservice_id", 8, "nb_outlink"))
+      matomoDataservices = fact(8, "S", "dataservice_id", "nb_outlink"))
   }
 
   // ---------------------------------------------------------------------

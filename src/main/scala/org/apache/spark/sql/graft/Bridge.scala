@@ -121,12 +121,12 @@ object Bridge {
     // d6/g2 fix). Bytes come from (in order): the caller's hint (an
     // operator that staged its INPUT already knows the size class — the
     // r15 double-materialization cost, VERDICT r15 #1/#3), the frame's own
-    // storage registration when it is already a bare checkpoint, or — new
-    // in r16 — an OPTIMISTIC first layout at maxN that is re-laid-out only
-    // when the materialized bytes turn out SMALL (a small frame is cheap
-    // to reshuffle by definition; a big frame pays zero extra — the r15
-    // staging path charged the extra full materialization to the BIG
-    // frames, exactly the wrong end).
+    // storage registration when it is already a bare checkpoint, or a
+    // plain staging checkpoint (no shuffle, no sort; freed after the
+    // layout). An optimistic full-parallelism first layout was tried for
+    // the fallback and measured strictly worse — the frames that actually
+    // reach it are the small/unknown ones (g1's 930-edge graph ran 136
+    // tasks vs 62 under plain staging; r16 opt).
     val minPart = session.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.COALESCE_PARTITIONS_MIN_PARTITION_SIZE)
       .max(1L)
@@ -188,6 +188,18 @@ object Bridge {
       case _ => cp
     }
   }
+
+  /** Per-round checkpoint of an iterative operator's node-dimension frame:
+    * the co-partitioned layout at the resident frame's count
+    * ([[localCheckpointPartitioned]] with `numParts`), EXCEPT when that
+    * count is 1 — every stage is a single task there (tiny graph), so the
+    * per-round repartition bought no exchange-freedom and cost a stage per
+    * round (g1 ran 136 tasks vs 62 before this rule — r16 opt). */
+  def localCheckpointRound(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           cols: Seq[String],
+                           numParts: Int): org.apache.spark.sql.DataFrame =
+    if (numParts <= 1) df.localCheckpoint(true)
+    else localCheckpointPartitioned(df, cols, numParts = numParts)
 
   /** Actual materialized bytes of a bare eager-checkpoint leaf, from the
     * block manager's storage registry (mem + disk). None when the frame
