@@ -112,6 +112,28 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val session = ds.sparkSession
     val maxN = session.sessionState.conf.numShufflePartitions
+    // Float-family layout keys are rejected outright (ADVICE r15 #1):
+    // join equality on float/double goes through NormalizeFloatingNumbers
+    // (-0.0 ≡ 0.0, canonical NaN), so a hash layout over RAW float bytes
+    // is not the layout a join on that key requires — the advertisement
+    // contract is "exactly the produced layout", and this is the one key
+    // class where hash-of-raw and join-equality can disagree. No graft
+    // operator keys a resident frame on floats; fail loudly if one tries.
+    def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasFloat(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasFloat(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+    cols.foreach { c =>
+      require(!hasFloat(df.schema(c).dataType),
+        s"localCheckpointPartitioned: layout column '$c' is float-family " +
+          s"(${df.schema(c).dataType.simpleString}) — a raw-bytes hash " +
+          "advertisement can disagree with float join equality (-0.0/NaN); " +
+          "key the layout on a non-float column")
+    }
     // Sizing rule = AQE's coalescer in its default PARALLELISM-FIRST mode:
     // shrink the count only while partitions stay above minPartitionSize
     // (1 MB default) — NOT the advisory target, which trades parallelism

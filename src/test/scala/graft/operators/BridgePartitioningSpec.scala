@@ -114,6 +114,23 @@ class BridgePartitioningSpec extends SparkSpec {
     Bridge.freeCheckpoint(adv)
   }
 
+  test("float-family layout keys are rejected (ADVICE r15 #1)") {
+    // join equality on floats goes through NormalizeFloatingNumbers
+    // (-0.0 == 0.0, canonical NaN); a raw-bytes hash advertisement could
+    // disagree, so the helper refuses the key class outright
+    val fdf = Seq((1.0, 10L), (2.0, 20L)).toDF("fk", "v")
+    val e = intercept[IllegalArgumentException] {
+      Bridge.localCheckpointPartitioned(fdf, Seq("fk"))
+    }
+    assert(e.getMessage.contains("float-family"), e.getMessage)
+    val ndf = Seq((1.0, 10L)).toDF("x", "v")
+      .select(struct(col("x")).as("sk"), col("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bridge.localCheckpointPartitioned(ndf, Seq("sk"))
+    }
+    assert(e2.getMessage.contains("float-family"), e2.getMessage)
+  }
+
   test("checkpoint hygiene sees the rebuilt leaf") {
     val adv = Bridge.localCheckpointPartitioned(bigDf, Seq("k"))
     val ids = Bridge.checkpointIds(adv)
